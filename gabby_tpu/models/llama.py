@@ -1,0 +1,233 @@
+"""Llama-3 forward pass, TPU-first.
+
+Design notes (vs. the reference, whose generator is a stub —
+/root/reference/src/inference/generator.cc:33-38 — this is net-new):
+
+* Layer weights are STACKED along a leading [num_layers] axis and the decoder
+  runs as one `lax.scan` over layers: a single traced/compiled block body
+  regardless of depth (fast compiles at 70B scale, friendly to XLA's
+  scheduler), instead of Python-unrolled layers.
+* Everything is shape-static: prefill takes bucketed [B, T] chunks with a
+  static `offset`; decode takes [B] tokens with per-slot integer positions
+  into a fixed [B, S_max] cache. Nothing in the serving loop retraces.
+* Params are a plain dict pytree -> trivially sharded with NamedSharding
+  (gabby_tpu/parallel/) and quantized by swapping leaves for QTensor
+  (gabby_tpu/ops/quant.py); `linear()` dispatches on leaf type.
+* Attention goes through gabby_tpu.ops so the jnp reference and the Pallas
+  kernels are interchangeable (select via gabby_tpu.ops.pallas.use_kernels).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gabby_tpu.config import ModelConfig
+from gabby_tpu.ops.attention import cache_attention, causal_attention
+from gabby_tpu.ops.linear import linear
+from gabby_tpu.ops.norms import rms_norm
+from gabby_tpu.ops.rope import apply_rope, rope_inv_freq
+from gabby_tpu.runtime.kv_cache import KVCache, dequantize_kv, quantize_kv
+
+Params = dict[str, Any]
+
+
+def init_params(cfg: ModelConfig, key: jax.Array,
+                dtype=jnp.bfloat16) -> Params:
+    """Random-normal params (tests, benchmarks; real weights via loader.py)."""
+    d, f, v, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
+    ks = jax.random.split(key, 8)
+
+    def w(k, *shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in ** -0.5).astype(dtype)
+
+    params: Params = {
+        "embed": w(ks[0], v, d, fan_in=d),
+        "blocks": {
+            "attn_norm": jnp.ones((L, d), dtype),
+            "mlp_norm": jnp.ones((L, d), dtype),
+            "wq": w(ks[1], L, d, cfg.q_dim, fan_in=d),
+            "wk": w(ks[2], L, d, cfg.kv_dim, fan_in=d),
+            "wv": w(ks[3], L, d, cfg.kv_dim, fan_in=d),
+            "wo": w(ks[4], L, cfg.q_dim, d, fan_in=cfg.q_dim),
+            "w_gate": w(ks[5], L, d, f, fan_in=d),
+            "w_up": w(ks[6], L, d, f, fan_in=d),
+            "w_down": w(ks[7], L, f, d, fan_in=f),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": None if cfg.tie_word_embeddings else w(ks[0], d, v, fan_in=d),
+    }
+    return params
+
+
+def _qkv(cfg: ModelConfig, blk: Params, x: jnp.ndarray, positions: jnp.ndarray,
+         inv_freq) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, t, _ = x.shape
+    q = linear(x, blk["wq"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = linear(x, blk["wk"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = linear(x, blk["wv"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+    return q, k, v
+
+
+def _mlp(blk: Params, x: jnp.ndarray) -> jnp.ndarray:
+    gate = jax.nn.silu(linear(x, blk["w_gate"]).astype(jnp.float32))
+    up = linear(x, blk["w_up"]).astype(jnp.float32)
+    return linear((gate * up).astype(x.dtype), blk["w_down"])
+
+
+def _unembed(params: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if params.get("lm_head") is not None:
+        w = params["lm_head"]
+        return linear(h, w).astype(jnp.float32)
+    # tied embeddings: contract h [.., D] with embed [V, D] on D
+    return jax.lax.dot_general(
+        h, params["embed"],
+        dimension_numbers=(((h.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def prefill(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+            cache: Optional[KVCache], *, offset: int = 0
+            ) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Process a [B, T] chunk of prompt tokens at global positions
+    offset..offset+T-1, writing k/v into the cache (if given) and returning
+    f32 logits [B, T, V]. `offset` is static (chunked-prefill schedules are
+    fixed), so cache reads/writes are static slices, not gathers."""
+    b, t = tokens.shape
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    positions = jnp.broadcast_to(offset + jnp.arange(t, dtype=jnp.int32), (b, t))
+    h = jnp.take(params["embed"], tokens, axis=0)
+
+    quantized = cache is not None and cache.quantized
+
+    def body(h, xs):
+        if cache is None:
+            (blk,) = xs
+        elif quantized:
+            blk, kc, vc, ksc, vsc = xs
+        else:
+            blk, kc, vc = xs
+        xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blk, xn, positions, inv_freq)
+
+        ys = ()
+        if cache is not None:
+            if quantized:
+                k_codes, k_s = quantize_kv(k)
+                v_codes, v_s = quantize_kv(v)
+                kc = jax.lax.dynamic_update_slice(kc, k_codes, (0, offset, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, v_codes, (0, offset, 0, 0))
+                ksc = jax.lax.dynamic_update_slice(ksc, k_s, (0, offset, 0))
+                vsc = jax.lax.dynamic_update_slice(vsc, v_s, (0, offset, 0))
+                ys = (kc, vc, ksc, vsc)
+            else:
+                kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
+                                                  (0, offset, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
+                                                  (0, offset, 0, 0))
+                ys = (kc, vc)
+
+        if offset == 0:
+            kk, vv = k, v  # fresh prompt: attend over the chunk itself
+        else:
+            # chunked prefill: attend over everything written so far
+            if quantized:
+                kk = dequantize_kv(kc[:, : offset + t], ksc[:, : offset + t], k.dtype)
+                vv = dequantize_kv(vc[:, : offset + t], vsc[:, : offset + t], v.dtype)
+            else:
+                kk = kc[:, : offset + t].astype(k.dtype)
+                vv = vc[:, : offset + t].astype(v.dtype)
+        attn = causal_attention(q, kk, vv, q_offset=offset)
+        h = h + linear(attn.reshape(b, t, cfg.q_dim), blk["wo"])
+        xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(blk, xn2)
+        return h, ys
+
+    if cache is None:
+        xs = (params["blocks"],)
+    elif quantized:
+        xs = (params["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    else:
+        xs = (params["blocks"], cache.k, cache.v)
+    h, ys = jax.lax.scan(body, h, xs)
+
+    logits = _unembed(params, cfg, h)
+    if cache is None:
+        return logits, None
+    if quantized:
+        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
+    else:
+        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
+    return logits, new_cache
+
+
+def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                positions: jnp.ndarray, cache: KVCache
+                ) -> tuple[jnp.ndarray, KVCache]:
+    """One decode step for a batch of slots.
+
+    tokens: [B] int32 — current token per slot.
+    positions: [B] int32 — cache index where this token's k/v land
+      (== number of tokens already in the slot).
+    Returns (f32 logits [B, V], updated cache).
+    """
+    b = tokens.shape[0]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    pos2d = positions[:, None]  # [B, 1]
+    h = jnp.take(params["embed"], tokens[:, None], axis=0)  # [B, 1, D]
+    batch_ix = jnp.arange(b)
+    quantized = cache.quantized
+
+    def body(h, xs):
+        if quantized:
+            blk, kc, vc, ksc, vsc = xs
+        else:
+            blk, kc, vc = xs
+        xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blk, xn, pos2d, inv_freq)
+
+        if quantized:
+            k_codes, k_s = quantize_kv(k)
+            v_codes, v_s = quantize_kv(v)
+            kc = kc.at[batch_ix, positions].set(k_codes[:, 0])
+            vc = vc.at[batch_ix, positions].set(v_codes[:, 0])
+            ksc = ksc.at[batch_ix, positions].set(k_s[:, 0])
+            vsc = vsc.at[batch_ix, positions].set(v_s[:, 0])
+            kk = dequantize_kv(kc, ksc, k.dtype)
+            vv = dequantize_kv(vc, vsc, v.dtype)
+            ys = (kc, vc, ksc, vsc)
+        else:
+            kc = kc.at[batch_ix, positions].set(k[:, 0].astype(kc.dtype))
+            vc = vc.at[batch_ix, positions].set(v[:, 0].astype(vc.dtype))
+            kk, vv = kc.astype(k.dtype), vc.astype(v.dtype)
+            ys = (kc, vc)
+
+        attn = cache_attention(q, kk, vv, positions)
+        h = h + linear(attn.reshape(b, 1, cfg.q_dim), blk["wo"])
+        xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(blk, xn2)
+        return h, ys
+
+    if quantized:
+        xs = (params["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    else:
+        xs = (params["blocks"], cache.k, cache.v)
+    h, ys = jax.lax.scan(body, h, xs)
+    logits = _unembed(params, cfg, h)[:, 0]  # [B, V]
+    if quantized:
+        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
+    else:
+        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
+    return logits, new_cache
+
+
+def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Cache-free full forward (perplexity eval, golden tests): [B,T] -> [B,T,V] f32."""
+    logits, _ = prefill(params, cfg, tokens, None)
+    return logits

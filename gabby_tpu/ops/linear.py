@@ -1,0 +1,26 @@
+"""Linear projection with dtype-aware dispatch.
+
+All model matmuls route through `linear()` so that quantized weights
+(QTensor: int8/int4 + per-channel scales, see gabby_tpu/ops/quant.py) and
+full-precision weights share one call site. Accumulation is always f32 on the
+MXU (`preferred_element_type`), output returns to the activation dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x: [..., in_dim] @ w: [in_dim, out_dim] -> [..., out_dim]."""
+    from gabby_tpu.ops import quant  # local import: quant imports nothing heavy
+
+    if isinstance(w, quant.QTensor):
+        return quant.qlinear(x, w)
+    out = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)

@@ -1,0 +1,132 @@
+"""Weight-only quantization: INT8 and INT4, symmetric per-output-channel.
+
+QTensor is a pytree, so quantized checkpoints flow through jit/shard like any
+other params. INT4 weights are physically packed two-per-byte along the input
+axis (the contraction axis), halving HBM traffic — the thing that matters for
+decode, which is bandwidth-bound. The jnp path below is the semantics
+reference; the fused dequant+matmul Pallas kernel lives in
+gabby_tpu/ops/pallas/quant_matmul.py.
+
+Net-new capability vs the reference (BASELINE.json configs 2-5); the
+reference has no quantization or kernels of any kind.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QTensor:
+    """Quantized 2-D weight of logical shape [in_dim, out_dim].
+
+    q: int8. For bits=8, shape [in_dim, out_dim], values in [-127, 127].
+       For bits=4, shape [in_dim // 2, out_dim]; each byte packs rows 2i
+       (low nibble) and 2i+1 (high nibble), values in [-7, 7].
+    scale: f32 [out_dim], per-output-channel.
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    bits: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        rows = self.q.shape[0] * (2 if self.bits == 4 else 1)
+        return (rows, self.q.shape[1])
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+    def nbytes(self) -> int:
+        return self.q.size + self.scale.size * 4
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """[in, out] int8 in [-8, 7] -> [in//2, out] packed bytes."""
+    assert q.shape[0] % 2 == 0, "int4 packing needs an even input dim"
+    lo = q[0::2].astype(jnp.uint8) & 0xF
+    hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[in//2, out] packed -> [in, out] int8, sign-extended nibbles."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign-extend
+    hi = jnp.right_shift(packed, 4)
+    inter = jnp.stack([lo, hi], axis=1)  # [in//2, 2, out]
+    return inter.reshape(packed.shape[0] * 2, packed.shape[1])
+
+
+def quantize(w: jnp.ndarray, bits: int) -> QTensor:
+    """Symmetric per-output-channel quantization of w: [in_dim, out_dim]."""
+    assert bits in (4, 8)
+    qmax = 127.0 if bits == 8 else 7.0
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0)  # [out]
+    scale = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        q = pack_int4(q)
+    return QTensor(q=q, scale=scale.astype(jnp.float32), bits=bits)
+
+
+def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
+
+
+def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
+    """x: [..., in_dim] @ QTensor -> [..., out_dim].
+
+    Reference path: contract against the int8 codes (MXU-friendly), apply the
+    per-channel scale to the f32 accumulator after the matmul — numerically
+    identical to dequantize-then-matmul but touches only 1/2 (or 1/4) of the
+    HBM bytes for the weight.
+    """
+    q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (acc * qt.scale).astype(x.dtype)
+
+
+def quantize_tree(params, bits: int, *, skip=("embed", "norm")):
+    """Quantize every 2-D+ matmul weight in a params pytree (dicts of arrays).
+
+    Leaves whose key path contains a name in `skip`, and 1-D leaves (norms),
+    stay in their original dtype. Stacked [L, in, out] layer weights are
+    quantized per-layer via vmap-free slicing (numpy-side, load time).
+    """
+    def visit(path, leaf):
+        name = "/".join(str(p) for p in path)
+        if any(s in name for s in skip) or leaf.ndim < 2:
+            return leaf
+        if leaf.ndim == 2:
+            return quantize(leaf, bits)
+        assert leaf.ndim == 3  # [L, in, out] stacked layers
+        qs = [quantize(leaf[i], bits) for i in range(leaf.shape[0])]
+        return QTensor(
+            q=jnp.stack([t.q for t in qs]),
+            scale=jnp.stack([t.scale for t in qs]),
+            bits=bits,
+        )
+
+    return _tree_map_with_name(visit, params)
+
+
+def _tree_map_with_name(fn, tree, path=()):
+    if isinstance(tree, dict):
+        return {k: _tree_map_with_name(fn, v, path + (k,)) for k, v in tree.items()}
+    if tree is None:
+        return None
+    return fn(path, tree)
