@@ -1,0 +1,181 @@
+"""Model-asset loading: HF model dir -> (ModelConfig, params pytree, Tokenizer).
+
+Extends the seam the reference dead-ends at: its Safetensors class mmaps the
+file and parses the header but exposes no tensor bytes
+(/root/reference/src/inference/safetensors.h:19-24). Here the header's
+dtype/shape/offset triples become zero-copy numpy views over a memmap, which
+are stacked per-layer and handed to jax.device_put (optionally quantized
+first, so INT4/INT8 checkpoints never materialize in bf16 on device).
+
+A C++ mmap safetensors reader with the same semantics serves the native
+front-end (cpp/src/sftensor.*).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from gabby_tpu.config import ModelConfig
+from gabby_tpu.ops import quant
+
+_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "BF16": ml_dtypes.bfloat16, "I64": np.int64, "I32": np.int32,
+    "I16": np.int16, "I8": np.int8, "U8": np.uint8, "BOOL": np.bool_,
+}
+_TO_SFT = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def read_safetensors(path: str) -> dict[str, np.ndarray]:
+    """Parse one .safetensors file into name -> zero-copy memmap views."""
+    with open(path, "rb") as f:
+        header_len = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(header_len))
+    data_start = 8 + header_len
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    out: dict[str, np.ndarray] = {}
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        dtype = _DTYPES[info["dtype"]]
+        begin, end = info["data_offsets"]
+        view = mm[data_start + begin: data_start + end]
+        out[name] = view.view(dtype).reshape(info["shape"])
+    return out
+
+
+def write_safetensors(path: str, tensors: dict[str, np.ndarray]) -> None:
+    header: dict[str, Any] = {}
+    offset = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        blobs.append(arr)
+        header[name] = {
+            "dtype": _TO_SFT[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + arr.nbytes],
+        }
+        offset += arr.nbytes
+    hjson = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for b in blobs:
+            f.write(b.tobytes())
+
+
+def read_model_tensors(model_dir: str) -> dict[str, np.ndarray]:
+    """Single- or multi-shard (index.json) safetensors directory."""
+    index = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map: dict[str, str] = json.load(f)["weight_map"]
+        tensors: dict[str, np.ndarray] = {}
+        for fname in sorted(set(weight_map.values())):
+            tensors.update(read_safetensors(os.path.join(model_dir, fname)))
+        return tensors
+    return read_safetensors(os.path.join(model_dir, "model.safetensors"))
+
+
+def _maybe_quantize(w: np.ndarray, bits: Optional[int], dtype) -> Any:
+    if bits is None:
+        return jnp.asarray(w, dtype)
+    return quant.quantize(jnp.asarray(w, jnp.float32), bits)
+
+
+def _stack_q(qs: list) -> Any:
+    if isinstance(qs[0], quant.QTensor):
+        return quant.QTensor(q=jnp.stack([t.q for t in qs]),
+                             scale=jnp.stack([t.scale for t in qs]),
+                             bits=qs[0].bits)
+    return jnp.stack(qs)
+
+
+def load_llama_params(model_dir: str, cfg: ModelConfig, *, dtype=jnp.bfloat16,
+                      quant_bits: Optional[int] = None,
+                      device_put_fn=None) -> dict:
+    """HF Llama checkpoint -> our stacked params pytree.
+
+    HF nn.Linear weights are [out, in]; ours are [in, out] (x @ w), so each
+    projection is transposed once on the host. `device_put_fn(path, array)`
+    lets the caller place each leaf with a NamedSharding (parallel/loader
+    integration); default is plain device_put.
+    """
+    t = read_model_tensors(model_dir)
+    put = device_put_fn or (lambda path, x: x)
+
+    def proj(name: str, l: int) -> np.ndarray:
+        return np.ascontiguousarray(
+            t[f"model.layers.{l}.{name}.weight"].transpose(1, 0))
+
+    names = {
+        "wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+        "wv": "self_attn.v_proj", "wo": "self_attn.o_proj",
+        "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
+        "w_down": "mlp.down_proj",
+    }
+    blocks: dict[str, Any] = {}
+    for ours, hf in names.items():
+        per_layer = [_maybe_quantize(proj(hf, l), quant_bits, dtype)
+                     for l in range(cfg.num_layers)]
+        blocks[ours] = put(("blocks", ours), _stack_q(per_layer))
+    for ours, hf in (("attn_norm", "input_layernorm"),
+                     ("mlp_norm", "post_attention_layernorm")):
+        blocks[ours] = put(("blocks", ours), jnp.stack([
+            jnp.asarray(t[f"model.layers.{l}.{hf}.weight"], dtype)
+            for l in range(cfg.num_layers)]))
+
+    params: dict[str, Any] = {
+        "embed": put(("embed",), jnp.asarray(t["model.embed_tokens.weight"], dtype)),
+        "blocks": blocks,
+        "final_norm": put(("final_norm",), jnp.asarray(t["model.norm.weight"], dtype)),
+        "lm_head": None,
+    }
+    if not cfg.tie_word_embeddings:
+        head = np.ascontiguousarray(t["lm_head.weight"].transpose(1, 0))
+        params["lm_head"] = put(("lm_head",), jnp.asarray(head, dtype))
+    return params
+
+
+def load_model_dir(model_dir: str, *, dtype=jnp.bfloat16,
+                   quant_bits: Optional[int] = None,
+                   max_seq_len: Optional[int] = None,
+                   device_put_fn=None):
+    """Load the five HF JSONs + weights, mirroring the reference's
+    InferenceConfig aggregation (/root/reference/src/inference/config.cc:11-28)
+    but producing live objects instead of parsed DOMs.
+
+    Returns (cfg, params, tokenizer | None).
+    """
+    from gabby_tpu.tokenizer import Tokenizer
+
+    overrides: dict[str, Any] = {}
+    if max_seq_len is not None:
+        overrides["max_seq_len"] = max_seq_len
+    cfg = ModelConfig.from_json_file(
+        os.path.join(model_dir, "config.json"), **overrides)
+
+    gen_cfg_path = os.path.join(model_dir, "generation_config.json")
+    if os.path.exists(gen_cfg_path):
+        with open(gen_cfg_path) as f:
+            gen = json.load(f)
+        eos = gen.get("eos_token_id", list(cfg.eos_token_ids))
+        eos = tuple(eos) if isinstance(eos, list) else (eos,)
+        cfg = ModelConfig(**{**cfg.__dict__, "eos_token_ids": eos,
+                             "bos_token_id": gen.get("bos_token_id", cfg.bos_token_id)})
+
+    params = load_llama_params(model_dir, cfg, dtype=dtype,
+                               quant_bits=quant_bits, device_put_fn=device_put_fn)
+
+    tok_path = os.path.join(model_dir, "tokenizer.json")
+    tokenizer = Tokenizer.from_file(tok_path) if os.path.exists(tok_path) else None
+    return cfg, params, tokenizer

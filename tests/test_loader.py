@@ -1,0 +1,117 @@
+"""Loader tests: HF-style model dir (safetensors + config.json) -> params."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+import pytest
+
+from gabby_tpu import loader
+from gabby_tpu.models import llama
+from gabby_tpu.ops.quant import QTensor
+from tests import helpers
+
+
+def _write_hf_dir(tmp_path, cfg, params, *, sharded=False):
+    """Serialize our params in HF naming/layout (transposed linears)."""
+    t = {}
+    t["model.embed_tokens.weight"] = np.asarray(params["embed"])
+    blk = params["blocks"]
+    names = {
+        "self_attn.q_proj": "wq", "self_attn.k_proj": "wk",
+        "self_attn.v_proj": "wv", "self_attn.o_proj": "wo",
+        "mlp.gate_proj": "w_gate", "mlp.up_proj": "w_up",
+        "mlp.down_proj": "w_down",
+    }
+    for l in range(cfg.num_layers):
+        for hf, ours in names.items():
+            t[f"model.layers.{l}.{hf}.weight"] = np.asarray(blk[ours][l]).T
+        t[f"model.layers.{l}.input_layernorm.weight"] = np.asarray(blk["attn_norm"][l])
+        t[f"model.layers.{l}.post_attention_layernorm.weight"] = np.asarray(blk["mlp_norm"][l])
+    t["model.norm.weight"] = np.asarray(params["final_norm"])
+    if not cfg.tie_word_embeddings:
+        t["lm_head.weight"] = np.asarray(params["lm_head"]).T
+
+    if sharded:
+        names_sorted = sorted(t)
+        half = len(names_sorted) // 2
+        shards = {"model-00001-of-00002.safetensors": names_sorted[:half],
+                  "model-00002-of-00002.safetensors": names_sorted[half:]}
+        weight_map = {}
+        for fname, keys in shards.items():
+            loader.write_safetensors(str(tmp_path / fname),
+                                     {k: t[k] for k in keys})
+            weight_map.update({k: fname for k in keys})
+        (tmp_path / "model.safetensors.index.json").write_text(
+            json.dumps({"weight_map": weight_map}))
+    else:
+        loader.write_safetensors(str(tmp_path / "model.safetensors"), t)
+
+    hf_cfg = {
+        "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads, "head_dim": cfg.head_dim,
+        "rms_norm_eps": cfg.rms_norm_eps, "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "bos_token_id": cfg.bos_token_id,
+        "eos_token_id": list(cfg.eos_token_ids),
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+    return tmp_path
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = helpers.tiny_cfg()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_safetensors_roundtrip(tmp_path):
+    tensors = {
+        "a": np.arange(24, dtype=np.float32).reshape(4, 6),
+        "b": np.ones((3, 2), dtype=ml_dtypes.bfloat16),
+        "c": np.array([[-1, 2], [3, -4]], dtype=np.int8),
+    }
+    loader.write_safetensors(str(tmp_path / "x.safetensors"), tensors)
+    back = loader.read_safetensors(str(tmp_path / "x.safetensors"))
+    assert set(back) == set(tensors)
+    for k in tensors:
+        assert back[k].dtype == tensors[k].dtype
+        np.testing.assert_array_equal(np.asarray(back[k]), tensors[k])
+
+
+@pytest.mark.parametrize("sharded", [False, True])
+def test_load_model_dir_matches_source(tmp_path, tiny_setup, sharded):
+    cfg, params = tiny_setup
+    d = _write_hf_dir(tmp_path, cfg, params, sharded=sharded)
+    cfg2, params2, tok = loader.load_model_dir(str(d), dtype=jnp.float32)
+    assert tok is None
+    assert cfg2.hidden_size == cfg.hidden_size
+    assert cfg2.num_layers == cfg.num_layers
+
+    tokens = jnp.array([[3, 17, 42, 9]], dtype=jnp.int32)
+    a = llama.forward(params, cfg, tokens)
+    b = llama.forward(params2, cfg2, tokens)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_load_quantized(tmp_path, tiny_setup):
+    cfg, params = tiny_setup
+    d = _write_hf_dir(tmp_path, cfg, params)
+    cfg2, qparams, _ = loader.load_model_dir(str(d), quant_bits=8,
+                                             dtype=jnp.float32)
+    assert isinstance(qparams["blocks"]["wq"], QTensor)
+    assert qparams["blocks"]["wq"].q.shape[0] == cfg.num_layers
+    # norms stay full precision
+    assert not isinstance(qparams["blocks"]["attn_norm"], QTensor)
+
+    tokens = jnp.array([[3, 17, 42, 9]], dtype=jnp.int32)
+    a = llama.forward(params, cfg, tokens)
+    b = llama.forward(qparams, cfg2, tokens)
+    # int8 per-channel should track the fp logits closely on a tiny model
+    assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 0.2
