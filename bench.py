@@ -1,0 +1,193 @@
+"""Benchmark harness: output tokens/sec/chip for Llama-3 decode.
+
+Run on the real TPU (default platform). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N, ...}
+
+The reference publishes no numbers (BASELINE.md: its ML core is a stub), so
+`vs_baseline` reports fraction of the HBM-bandwidth speed-of-light for this
+chip/model/batch — the honest denominator for a bandwidth-bound decode:
+  SOL step time = (weight bytes + KV bytes touched) / HBM bandwidth.
+
+Timing notes: under the axon tunnel jax.block_until_ready is a no-op and a
+host round-trip costs ~0.5 s, so every timed region ends with a 4-byte fetch
+and is sized to run for seconds (tunnel noise amortized + subtracted).
+
+Usage:
+  python bench.py                    # Llama-3.2-1B INT8 (BASELINE config 2)
+  python bench.py --config bf16_1b   # config 1 (BF16)
+  python bench.py --config int4_3b   # config 3 shapes (INT4 + INT8 KV)
+  python bench.py --batch 16 --context 1024 --json-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gabby_tpu import config as cfglib
+from gabby_tpu.models import llama
+from gabby_tpu.ops import quant
+from gabby_tpu.runtime import generate
+from gabby_tpu.runtime.kv_cache import create_cache
+
+# HBM GB/s per chip by device kind substring.
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v5p": 2765.0,
+            "TPU v4": 1228.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0}
+
+CONFIGS = {
+    "int8_1b": dict(preset=cfglib.llama32_1b, bits=8, kv_quant=False),
+    "bf16_1b": dict(preset=cfglib.llama32_1b, bits=None, kv_quant=False),
+    "int4_1b": dict(preset=cfglib.llama32_1b, bits=4, kv_quant=True),
+    "int4_3b": dict(preset=cfglib.llama32_3b, bits=4, kv_quant=True),
+    "tiny": dict(preset=cfglib.tiny, bits=None, kv_quant=False),
+}
+
+_SYNC = None
+
+
+def sync(x) -> None:
+    """Force completion: fetch 4 bytes of x back to the host."""
+    global _SYNC
+    if _SYNC is None:
+        _SYNC = jax.jit(lambda v: jnp.reshape(v, (-1,))[:1])
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(_SYNC(leaf)))
+
+
+def roundtrip_s() -> float:
+    c = jnp.ones((1,), jnp.float32)
+    sync(c)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(c)
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def _device_hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_GBPS.items():
+        if k.lower() in kind.lower():
+            return v
+    return 819.0
+
+
+def _tree_bytes(tree) -> int:
+    return sum(x.nbytes for x in jax.tree.leaves(tree))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="int8_1b", choices=sorted(CONFIGS))
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--context", type=int, default=1024,
+                   help="KV depth per slot when measuring decode")
+    p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=64,
+                   help="decode steps fused per device call")
+    p.add_argument("--min-time", type=float, default=4.0,
+                   help="seconds each timed region must cover")
+    p.add_argument("--prefill-len", type=int, default=512)
+    p.add_argument("--json-only", action="store_true")
+    args = p.parse_args()
+
+    spec = CONFIGS[args.config]
+    cfg = spec["preset"](max_seq_len=args.max_seq)
+    log = (lambda *a: None) if args.json_only else (
+        lambda *a: print(*a, file=sys.stderr, flush=True))
+
+    log(f"devices: {jax.devices()}")
+    log(f"building {args.config}: ~{cfg.num_params()/1e9:.2f}B params")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if spec["bits"]:
+        params = quant.quantize_tree(params, spec["bits"])
+        params = jax.tree.map(jax.device_put, params)
+    cache = create_cache(cfg, args.batch, args.max_seq,
+                         dtype=jnp.bfloat16, quantized=spec["kv_quant"])
+    weight_bytes = _tree_bytes(params)
+    rt = roundtrip_s()
+    log(f"weights: {weight_bytes/1e9:.2f} GB; tunnel roundtrip {rt*1e3:.0f} ms")
+
+    # ---- prefill (TTFT) ----
+    b = args.batch
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (b, args.prefill_len),
+                                0, cfg.vocab_size, jnp.int32)
+    last_logits, cache = generate.prefill_chunk(params, cfg, prompt, cache, 0)
+    sync(last_logits)  # compile
+    n_prefill = 8
+    t0 = time.perf_counter()
+    for _ in range(n_prefill):
+        last_logits, cache = generate.prefill_chunk(params, cfg, prompt, cache, 0)
+    sync(last_logits)
+    ttft = (time.perf_counter() - t0 - rt) / n_prefill
+    log(f"prefill({b}x{args.prefill_len}): {ttft*1e3:.1f} ms "
+        f"({b*args.prefill_len/ttft:.0f} tok/s)")
+
+    # ---- decode throughput at `context` depth ----
+    sstate = generate.SamplingState.greedy(b)
+    tokens = jnp.full((b,), 17, jnp.int32)
+    positions = jnp.full((b,), args.context, jnp.int32)
+    active = jnp.ones((b,), bool)
+
+    def run(cache, sstate):
+        out, _, _, _, _, cache, sstate = generate.decode_loop(
+            params, cfg, tokens, positions, active, cache, sstate, args.steps)
+        return out, cache, sstate
+
+    out, cache, sstate = run(cache, sstate)
+    sync(out)  # compile
+    # calibrate iteration count to cover min-time
+    t0 = time.perf_counter()
+    out, cache, sstate = run(cache, sstate)
+    sync(out)
+    once = max(time.perf_counter() - t0 - rt, 1e-3)
+    iters = max(3, int(args.min_time / once) + 1)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, cache, sstate = run(cache, sstate)
+    sync(out)
+    dt = time.perf_counter() - t0 - rt
+    steps = args.steps * iters
+    tok_per_s = b * steps / dt
+    step_ms = dt / steps * 1e3
+
+    # ---- speed-of-light ----
+    kv_bytes_per_tok_layer = 2 * cfg.num_kv_heads * cfg.head_dim * (
+        1 if spec["kv_quant"] else 2) + (8 if spec["kv_quant"] else 0)
+    kv_read = b * args.context * cfg.num_layers * kv_bytes_per_tok_layer
+    sol_step = (weight_bytes + kv_read) / (_device_hbm_gbps() * 1e9)
+    sol_tok_per_s = b / sol_step
+    log(f"decode: {step_ms:.2f} ms/step over {steps} steps, "
+        f"{tok_per_s:.0f} tok/s (SOL {sol_tok_per_s:.0f}, "
+        f"{tok_per_s/sol_tok_per_s*100:.0f}%)")
+
+    print(json.dumps({
+        "metric": f"decode throughput {args.config} "
+                  f"(batch={b}, ctx={args.context})",
+        "value": round(tok_per_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tok_per_s / sol_tok_per_s, 3),
+        "detail": {
+            "step_ms": round(step_ms, 3),
+            "ttft_ms": round(ttft * 1e3, 1),
+            "prefill_tok_s": round(b * args.prefill_len / ttft, 0),
+            "sol_tok_s": round(sol_tok_per_s, 0),
+            "weight_gb": round(weight_bytes / 1e9, 3),
+            "device": jax.devices()[0].device_kind,
+            "note": "vs_baseline = fraction of HBM speed-of-light "
+                    "(reference publishes no numbers, see BASELINE.md)",
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

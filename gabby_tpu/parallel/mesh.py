@@ -1,0 +1,58 @@
+"""Device mesh construction.
+
+The reference has no distributed anything (SURVEY.md §2b: no second process,
+no device code). Here scale-out is XLA-native: one Mesh with ("data",
+"model") axes; tensor parallelism rides the "model" axis over ICI, request
+throughput rides "data". Multi-host serving uses the same mesh spanning a
+pod slice via jax.distributed (multi-controller), with the HTTP front door
+on host 0 broadcasting requests (see runtime/engine.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+AXES = ("data", "model")
+
+
+def make_mesh(dp: int = 1, tp: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """dp x tp mesh over the given (default: all) devices.
+
+    tp defaults to len(devices) // dp. The "model" axis is placed innermost
+    so tensor-parallel collectives ride the fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if tp is None:
+        tp = len(devices) // dp
+    assert dp * tp == len(devices), (
+        f"dp*tp = {dp}*{tp} != {len(devices)} devices")
+    try:
+        dev_array = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+    except (ValueError, AssertionError):
+        dev_array = np.array(devices).reshape(dp, tp)
+    return Mesh(dev_array, AXES)
+
+
+def local_mesh() -> Mesh:
+    """1x1 mesh on the first device — lets single-chip code share the
+    sharded code path (specs all collapse to replicated)."""
+    return make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """jax.distributed bring-up for multi-host pod slices. No-op if already
+    initialized or if running single-process."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process

@@ -1,0 +1,98 @@
+"""Mesh/sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gabby_tpu import config as cfglib
+from gabby_tpu.models import llama
+from gabby_tpu.ops import quant, sampling
+from gabby_tpu.parallel import (cache_shardings, make_mesh, param_shardings,
+                                shard_params)
+from gabby_tpu.runtime.kv_cache import create_cache
+
+
+def mesh_cfg(**kw):
+    return cfglib.tiny(num_heads=8, num_kv_heads=4, head_dim=8,
+                       hidden_size=64, intermediate_size=128, **kw)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    cfg = mesh_cfg()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_param_shardings_cover_tree(setup):
+    cfg, params = setup
+    mesh = make_mesh(dp=2, tp=4)
+    sh = param_shardings(params, mesh)
+    flat_p = jax.tree.leaves(params)
+    flat_s = jax.tree.leaves(sh)
+    assert len(flat_p) == len(flat_s)
+    assert all(isinstance(s, NamedSharding) for s in flat_s)
+
+
+@pytest.mark.parametrize("quant_bits", [None, 8, 4])
+def test_sharded_decode_matches_single_device(setup, quant_bits):
+    cfg, params = setup
+    if quant_bits:
+        params = quant.quantize_tree(params, quant_bits)
+    b = 4
+    prompt = jnp.tile(jnp.array([[3, 17, 42, 9, 101, 7]], jnp.int32), (b, 1))
+
+    # single-device golden
+    cache0 = create_cache(cfg, b, 16, dtype=jnp.float32)
+    _, cache0 = llama.prefill(params, cfg, prompt, cache0)
+    gold, _ = llama.decode_step(params, cfg,
+                                jnp.full((b,), 5, jnp.int32),
+                                jnp.full((b,), 6, jnp.int32), cache0)
+
+    # sharded: dp=2 x tp=4
+    mesh = make_mesh(dp=2, tp=4)
+    sparams = shard_params(params, mesh)
+    cache = jax.device_put(create_cache(cfg, b, 16, dtype=jnp.float32),
+                           cache_shardings(mesh, quantized=False))
+
+    @jax.jit
+    def step(params, tokens, positions, cache):
+        return llama.decode_step(params, cfg, tokens, positions, cache)
+
+    _, cache = jax.jit(
+        lambda p, t, c: llama.prefill(p, cfg, t, c))(sparams, prompt, cache)
+    out, _ = step(sparams,
+                  jnp.full((b,), 5, jnp.int32),
+                  jnp.full((b,), 6, jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_sharded_weights_actually_distributed(setup):
+    cfg, params = setup
+    mesh = make_mesh(dp=1, tp=8)
+    sparams = shard_params(params, mesh)
+    wq = sparams["blocks"]["wq"]
+    # each device holds 1/8 of the output dim
+    shard = wq.addressable_shards[0]
+    assert shard.data.shape == (cfg.num_layers, cfg.hidden_size, cfg.q_dim // 8)
+    embed = sparams["embed"]
+    assert embed.addressable_shards[0].data.shape == (cfg.vocab_size // 8,
+                                                      cfg.hidden_size)
+
+
+def test_sampling_under_mesh(setup):
+    cfg, _ = setup
+    mesh = make_mesh(dp=2, tp=4)
+    logits = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (4, cfg.vocab_size)),
+        NamedSharding(mesh, P("data", None)))
+    toks = jax.jit(lambda l: sampling.sample(
+        l, jax.random.PRNGKey(2),
+        temperature=jnp.zeros(4), top_k=jnp.zeros(4, jnp.int32),
+        top_p=jnp.ones(4)))(logits)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.argmax(np.asarray(logits), -1))
