@@ -1,0 +1,177 @@
+#include "bridge/c_api.h"
+
+#include <memory>
+#include <sstream>
+#include <string>
+
+#include "json/parser.h"
+#include "service/service.h"
+#include "utils/logging.h"
+
+namespace {
+
+thread_local std::string g_last_error;
+
+using gabby::GenChunk;
+using gabby::GenRequest;
+using gabby::json::Value;
+using gabby::json::ValuePtr;
+
+// Adapts the C callback to the C++ Generator seam.
+class CallbackGenerator : public gabby::Generator {
+   public:
+    CallbackGenerator(gabby_generate_fn generate, void* user_data,
+                      std::string model_id)
+        : generate_(generate),
+          user_data_(user_data),
+          model_id_(std::move(model_id)) {}
+
+    std::string model_id() const override { return model_id_; }
+
+    void Generate(const GenRequest& req,
+                  const std::function<void(const GenChunk&)>& emit) override {
+        std::string request_json = Serialize(req);
+
+        struct EmitCtx {
+            const std::function<void(const GenChunk&)>* emit;
+            std::string error;
+            bool aborted = false;
+        } ctx{&emit, {}, false};
+
+        auto emit_tramp = [](void* vctx, const char* chunk_json,
+                             size_t len) -> int {
+            auto* c = static_cast<EmitCtx*>(vctx);
+            try {
+                ValuePtr v = gabby::json::Parse(std::string(chunk_json, len));
+                const auto& obj = v->as_object();
+                if (auto it = obj.find("error"); it != obj.end()) {
+                    c->error = it->second->as_string();
+                    return 0;
+                }
+                GenChunk chunk;
+                if (auto it = obj.find("delta"); it != obj.end()) {
+                    chunk.delta = it->second->as_string();
+                }
+                if (auto it = obj.find("done"); it != obj.end()) {
+                    chunk.done = it->second->as_boolean();
+                }
+                if (chunk.done) {
+                    if (auto it = obj.find("finish_reason"); it != obj.end()) {
+                        chunk.finish_reason = it->second->as_string();
+                    }
+                    if (auto it = obj.find("prompt_tokens"); it != obj.end()) {
+                        chunk.prompt_tokens =
+                            static_cast<int>(it->second->as_number());
+                    }
+                    if (auto it = obj.find("completion_tokens");
+                        it != obj.end()) {
+                        chunk.completion_tokens =
+                            static_cast<int>(it->second->as_number());
+                    }
+                }
+                (*c->emit)(chunk);
+                return 0;
+            } catch (const std::exception& e) {
+                c->error = e.what();
+                c->aborted = true;
+                return 1;  // stop the engine: we can't deliver its output
+            }
+        };
+
+        int rc = generate_(user_data_, request_json.data(),
+                           request_json.size(), &ctx, emit_tramp);
+        if (!ctx.error.empty()) {
+            throw gabby::http::InternalError(ctx.error);
+        }
+        if (rc != 0) {
+            throw gabby::http::InternalError("engine error (rc=" +
+                                             std::to_string(rc) + ")");
+        }
+    }
+
+   private:
+    static std::string Serialize(const GenRequest& req) {
+        std::vector<ValuePtr> msgs;
+        for (const auto& m : req.messages) {
+            msgs.push_back(Value::object({
+                {"role", Value::string(m.role)},
+                {"content", Value::string(m.content)},
+            }));
+        }
+        auto v = Value::object({
+            {"messages", Value::array(std::move(msgs))},
+            {"model", Value::string(req.model)},
+            {"temperature", Value::number(req.temperature)},
+            {"top_p", Value::number(req.top_p)},
+            {"top_k", Value::number(req.top_k)},
+            {"max_tokens", Value::number(req.max_tokens)},
+            {"stream", Value::boolean(req.stream)},
+        });
+        return gabby::json::to_string(*v);
+    }
+
+    gabby_generate_fn generate_;
+    void* user_data_;
+    std::string model_id_;
+};
+
+}  // namespace
+
+struct GabbyServer {
+    std::unique_ptr<gabby::InferenceService> service;
+};
+
+extern "C" {
+
+GabbyServer* gabby_server_create(const GabbyServerConfig* config,
+                                 gabby_generate_fn generate, void* user_data,
+                                 const char* model_id) {
+    try {
+        gabby::ServiceConfig sc;
+        sc.server.port = config->port;
+        if (config->read_timeout_millis > 0) {
+            sc.server.read_timeout_millis = config->read_timeout_millis;
+        }
+        if (config->write_timeout_millis > 0) {
+            sc.server.write_timeout_millis = config->write_timeout_millis;
+        }
+        if (config->workers > 0) sc.server.workers = config->workers;
+        if (config->max_queue > 0) sc.server.max_queue = config->max_queue;
+        gabby::SetGlobalLogLevel(
+            static_cast<gabby::LogLevel>(config->log_level));
+
+        auto gen = std::make_shared<CallbackGenerator>(
+            generate, user_data, model_id ? model_id : "gabby-tpu");
+        auto* server = new GabbyServer;
+        server->service =
+            std::make_unique<gabby::InferenceService>(sc, std::move(gen));
+        return server;
+    } catch (const std::exception& e) {
+        g_last_error = e.what();
+        return nullptr;
+    }
+}
+
+int gabby_server_start(GabbyServer* server) {
+    try {
+        server->service->Start();
+        return server->service->port();
+    } catch (const std::exception& e) {
+        g_last_error = e.what();
+        return -1;
+    }
+}
+
+int gabby_server_port(const GabbyServer* server) {
+    return server->service->port();
+}
+
+void gabby_server_stop(GabbyServer* server) { server->service->Stop(); }
+
+void gabby_server_wait(GabbyServer* server) { server->service->Wait(); }
+
+void gabby_server_destroy(GabbyServer* server) { delete server; }
+
+const char* gabby_last_error(void) { return g_last_error.c_str(); }
+
+}  // extern "C"

@@ -1,0 +1,263 @@
+#include "service/service.h"
+
+#include <chrono>
+#include <sstream>
+
+#include "http/router.h"
+#include "json/parser.h"
+#include "utils/logging.h"
+
+namespace gabby {
+namespace {
+
+using http::BadRequestException;
+using http::MethodNotAllowedException;
+using json::Value;
+using json::ValuePtr;
+
+int64_t NowEpochSecs() {
+    return std::chrono::duration_cast<std::chrono::seconds>(
+               std::chrono::system_clock::now().time_since_epoch())
+        .count();
+}
+
+ValuePtr MakeResponse(const std::string& id, const std::string& model,
+                      const std::string& content,
+                      const std::string& finish_reason, int prompt_tokens,
+                      int completion_tokens) {
+    auto message = Value::object({
+        {"role", Value::string("assistant")},
+        {"content", Value::string(content)},
+    });
+    auto choice = Value::object({
+        {"index", Value::number(0)},
+        {"message", message},
+        {"logprobs", Value::nil()},
+        {"finish_reason", Value::string(finish_reason)},
+    });
+    auto usage = Value::object({
+        {"prompt_tokens", Value::number(prompt_tokens)},
+        {"completion_tokens", Value::number(completion_tokens)},
+        {"total_tokens", Value::number(prompt_tokens + completion_tokens)},
+    });
+    return Value::object({
+        {"id", Value::string(id)},
+        {"object", Value::string("chat.completion")},
+        {"created", Value::number(static_cast<double>(NowEpochSecs()))},
+        {"model", Value::string(model)},
+        {"choices", Value::array({choice})},
+        {"usage", usage},
+    });
+}
+
+ValuePtr MakeStreamChunk(const std::string& id, const std::string& model,
+                         const std::string& delta, bool done,
+                         const std::string& finish_reason) {
+    std::map<std::string, ValuePtr> delta_fields;
+    if (!done) {
+        delta_fields["content"] = Value::string(delta);
+    }
+    auto choice = Value::object({
+        {"index", Value::number(0)},
+        {"delta", Value::object(std::move(delta_fields))},
+        {"finish_reason",
+         done ? Value::string(finish_reason) : Value::nil()},
+    });
+    return Value::object({
+        {"id", Value::string(id)},
+        {"object", Value::string("chat.completion.chunk")},
+        {"created", Value::number(static_cast<double>(NowEpochSecs()))},
+        {"model", Value::string(model)},
+        {"choices", Value::array({choice})},
+    });
+}
+
+}  // namespace
+
+GenRequest ExtractRequest(const Value& body) {
+    const auto& obj = body.as_object();
+    GenRequest out;
+
+    auto messages = obj.find("messages");
+    if (messages == obj.end()) {
+        throw BadRequestException("missing 'messages'");
+    }
+    const auto& arr = messages->second->as_array();
+    if (arr.empty()) throw BadRequestException("'messages' is empty");
+    for (const auto& m : arr) {
+        const auto& mo = m->as_object();
+        auto role = mo.find("role");
+        auto content = mo.find("content");
+        if (role == mo.end() || content == mo.end()) {
+            throw BadRequestException("message needs 'role' and 'content'");
+        }
+        const std::string& r = role->second->as_string();
+        if (r != "system" && r != "user" && r != "assistant") {
+            throw BadRequestException("unsupported role: " + r);
+        }
+        out.messages.push_back({r, content->second->as_string()});
+    }
+    if (out.messages.back().role != "user") {
+        throw BadRequestException("last message must be from 'user'");
+    }
+
+    auto num = [&](const char* key, double lo, double hi) -> double {
+        auto it = obj.find(key);
+        if (it == obj.end() || it->second->is(json::Type::NIL)) return -1;
+        double v = it->second->as_number();
+        if (v < lo || v > hi) {
+            throw BadRequestException(std::string("'") + key +
+                                      "' out of range");
+        }
+        return v;
+    };
+    if (auto it = obj.find("model"); it != obj.end()) {
+        out.model = it->second->as_string();
+    }
+    out.temperature = num("temperature", 0.0, 2.0);
+    out.top_p = num("top_p", 0.0, 1.0);
+    out.top_k = static_cast<int>(num("top_k", 0, 1e9));
+    out.max_tokens = static_cast<int>(num("max_tokens", 1, 1e9));
+    if (auto it = obj.find("stream"); it != obj.end()) {
+        out.stream = it->second->as_boolean();
+    }
+    return out;
+}
+
+InferenceService::InferenceService(const ServiceConfig& config,
+                                   std::shared_ptr<Generator> generator)
+    : server_(config.server), generator_(std::move(generator)) {}
+
+void InferenceService::Start() {
+    auto handler =
+        http::Router::Builder()
+            .route("/healthz", [this](http::Request& req,
+                                      http::ResponseWriter& resp) {
+                HealthCheck(req, resp);
+            })
+            .route("/statusz", [this](http::Request& req,
+                                      http::ResponseWriter& resp) {
+                Statusz(req, resp);
+            })
+            .route("/v1/models", [this](http::Request& req,
+                                        http::ResponseWriter& resp) {
+                Models(req, resp);
+            })
+            .route("/v1/chat/completions",
+                   [this](http::Request& req, http::ResponseWriter& resp) {
+                       ChatCompletions(req, resp);
+                   })
+            .build();
+    server_.Start(std::move(handler));
+}
+
+void InferenceService::Wait() { server_.Wait(); }
+void InferenceService::Stop() { server_.Stop(); }
+
+void InferenceService::HealthCheck(http::Request&, http::ResponseWriter& resp) {
+    resp.WriteStatus(http::StatusCode::OK);
+    resp.WriteHeader("Content-Type", "application/json");
+    resp.WriteData("{\"status\":\"ok\"}");
+}
+
+void InferenceService::Statusz(http::Request&, http::ResponseWriter& resp) {
+    uint64_t reqs = metrics_.requests.load();
+    uint64_t ctoks = metrics_.completion_tokens.load();
+    uint64_t micros = metrics_.gen_micros.load();
+    auto status = Value::object({
+        {"model", Value::string(generator_->model_id())},
+        {"requests", Value::number(static_cast<double>(reqs))},
+        {"failures",
+         Value::number(static_cast<double>(metrics_.failures.load()))},
+        {"prompt_tokens",
+         Value::number(static_cast<double>(metrics_.prompt_tokens.load()))},
+        {"completion_tokens", Value::number(static_cast<double>(ctoks))},
+        {"generate_seconds", Value::number(micros / 1e6)},
+        {"tokens_per_sec",
+         Value::number(micros > 0 ? ctoks * 1e6 / micros : 0.0)},
+    });
+    resp.WriteStatus(http::StatusCode::OK);
+    resp.WriteHeader("Content-Type", "application/json");
+    resp.WriteData(json::to_string(*status));
+}
+
+void InferenceService::Models(http::Request&, http::ResponseWriter& resp) {
+    auto model = Value::object({
+        {"id", Value::string(generator_->model_id())},
+        {"object", Value::string("model")},
+        {"owned_by", Value::string("gabby-tpu")},
+    });
+    auto out = Value::object({
+        {"object", Value::string("list")},
+        {"data", Value::array({model})},
+    });
+    resp.WriteStatus(http::StatusCode::OK);
+    resp.WriteHeader("Content-Type", "application/json");
+    resp.WriteData(json::to_string(*out));
+}
+
+void InferenceService::ChatCompletions(http::Request& req,
+                                       http::ResponseWriter& resp) {
+    if (req.method != http::Method::POST) {
+        throw MethodNotAllowedException("chat completions requires POST");
+    }
+    size_t content_length = req.ContentLength();
+    // parse the body straight off the socket, bounded by Content-Length
+    ValuePtr body = json::Parse(req.stream, content_length);
+    GenRequest gen_req = ExtractRequest(*body);
+
+    metrics_.requests.fetch_add(1);
+    std::string id = "chatcmpl-" + std::to_string(next_id_.fetch_add(1));
+    std::string model =
+        gen_req.model.empty() ? generator_->model_id() : gen_req.model;
+
+    auto t0 = std::chrono::steady_clock::now();
+    auto record = [&](const GenChunk& c) {
+        metrics_.prompt_tokens.fetch_add(c.prompt_tokens);
+        metrics_.completion_tokens.fetch_add(c.completion_tokens);
+        metrics_.gen_micros.fetch_add(
+            std::chrono::duration_cast<std::chrono::microseconds>(
+                std::chrono::steady_clock::now() - t0)
+                .count());
+    };
+
+    try {
+        if (gen_req.stream) {
+            resp.WriteStatus(http::StatusCode::OK);
+            resp.WriteHeader("Content-Type", "text/event-stream");
+            resp.WriteHeader("Cache-Control", "no-cache");
+            generator_->Generate(gen_req, [&](const GenChunk& c) {
+                if (!c.delta.empty() || !c.done) {
+                    auto chunk = MakeStreamChunk(id, model, c.delta, false, "");
+                    resp.WriteChunk("data: " + json::to_string(*chunk) +
+                                    "\n\n");
+                }
+                if (c.done) {
+                    auto fin =
+                        MakeStreamChunk(id, model, "", true, c.finish_reason);
+                    resp.WriteChunk("data: " + json::to_string(*fin) + "\n\n");
+                    resp.WriteChunk("data: [DONE]\n\n");
+                    record(c);
+                }
+            });
+        } else {
+            std::string content;
+            GenChunk last;
+            generator_->Generate(gen_req, [&](const GenChunk& c) {
+                content += c.delta;
+                if (c.done) last = c;
+            });
+            record(last);
+            auto out = MakeResponse(id, model, content, last.finish_reason,
+                                    last.prompt_tokens, last.completion_tokens);
+            resp.WriteStatus(http::StatusCode::OK);
+            resp.WriteHeader("Content-Type", "application/json");
+            resp.WriteData(json::to_string(*out));
+        }
+    } catch (...) {
+        metrics_.failures.fetch_add(1);
+        throw;
+    }
+}
+
+}  // namespace gabby

@@ -1,0 +1,103 @@
+// InferenceService: OpenAI-compatible serving API over the HTTP runtime.
+//
+// Same capability as /root/reference/src/service.h:19-40 (routes /healthz +
+// /v1/chat/completions, request extraction, OpenAI response envelope, the
+// Generator seam for dependency injection in tests) with the reference's
+// TODOs implemented: SSE streaming (`"stream": true`), /statusz metrics,
+// /v1/models, real token usage accounting (the reference hard-codes a stub
+// envelope, /root/reference/src/service.cc:79-101), and full message-list
+// extraction instead of exactly-one-system+one-user.
+#ifndef GABBY_SERVICE_SERVICE_H_
+#define GABBY_SERVICE_SERVICE_H_
+
+#include <atomic>
+#include <functional>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "http/server.h"
+#include "json/json.h"
+
+namespace gabby {
+
+struct Message {
+    std::string role;
+    std::string content;
+};
+
+// Extracted, validated chat-completion request (protocol-agnostic).
+struct GenRequest {
+    std::vector<Message> messages;
+    std::string model;
+    double temperature = -1;   // <0 = engine default
+    double top_p = -1;
+    int top_k = -1;
+    int max_tokens = -1;
+    bool stream = false;
+};
+
+// One unit of generator output. Non-streaming engines emit a single chunk
+// with done=true and the full text in `delta`.
+struct GenChunk {
+    std::string delta;
+    bool done = false;
+    std::string finish_reason = "stop";  // valid when done
+    int prompt_tokens = 0;               // valid when done
+    int completion_tokens = 0;           // valid when done
+};
+
+// THE engine seam (reference: Generator at
+// /root/reference/src/inference/generator.h:30-34). `emit` may be called
+// multiple times; the final call must have done=true.
+class Generator {
+   public:
+    virtual ~Generator() = default;
+    virtual void Generate(const GenRequest& req,
+                          const std::function<void(const GenChunk&)>& emit) = 0;
+    virtual std::string model_id() const { return "gabby-tpu"; }
+};
+
+struct ServiceMetrics {
+    std::atomic<uint64_t> requests{0};
+    std::atomic<uint64_t> failures{0};
+    std::atomic<uint64_t> prompt_tokens{0};
+    std::atomic<uint64_t> completion_tokens{0};
+    std::atomic<uint64_t> gen_micros{0};   // total time inside Generate
+};
+
+struct ServiceConfig {
+    http::ServerConfig server;
+};
+
+class InferenceService {
+   public:
+    InferenceService(const ServiceConfig& config,
+                     std::shared_ptr<Generator> generator);
+
+    void Start();
+    void Wait();
+    void Stop();
+    int port() const { return server_.port(); }
+    const ServiceMetrics& metrics() const { return metrics_; }
+
+    // Exposed for tests.
+    void ChatCompletions(http::Request& req, http::ResponseWriter& resp);
+    void HealthCheck(http::Request& req, http::ResponseWriter& resp);
+    void Statusz(http::Request& req, http::ResponseWriter& resp);
+    void Models(http::Request& req, http::ResponseWriter& resp);
+
+   private:
+    http::HttpServer server_;
+    std::shared_ptr<Generator> generator_;
+    ServiceMetrics metrics_;
+    std::atomic<uint64_t> next_id_{1};
+};
+
+// Parses + validates a chat-completion body (already-parsed JSON).
+// Throws BadRequestException on protocol violations.
+GenRequest ExtractRequest(const json::Value& body);
+
+}  // namespace gabby
+
+#endif  // GABBY_SERVICE_SERVICE_H_

@@ -1,0 +1,186 @@
+// Service-level integration tests: full HTTP stack with a dependency-
+// injected fake generator — the canonical fake-at-the-Generator-seam
+// pattern from /root/reference/src/service_test.cc:18-57 — plus streaming,
+// statusz, and protocol-violation cases.
+#include "service/service.h"
+
+#include <memory>
+
+#include "http/test_client.h"
+#include "json/parser.h"
+#include "test/test.h"
+
+namespace gabby {
+namespace {
+
+class SimpleGenerator : public Generator {
+   public:
+    void Generate(const GenRequest& req,
+                  const std::function<void(const GenChunk&)>& emit) override {
+        last_request = req;
+        if (req.stream) {
+            for (const std::string& word : {"hello ", "from ", "fake"}) {
+                GenChunk c;
+                c.delta = word;
+                emit(c);
+            }
+        } else {
+            GenChunk c;
+            c.delta = "hello from fake";
+            emit(c);
+        }
+        GenChunk done;
+        done.done = true;
+        done.finish_reason = "stop";
+        done.prompt_tokens = 7;
+        done.completion_tokens = 3;
+        emit(done);
+    }
+    std::string model_id() const override { return "fake-model"; }
+
+    GenRequest last_request;
+};
+
+class TestService {
+   public:
+    TestService() : generator_(std::make_shared<SimpleGenerator>()) {
+        ServiceConfig config;
+        config.server.port = 0;
+        config.server.workers = 2;
+        service_ = std::make_unique<InferenceService>(config, generator_);
+        service_->Start();
+    }
+    ~TestService() {
+        service_->Stop();
+        service_->Wait();
+    }
+    int port() const { return service_->port(); }
+    SimpleGenerator& generator() { return *generator_; }
+
+   private:
+    std::shared_ptr<SimpleGenerator> generator_;
+    std::unique_ptr<InferenceService> service_;
+};
+
+constexpr const char* kChatBody = R"({
+    "model": "m1",
+    "messages": [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"}
+    ],
+    "temperature": 0.5,
+    "max_tokens": 32
+})";
+
+TEST(Service, HealthCheck) {
+    TestService svc;
+    auto [status, body] = http::PostJson(svc.port(), "/healthz", "{}");
+    // note: healthz accepts GET too; PostJson exercises POST routing
+    EXPECT_EQ(status, 200);
+    EXPECT_EQ(body->as_object().at("status")->as_string(), "ok");
+}
+
+TEST(Service, ChatCompletion) {
+    TestService svc;
+    auto [status, body] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         kChatBody);
+    EXPECT_EQ(status, 200);
+    const auto& obj = body->as_object();
+    EXPECT_EQ(obj.at("object")->as_string(), "chat.completion");
+    EXPECT_EQ(obj.at("model")->as_string(), "m1");
+    const auto& choice = obj.at("choices")->as_array().at(0)->as_object();
+    EXPECT_EQ(choice.at("finish_reason")->as_string(), "stop");
+    const auto& msg = choice.at("message")->as_object();
+    EXPECT_EQ(msg.at("role")->as_string(), "assistant");
+    EXPECT_EQ(msg.at("content")->as_string(), "hello from fake");
+    const auto& usage = obj.at("usage")->as_object();
+    EXPECT_EQ(usage.at("prompt_tokens")->as_number(), 7.0);
+    EXPECT_EQ(usage.at("completion_tokens")->as_number(), 3.0);
+    EXPECT_EQ(usage.at("total_tokens")->as_number(), 10.0);
+
+    // the generator saw the extracted request
+    const GenRequest& seen = svc.generator().last_request;
+    EXPECT_EQ(seen.messages.size(), size_t{2});
+    EXPECT_EQ(seen.messages[0].role, "system");
+    EXPECT_EQ(seen.messages[1].content, "hi");
+    EXPECT_FLOAT_EQ(seen.temperature, 0.5, 1e-9);
+    EXPECT_EQ(seen.max_tokens, 32);
+}
+
+TEST(Service, Streaming) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "stream": true})";
+    auto resp = http::Call(svc.port(), "POST", "/v1/chat/completions", body,
+                           {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    EXPECT_EQ(resp.headers["content-type"], "text/event-stream");
+    EXPECT_EQ(resp.headers["transfer-encoding"], "chunked");
+    EXPECT_SUBSTR(resp.body, "chat.completion.chunk");
+    EXPECT_SUBSTR(resp.body, "\"content\":\"hello \"");
+    EXPECT_SUBSTR(resp.body, "\"finish_reason\":\"stop\"");
+    EXPECT_SUBSTR(resp.body, "data: [DONE]");
+}
+
+TEST(Service, ProtocolViolations) {
+    TestService svc;
+    // GET not allowed
+    EXPECT_EQ(http::Call(svc.port(), "GET", "/v1/chat/completions").status,
+              405);
+    // malformed JSON
+    auto [s1, b1] = http::PostJson(svc.port(), "/v1/chat/completions", "{nope");
+    EXPECT_EQ(s1, 400);
+    EXPECT_SUBSTR(json::to_string(*b1), "error");
+    // missing messages
+    auto [s2, _] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                  R"({"model": "m"})");
+    EXPECT_EQ(s2, 400);
+    // last message must be user
+    auto [s3, _2] = http::PostJson(
+        svc.port(), "/v1/chat/completions",
+        R"({"messages": [{"role": "assistant", "content": "x"}]})");
+    EXPECT_EQ(s3, 400);
+    // temperature out of range
+    auto [s4, _3] = http::PostJson(
+        svc.port(), "/v1/chat/completions",
+        R"({"messages": [{"role": "user", "content": "x"}],
+            "temperature": 9.0})");
+    EXPECT_EQ(s4, 400);
+    // unknown route
+    auto [s5, _4] = http::PostJson(svc.port(), "/v2/nope", "{}");
+    EXPECT_EQ(s5, 404);
+}
+
+TEST(Service, StatuszAndModels) {
+    TestService svc;
+    http::PostJson(svc.port(), "/v1/chat/completions", kChatBody);
+    auto resp = http::Call(svc.port(), "GET", "/statusz");
+    EXPECT_EQ(resp.status, 200);
+    auto parsed = json::Parse(resp.body);  // keep the tree alive
+    const auto& obj = parsed->as_object();
+    EXPECT_EQ(obj.at("requests")->as_number(), 1.0);
+    EXPECT_EQ(obj.at("completion_tokens")->as_number(), 3.0);
+    EXPECT_EQ(obj.at("model")->as_string(), "fake-model");
+
+    auto models = http::Call(svc.port(), "GET", "/v1/models");
+    EXPECT_EQ(models.status, 200);
+    auto mparsed = json::Parse(models.body);
+    const auto& mobj = mparsed->as_object();
+    EXPECT_EQ(mobj.at("data")->as_array().at(0)->as_object()
+                  .at("id")->as_string(),
+              "fake-model");
+}
+
+TEST(Service, ExtractRequestDefaults) {
+    auto body = json::Parse(
+        R"({"messages": [{"role": "user", "content": "q"}]})");
+    GenRequest req = ExtractRequest(*body);
+    EXPECT_EQ(req.messages.size(), size_t{1});
+    EXPECT_FLOAT_EQ(req.temperature, -1, 1e-9);
+    EXPECT_FLOAT_EQ(req.top_p, -1, 1e-9);
+    EXPECT_EQ(req.max_tokens, -1);
+    EXPECT_FALSE(req.stream);
+}
+
+}  // namespace
+}  // namespace gabby
