@@ -227,6 +227,92 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     return logits, new_cache
 
 
+def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                 length: jnp.ndarray, slot: jnp.ndarray, offset: jnp.ndarray,
+                 cache: KVCache) -> tuple[jnp.ndarray, KVCache]:
+    """Prefill ONE cache slot with a (padded) chunk of prompt tokens.
+
+    The continuous-batching building block: requests arrive at different
+    times, so each is prefilled individually into its slot while the other
+    slots' state stays put. All of `length`/`slot`/`offset` are TRACED
+    scalars — one compile per chunk-length bucket, no matter which slot or
+    position the chunk lands at (the no-retrace rule, SURVEY.md §7).
+
+    tokens: [T] int32, valid in [:length], padding after.
+    length: scalar int32, number of valid tokens in this chunk.
+    slot: scalar int32, cache row to fill.
+    offset: scalar int32, global position of tokens[0] (chunked prefill).
+    Returns (f32 logits [V] at the LAST VALID token, updated cache).
+
+    Attention reads the full [S_max] cache row with a position mask instead
+    of a dynamic slice — static shapes beat saved FLOPs under XLA here, and
+    it makes quantized-KV behaviour exactly match the decode path (the
+    chunk's own k/v are read back through the cache's quantization).
+    """
+    t = tokens.shape[0]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    positions = offset + jnp.arange(t, dtype=jnp.int32)  # [T]
+    h = jnp.take(params["embed"], tokens[None, :], axis=0)  # [1, T, D]
+    quantized = cache.quantized
+    zero = jnp.zeros((), jnp.int32)
+
+    def body(h, xs):
+        if quantized:
+            blk, kc, vc, ksc, vsc = xs
+        else:
+            blk, kc, vc = xs
+        xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blk, xn, positions[None, :], inv_freq)
+
+        if quantized:
+            k_codes, k_s = quantize_kv(k)
+            v_codes, v_s = quantize_kv(v)
+            kc = jax.lax.dynamic_update_slice(kc, k_codes, (slot, offset, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v_codes, (slot, offset, zero, zero))
+            ksc = jax.lax.dynamic_update_slice(ksc, k_s, (slot, offset, zero))
+            vsc = jax.lax.dynamic_update_slice(vsc, v_s, (slot, offset, zero))
+            row_k = jax.lax.dynamic_index_in_dim(kc, slot, 0, keepdims=True)
+            row_ks = jax.lax.dynamic_index_in_dim(ksc, slot, 0, keepdims=True)
+            kk = dequantize_kv(row_k, row_ks, k.dtype)
+            row_v = jax.lax.dynamic_index_in_dim(vc, slot, 0, keepdims=True)
+            row_vs = jax.lax.dynamic_index_in_dim(vsc, slot, 0, keepdims=True)
+            vv = dequantize_kv(row_v, row_vs, v.dtype)
+            ys = (kc, vc, ksc, vsc)
+        else:
+            kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
+                                              (slot, offset, zero, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
+                                              (slot, offset, zero, zero))
+            kk = jax.lax.dynamic_index_in_dim(kc, slot, 0, keepdims=True).astype(k.dtype)
+            vv = jax.lax.dynamic_index_in_dim(vc, slot, 0, keepdims=True).astype(v.dtype)
+            ys = (kc, vc)
+
+        # causal mask j <= offset + i over the full cache row (q_offset is
+        # traced here; causal_attention's mask math is arithmetic, so that's
+        # fine under jit)
+        attn = causal_attention(q, kk, vv, q_offset=offset)
+        h = h + linear(attn.reshape(1, t, cfg.q_dim), blk["wo"])
+        xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
+        h = h + _mlp(blk, xn2)
+        return h, ys
+
+    if quantized:
+        xs = (params["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    else:
+        xs = (params["blocks"], cache.k, cache.v)
+    h, ys = jax.lax.scan(body, h, xs)
+
+    # unembed only the last valid position (cheap: 1 row, not T)
+    h_last = jax.lax.dynamic_slice(
+        h, (zero, length - 1, zero), (1, 1, cfg.hidden_size))
+    logits = _unembed(params, cfg, h_last)[0, 0]  # [V]
+    if quantized:
+        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
+    else:
+        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
+    return logits, new_cache
+
+
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
     """Cache-free full forward (perplexity eval, golden tests): [B,T] -> [B,T,V] f32."""
     logits, _ = prefill(params, cfg, tokens, None)

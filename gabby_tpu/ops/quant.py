@@ -27,8 +27,15 @@ class QTensor:
     """Quantized 2-D weight of logical shape [in_dim, out_dim].
 
     q: int8. For bits=8, shape [in_dim, out_dim], values in [-127, 127].
-       For bits=4, shape [in_dim // 2, out_dim]; each byte packs rows 2i
-       (low nibble) and 2i+1 (high nibble), values in [-7, 7].
+       For bits=4, shape [in_dim // 2, out_dim]; each byte packs ADJACENT
+       logical rows 2i (low nibble) and 2i+1 (high nibble), values [-7, 7].
+       Adjacent-row packing keeps every tensor-parallel shard of the packed
+       axis expanding to its own contiguous logical rows (a row-sharded
+       contraction axis stays local, no cross-chip gathers). The Pallas
+       fused matmul avoids the in-kernel sublane interleave this layout
+       would imply by de-interleaving the ACTIVATION's lanes instead
+       (tiny [M, K] permute, fused by XLA) and contracting the two nibble
+       planes separately — see ops/pallas/quant_matmul.py.
     scale: f32 [out_dim], per-output-channel.
     """
 
@@ -50,7 +57,8 @@ class QTensor:
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """[in, out] int8 in [-8, 7] -> [in//2, out] packed bytes."""
+    """[in, out] int8 in [-8, 7] -> [in//2, out] packed bytes (byte i holds
+    row 2i in the low nibble, row 2i+1 in the high)."""
     assert q.shape[0] % 2 == 0, "int4 packing needs an even input dim"
     lo = q[0::2].astype(jnp.uint8) & 0xF
     hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4

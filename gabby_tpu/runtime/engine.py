@@ -1,0 +1,321 @@
+"""Continuous-batching inference engine.
+
+The component the reference never built (its Generate returns a canned
+string, /root/reference/src/inference/generator.cc:33-38) and BASELINE.json
+config 3 requires: a slot-based scheduler where requests join and leave a
+fixed-shape decode batch without ever retracing XLA programs.
+
+TPU-shaped design:
+  * One engine thread owns the device loop; HTTP worker threads submit
+    requests into a queue and block on per-request output queues.
+  * The decode batch is a fixed [B] of slots. Slot state on device
+    (tokens/positions/active/cache rows) never changes shape; request
+    churn only flips `active` lanes and rewrites slot rows.
+  * New requests are admitted by per-slot chunked prefill
+    (generate.prefill_slot): chunk lengths come from a fixed bucket ladder,
+    so the whole serving loop compiles a handful of programs total.
+  * Decode runs `steps_per_call` steps fused in one device program
+    (generate.decode_loop); tokens stream back between calls.
+  * max_tokens is enforced host-side by flipping `active` before the next
+    call; EOS is detected on device (no host round-trip per token).
+
+Sampling parameters are per-slot arrays (ops/sampling.py), so a greedy
+request and a top-p request share the same compiled step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gabby_tpu.config import ModelConfig
+from gabby_tpu.runtime import generate
+from gabby_tpu.runtime.kv_cache import create_cache
+from gabby_tpu.tokenizer import ChatFormat, Tokenizer
+
+# chunk-length ladder for slot prefill: smallest bucket >= remaining,
+# repeating the largest for long prompts. Few buckets = few compiles.
+PREFILL_BUCKETS = (16, 64, 256, 512)
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    batch_slots: int = 8
+    max_seq: int = 2048
+    steps_per_call: int = 8
+    default_max_tokens: int = 512
+    default_temperature: float = 0.0   # greedy
+    default_top_k: int = 0
+    default_top_p: float = 1.0
+    kv_quantized: bool = False
+    cache_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_ids: list[int]
+    max_tokens: int
+    temperature: float
+    top_k: int
+    top_p: float
+    # engine pushes (delta_text, finish_reason|None) tuples; a final item
+    # always has finish_reason set. On engine shutdown pushes (None, "abort").
+    out: "queue.Queue[tuple[Optional[str], Optional[str]]]" = dataclasses.field(
+        default_factory=queue.Queue)
+    # filled in when finished
+    completion_tokens: int = 0
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Request
+    emitted_ids: list[int] = dataclasses.field(default_factory=list)
+    emitted_text_len: int = 0
+    prompt_len: int = 0
+
+
+class Engine:
+    """Continuous-batching engine over a fixed slot batch.
+
+    `params` may live on any sharding (TP mesh); the engine only dispatches
+    jitted calls and never inspects weights.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
+                 econfig: EngineConfig = EngineConfig(), *,
+                 cache_shardings=None, stop_ids: Optional[set[int]] = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.chat = ChatFormat(tokenizer)
+        self.ec = econfig
+        b = econfig.batch_slots
+
+        cache = create_cache(cfg, b, econfig.max_seq,
+                             dtype=jnp.dtype(econfig.cache_dtype),
+                             quantized=econfig.kv_quantized)
+        if cache_shardings is not None:
+            cache = jax.device_put(cache, cache_shardings)
+        self._cache = cache
+
+        stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
+        self._eos_ids = jnp.asarray(sorted(stop), jnp.int32)
+
+        # on-device slot state
+        self._tokens = jnp.zeros((b,), jnp.int32)
+        self._positions = jnp.zeros((b,), jnp.int32)
+        self._active = jnp.zeros((b,), bool)
+        self._sstate = generate.SamplingState(
+            temperature=jnp.zeros((b,), jnp.float32),
+            top_k=jnp.zeros((b,), jnp.int32),
+            top_p=jnp.ones((b,), jnp.float32),
+            key=jax.random.PRNGKey(int(time.time() * 1e3) % (2**31)),
+        )
+
+        # host-side mirrors
+        self._slots: list[Optional[_Slot]] = [None] * b
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._wake = threading.Event()
+        self._shutdown = False
+        self._lock = threading.Lock()
+
+        # serving metrics (scraped by /statusz via the bridge)
+        self.stats = {"requests": 0, "completion_tokens": 0,
+                      "prompt_tokens": 0, "decode_steps": 0}
+
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="gabby-engine")
+        self._thread.start()
+
+    # ---- public API ----
+
+    def submit(self, messages: list[dict[str, str]], *,
+               max_tokens: Optional[int] = None,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> Request:
+        """Queue a chat request. Returns the Request whose `out` queue
+        yields (delta_text, finish_reason|None) until a final item."""
+        ec = self.ec
+        prompt_ids = self.chat.prompt_ids(messages)
+        limit = ec.max_seq - 1
+        if len(prompt_ids) > limit:
+            prompt_ids = prompt_ids[-limit:]  # keep the tail (most recent)
+        req = Request(
+            prompt_ids=prompt_ids,
+            max_tokens=max_tokens if max_tokens and max_tokens > 0
+            else ec.default_max_tokens,
+            temperature=temperature if temperature is not None and
+            temperature >= 0 else ec.default_temperature,
+            top_k=top_k if top_k is not None and top_k >= 0 else ec.default_top_k,
+            top_p=top_p if top_p is not None and 0 < top_p <= 1 else ec.default_top_p,
+        )
+        self._queue.put(req)
+        self._wake.set()
+        return req
+
+    def generate_sync(self, messages: list[dict[str, str]],
+                      on_delta: Optional[Callable[[str], None]] = None,
+                      **kw) -> tuple[str, str, int, int]:
+        """Blocking helper: returns (text, finish_reason, prompt_tokens,
+        completion_tokens); calls on_delta per streamed chunk."""
+        req = self.submit(messages, **kw)
+        parts: list[str] = []
+        while True:
+            delta, fin = req.out.get()
+            if delta:
+                parts.append(delta)
+                if on_delta:
+                    on_delta(delta)
+            if fin is not None:
+                return ("".join(parts), fin, len(req.prompt_ids),
+                        req.completion_tokens)
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # ---- engine loop ----
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, s in enumerate(self._slots) if s is None]
+
+    def _admit(self, slot_ix: int, req: Request) -> None:
+        """Prefill req's prompt into `slot_ix` and activate the lane."""
+        ec = self.ec
+        ids = np.asarray(req.prompt_ids, np.int32)
+        n = len(ids)
+        offset = 0
+        logits = None
+        while offset < n:
+            remaining = n - offset
+            bucket = next((bkt for bkt in PREFILL_BUCKETS if bkt >= remaining),
+                          PREFILL_BUCKETS[-1])
+            take = min(bucket, remaining)
+            chunk = np.zeros((bucket,), np.int32)
+            chunk[:take] = ids[offset:offset + take]
+            logits, self._cache = generate.prefill_slot(
+                self.params, self.cfg, jnp.asarray(chunk),
+                jnp.int32(take), jnp.int32(slot_ix), jnp.int32(offset),
+                self._cache)
+            offset += take
+
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        # splice slot scalars on device (tiny arrays; negligible traffic)
+        self._tokens = self._tokens.at[slot_ix].set(first)
+        self._positions = self._positions.at[slot_ix].set(n)
+        self._active = self._active.at[slot_ix].set(True)
+        s = self._sstate
+        self._sstate = dataclasses.replace(
+            s,
+            temperature=s.temperature.at[slot_ix].set(req.temperature),
+            top_k=s.top_k.at[slot_ix].set(req.top_k),
+            top_p=s.top_p.at[slot_ix].set(req.top_p),
+        )
+
+        slot = _Slot(request=req, prompt_len=n)
+        self._slots[slot_ix] = slot
+        self.stats["requests"] += 1
+        self.stats["prompt_tokens"] += n
+        # the first generated token comes from prefill logits (greedy when
+        # temperature==0; sampled lanes resample it inside decode anyway
+        # only for subsequent steps — emit it now)
+        self._emit_token(slot_ix, int(jax.device_get(first)))
+
+    def _emit_token(self, slot_ix: int, token_id: int) -> None:
+        """Append a token to the slot's request; stream decoded delta."""
+        slot = self._slots[slot_ix]
+        if slot is None:
+            return
+        req = slot.request
+        if token_id in self._stop_set:
+            self._finish(slot_ix, "stop")
+            return
+        slot.emitted_ids.append(token_id)
+        req.completion_tokens = len(slot.emitted_ids)
+        text = self.tokenizer.decode(slot.emitted_ids)
+        # hold back the tail if it ends with a replacement char (an
+        # incomplete UTF-8 sequence split across tokens)
+        safe = len(text)
+        while safe > 0 and text[safe - 1] == "�":
+            safe -= 1
+        if safe > slot.emitted_text_len:
+            req.out.put((text[slot.emitted_text_len:safe], None))
+            slot.emitted_text_len = safe
+        if len(slot.emitted_ids) >= req.max_tokens:
+            self._finish(slot_ix, "length")
+
+    def _finish(self, slot_ix: int, reason: str) -> None:
+        slot = self._slots[slot_ix]
+        if slot is None:
+            return
+        # flush any held-back tail
+        text = self.tokenizer.decode(slot.emitted_ids)
+        tail = text[slot.emitted_text_len:]
+        self.stats["completion_tokens"] += len(slot.emitted_ids)
+        slot.request.out.put((tail or None, reason))
+        self._slots[slot_ix] = None
+        self._active = self._active.at[slot_ix].set(False)
+
+    @property
+    def _stop_set(self) -> set[int]:
+        if not hasattr(self, "_stop_set_cache"):
+            self._stop_set_cache = set(
+                int(x) for x in np.asarray(self._eos_ids))
+        return self._stop_set_cache
+
+    def _loop(self) -> None:
+        ec = self.ec
+        while not self._shutdown:
+            # admit as many queued requests as there are free slots
+            admitted = False
+            for slot_ix in self._free_slots():
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._admit(slot_ix, req)
+                    admitted = True
+                except Exception as e:  # defensive: bad request params
+                    req.out.put((None, f"error: {e}"))
+
+            if not any(s is not None for s in self._slots):
+                if not admitted:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+                continue
+
+            # one fused multi-step decode call for the whole batch
+            (out_tokens, out_active, self._tokens, self._positions,
+             self._active, self._cache, self._sstate) = generate.decode_loop(
+                self.params, self.cfg, self._tokens, self._positions,
+                self._active, self._cache, self._sstate, ec.steps_per_call,
+                eos_ids=self._eos_ids)
+            self.stats["decode_steps"] += ec.steps_per_call
+
+            toks = np.asarray(jax.device_get(out_tokens))      # [K, B]
+            emitted = np.asarray(jax.device_get(out_active))   # [K, B]
+            for step in range(toks.shape[0]):
+                for slot_ix in range(toks.shape[1]):
+                    if emitted[step, slot_ix] and self._slots[slot_ix]:
+                        self._emit_token(slot_ix, int(toks[step, slot_ix]))
+
+        # drain on shutdown
+        for slot_ix in range(len(self._slots)):
+            if self._slots[slot_ix] is not None:
+                self._finish(slot_ix, "abort")
+        while True:
+            try:
+                req = self._queue.get_nowait()
+                req.out.put((None, "abort"))
+            except queue.Empty:
+                break

@@ -1,0 +1,175 @@
+"""Serving entry point: `python -m gabby_tpu.server`.
+
+The full product the reference sketches (/root/reference/src/main.cc:109-124
+plus its unchecked TODO list): the C++ HTTP front-end (via gabby_tpu.bridge)
+serving OpenAI chat completions, backed by the continuous-batching JAX
+engine. Flags mirror the reference's (--port, --workers, --model-dir,
+timeouts, log levels) plus engine knobs (quantization, slots, max-seq).
+
+Examples:
+  python -m gabby_tpu.server --model-dir ~/models/llama-3.2-1b --quant 8
+  python -m gabby_tpu.server --preset tiny --random-weights --port 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _build_engine(args):
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.ops import quant
+    from gabby_tpu.runtime.engine import Engine, EngineConfig
+    from gabby_tpu.tokenizer import Tokenizer
+
+    bits = args.quant if args.quant in (4, 8) else None
+
+    if args.model_dir:
+        from gabby_tpu.loader import load_model_dir
+        import os
+        cfg, params, tokenizer = load_model_dir(
+            args.model_dir, dtype=jnp.bfloat16, quant_bits=bits,
+            max_seq_len=args.max_seq)
+    else:
+        preset = getattr(cfglib, args.preset)
+        cfg = preset(max_seq_len=args.max_seq)
+        if not args.random_weights:
+            sys.exit("no --model-dir given: pass --random-weights to serve "
+                     "a randomly initialized model (smoke tests only)")
+        params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                                   dtype=jnp.bfloat16 if args.preset != "tiny"
+                                   else jnp.float32)
+        if bits:
+            params = quant.quantize_tree(params, bits)
+        tokenizer = Tokenizer.byte_fallback(cfg.vocab_size)
+
+    # tensor-parallel sharding over all local devices when asked
+    cache_shardings = None
+    if args.tp > 1:
+        from gabby_tpu.parallel import (cache_shardings as mk_cache_sh,
+                                        make_mesh, shard_params)
+        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[:args.tp])
+        params = shard_params(params, mesh)
+        cache_shardings = mk_cache_sh(mesh, quantized=args.kv_quant)
+
+    econfig = EngineConfig(
+        batch_slots=args.slots,
+        max_seq=args.max_seq,
+        steps_per_call=args.steps_per_call,
+        default_max_tokens=args.max_tokens,
+        kv_quantized=args.kv_quant,
+        cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
+        else "bfloat16",
+    )
+    return Engine(cfg, params, tokenizer, econfig,
+                  cache_shardings=cache_shardings), cfg
+
+
+def make_handler(engine):
+    """Adapts bridge requests to the engine (the Generator seam)."""
+
+    def handler(request: dict, emit) -> None:
+        messages = request["messages"]
+        kw = dict(
+            max_tokens=request.get("max_tokens") or None,
+            temperature=(request["temperature"]
+                         if request.get("temperature", -1) >= 0 else None),
+            top_k=request.get("top_k") if request.get("top_k", -1) >= 0 else None,
+            top_p=(request["top_p"]
+                   if 0 < request.get("top_p", -1) <= 1 else None),
+        )
+        req = engine.submit(messages, **kw)
+        streaming = bool(request.get("stream"))
+        parts: list[str] = []
+        while True:
+            delta, fin = req.out.get()
+            if delta:
+                if streaming:
+                    if not emit({"delta": delta}):
+                        return  # client went away; tokens keep draining
+                else:
+                    parts.append(delta)
+            if fin is not None:
+                if fin.startswith("error"):
+                    emit({"error": fin, "done": True})
+                    return
+                emit({
+                    "delta": "" if streaming else "".join(parts),
+                    "done": True,
+                    "finish_reason": "stop" if fin == "stop" else "length",
+                    "prompt_tokens": len(req.prompt_ids),
+                    "completion_tokens": req.completion_tokens,
+                })
+                return
+
+    return handler
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="gabby_tpu.server")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--read-timeout-millis", type=int, default=60000)
+    p.add_argument("--write-timeout-millis", type=int, default=600000)
+    p.add_argument("--model-dir", default="")
+    p.add_argument("--preset", default="llama32_1b",
+                   choices=["tiny", "llama32_1b", "llama32_3b", "llama3_8b",
+                            "llama3_70b"])
+    p.add_argument("--random-weights", action="store_true",
+                   help="serve random weights (no --model-dir; smoke tests)")
+    p.add_argument("--quant", type=int, default=0, choices=[0, 4, 8],
+                   help="weight-only quantization bits (0 = bf16)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="INT8 KV cache")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over local devices")
+    p.add_argument("--slots", type=int, default=8,
+                   help="continuous-batching decode slots")
+    p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--max-tokens", type=int, default=512,
+                   help="default completion cap")
+    p.add_argument("--steps-per-call", type=int, default=8)
+    p.add_argument("--model-id", default="")
+    p.add_argument("--log-level", type=int, default=3,
+                   help="front-end log level (0 off .. 4 debug)")
+    args = p.parse_args(argv)
+
+    from gabby_tpu.bridge import NativeServer
+
+    engine, cfg = _build_engine(args)
+    model_id = args.model_id or (args.model_dir.rstrip("/").rsplit("/", 1)[-1]
+                                 if args.model_dir else args.preset)
+    server = NativeServer(
+        make_handler(engine), port=args.port, workers=args.workers,
+        model_id=model_id, read_timeout_millis=args.read_timeout_millis,
+        write_timeout_millis=args.write_timeout_millis,
+        log_level=args.log_level)
+    port = server.start()
+    print(f"listening on port {port}", flush=True)
+
+    stop = threading.Event()
+
+    def on_signal(sig, frame):
+        del sig, frame
+        stop.set()
+
+    signal.signal(signal.SIGINT, on_signal)
+    signal.signal(signal.SIGTERM, on_signal)
+    # wait in Python (not in native Wait) so signals are deliverable
+    while not stop.is_set():
+        stop.wait(0.2)
+    server.close()
+    engine.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

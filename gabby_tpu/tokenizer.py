@@ -77,6 +77,23 @@ class Tokenizer:
     # ---- construction ----
 
     @staticmethod
+    def byte_fallback(vocab_size: int) -> "Tokenizer":
+        """A degenerate byte-level tokenizer (no merges) for serving random
+        weights in smoke tests: bytes map to ids 0..255 (mod vocab), and the
+        Llama-3 chat specials take the TOP ids of the vocab so ChatFormat
+        works at any vocab size (incl. the `tiny` preset's 256)."""
+        specials = ["<|begin_of_text|>", "<|end_of_text|>",
+                    "<|start_header_id|>", "<|end_header_id|>",
+                    "<|eot_id|>", "<|eom_id|>"]
+        n_bytes = min(vocab_size - len(specials), 256)
+        assert n_bytes > 0, "vocab too small for byte fallback"
+        b2u = _byte_to_unicode()
+        vocab = {b2u[b]: b for b in range(n_bytes)}
+        added = {t: vocab_size - len(specials) + i
+                 for i, t in enumerate(specials)}
+        return Tokenizer(vocab, [], added)
+
+    @staticmethod
     def from_file(path: str) -> "Tokenizer":
         with open(path, encoding="utf-8") as f:
             return Tokenizer.from_dict(json.load(f))
