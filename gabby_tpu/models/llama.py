@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from gabby_tpu.config import ModelConfig
-from gabby_tpu.ops.attention import cache_attention, causal_attention
+from gabby_tpu.ops.attention import (cache_attention,
+                                     cache_attention_quantized,
+                                     causal_attention)
 from gabby_tpu.ops.linear import linear
 from gabby_tpu.ops.norms import rms_norm
 from gabby_tpu.ops.rope import apply_rope, rope_inv_freq
@@ -118,19 +120,22 @@ def prefill(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
         ys = ()
         if cache is not None:
+            # cache is head-major [B, Nk, S, H]: transpose the chunk once
+            kT = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, H]
+            vT = jnp.swapaxes(v, 1, 2)
             if quantized:
-                k_codes, k_s = quantize_kv(k)
-                v_codes, v_s = quantize_kv(v)
-                kc = jax.lax.dynamic_update_slice(kc, k_codes, (0, offset, 0, 0))
-                vc = jax.lax.dynamic_update_slice(vc, v_codes, (0, offset, 0, 0))
-                ksc = jax.lax.dynamic_update_slice(ksc, k_s, (0, offset, 0))
-                vsc = jax.lax.dynamic_update_slice(vsc, v_s, (0, offset, 0))
+                k_codes, k_s = quantize_kv(kT)  # scales [B, Nk, T]
+                v_codes, v_s = quantize_kv(vT)
+                kc = jax.lax.dynamic_update_slice(kc, k_codes, (0, 0, offset, 0))
+                vc = jax.lax.dynamic_update_slice(vc, v_codes, (0, 0, offset, 0))
+                ksc = jax.lax.dynamic_update_slice(ksc, k_s, (0, 0, offset))
+                vsc = jax.lax.dynamic_update_slice(vsc, v_s, (0, 0, offset))
                 ys = (kc, vc, ksc, vsc)
             else:
-                kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
-                                                  (0, offset, 0, 0))
-                vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
-                                                  (0, offset, 0, 0))
+                kc = jax.lax.dynamic_update_slice(kc, kT.astype(kc.dtype),
+                                                  (0, 0, offset, 0))
+                vc = jax.lax.dynamic_update_slice(vc, vT.astype(vc.dtype),
+                                                  (0, 0, offset, 0))
                 ys = (kc, vc)
 
         if offset == 0:
@@ -138,11 +143,15 @@ def prefill(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             # chunked prefill: attend over everything written so far
             if quantized:
-                kk = dequantize_kv(kc[:, : offset + t], ksc[:, : offset + t], k.dtype)
-                vv = dequantize_kv(vc[:, : offset + t], vsc[:, : offset + t], v.dtype)
+                kk = dequantize_kv(kc[:, :, : offset + t],
+                                   ksc[:, :, : offset + t], k.dtype)
+                vv = dequantize_kv(vc[:, :, : offset + t],
+                                   vsc[:, :, : offset + t], v.dtype)
             else:
-                kk = kc[:, : offset + t].astype(k.dtype)
-                vv = vc[:, : offset + t].astype(v.dtype)
+                kk = kc[:, :, : offset + t].astype(k.dtype)
+                vv = vc[:, :, : offset + t].astype(v.dtype)
+            kk = jnp.swapaxes(kk, 1, 2)  # back to [B, S', Nk, H]
+            vv = jnp.swapaxes(vv, 1, 2)
         attn = causal_attention(q, kk, vv, q_offset=offset)
         h = h + linear(attn.reshape(b, t, cfg.q_dim), blk["wo"])
         xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
@@ -178,10 +187,14 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     Returns (f32 logits [B, V], updated cache).
     """
     b = tokens.shape[0]
+    nk = cfg.num_kv_heads
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     pos2d = positions[:, None]  # [B, 1]
     h = jnp.take(params["embed"], tokens[:, None], axis=0)  # [B, 1, D]
-    batch_ix = jnp.arange(b)
+    # scatter indices for the head-major cache: [B, Nk] broadcast pair
+    bcast_b = jnp.arange(b)[:, None]
+    bcast_h = jnp.arange(nk)[None, :]
+    bcast_p = positions[:, None]
     quantized = cache.quantized
 
     def body(h, xs):
@@ -193,22 +206,24 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = _qkv(cfg, blk, xn, pos2d, inv_freq)
 
         if quantized:
-            k_codes, k_s = quantize_kv(k)
+            k_codes, k_s = quantize_kv(k)  # [B, 1, Nk, H], [B, 1, Nk]
             v_codes, v_s = quantize_kv(v)
-            kc = kc.at[batch_ix, positions].set(k_codes[:, 0])
-            vc = vc.at[batch_ix, positions].set(v_codes[:, 0])
-            ksc = ksc.at[batch_ix, positions].set(k_s[:, 0])
-            vsc = vsc.at[batch_ix, positions].set(v_s[:, 0])
-            kk = dequantize_kv(kc, ksc, k.dtype)
-            vv = dequantize_kv(vc, vsc, v.dtype)
+            kc = kc.at[bcast_b, bcast_h, bcast_p].set(k_codes[:, 0])
+            vc = vc.at[bcast_b, bcast_h, bcast_p].set(v_codes[:, 0])
+            ksc = ksc.at[bcast_b, bcast_h, bcast_p].set(k_s[:, 0])
+            vsc = vsc.at[bcast_b, bcast_h, bcast_p].set(v_s[:, 0])
             ys = (kc, vc, ksc, vsc)
+            # attend straight off the codes: the Pallas kernel folds the
+            # scales in; the jnp fallback dequantizes inside
+            attn = cache_attention_quantized(q, kc, vc, ksc, vsc, positions)
         else:
-            kc = kc.at[batch_ix, positions].set(k[:, 0].astype(kc.dtype))
-            vc = vc.at[batch_ix, positions].set(v[:, 0].astype(vc.dtype))
-            kk, vv = kc.astype(k.dtype), vc.astype(v.dtype)
+            kc = kc.at[bcast_b, bcast_h, bcast_p].set(
+                k[:, 0].astype(kc.dtype))
+            vc = vc.at[bcast_b, bcast_h, bcast_p].set(
+                v[:, 0].astype(vc.dtype))
             ys = (kc, vc)
-
-        attn = cache_attention(q, kk, vv, positions)
+            attn = cache_attention(q, kc.astype(k.dtype),
+                                   vc.astype(v.dtype), positions)
         h = h + linear(attn.reshape(b, 1, cfg.q_dim), blk["wo"])
         xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(blk, xn2)
@@ -263,29 +278,33 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             blk, kc, vc = xs
         xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, blk, xn, positions[None, :], inv_freq)
+        kT = jnp.swapaxes(k, 1, 2)  # [1, Nk, T, H] (head-major cache)
+        vT = jnp.swapaxes(v, 1, 2)
 
         if quantized:
-            k_codes, k_s = quantize_kv(k)
-            v_codes, v_s = quantize_kv(v)
-            kc = jax.lax.dynamic_update_slice(kc, k_codes, (slot, offset, zero, zero))
-            vc = jax.lax.dynamic_update_slice(vc, v_codes, (slot, offset, zero, zero))
-            ksc = jax.lax.dynamic_update_slice(ksc, k_s, (slot, offset, zero))
-            vsc = jax.lax.dynamic_update_slice(vsc, v_s, (slot, offset, zero))
+            k_codes, k_s = quantize_kv(kT)
+            v_codes, v_s = quantize_kv(vT)
+            kc = jax.lax.dynamic_update_slice(kc, k_codes, (slot, zero, offset, zero))
+            vc = jax.lax.dynamic_update_slice(vc, v_codes, (slot, zero, offset, zero))
+            ksc = jax.lax.dynamic_update_slice(ksc, k_s, (slot, zero, offset))
+            vsc = jax.lax.dynamic_update_slice(vsc, v_s, (slot, zero, offset))
             row_k = jax.lax.dynamic_index_in_dim(kc, slot, 0, keepdims=True)
             row_ks = jax.lax.dynamic_index_in_dim(ksc, slot, 0, keepdims=True)
-            kk = dequantize_kv(row_k, row_ks, k.dtype)
+            kk = dequantize_kv(row_k, row_ks, k.dtype)  # [1, Nk, S, H]
             row_v = jax.lax.dynamic_index_in_dim(vc, slot, 0, keepdims=True)
             row_vs = jax.lax.dynamic_index_in_dim(vsc, slot, 0, keepdims=True)
             vv = dequantize_kv(row_v, row_vs, v.dtype)
             ys = (kc, vc, ksc, vsc)
         else:
-            kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
-                                              (slot, offset, zero, zero))
-            vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
-                                              (slot, offset, zero, zero))
+            kc = jax.lax.dynamic_update_slice(kc, kT.astype(kc.dtype),
+                                              (slot, zero, offset, zero))
+            vc = jax.lax.dynamic_update_slice(vc, vT.astype(vc.dtype),
+                                              (slot, zero, offset, zero))
             kk = jax.lax.dynamic_index_in_dim(kc, slot, 0, keepdims=True).astype(k.dtype)
             vv = jax.lax.dynamic_index_in_dim(vc, slot, 0, keepdims=True).astype(v.dtype)
             ys = (kc, vc)
+        kk = jnp.swapaxes(kk, 1, 2)  # [1, S, Nk, H] for causal attention
+        vv = jnp.swapaxes(vv, 1, 2)
 
         # causal mask j <= offset + i over the full cache row (q_offset is
         # traced here; causal_attention's mask math is arithmetic, so that's

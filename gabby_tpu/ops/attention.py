@@ -65,18 +65,52 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                     positions: jnp.ndarray,
                     *, scale: Optional[float] = None) -> jnp.ndarray:
-    """Decode attention against a fixed-shape cache.
+    """Decode attention against a fixed-shape, HEAD-MAJOR cache.
 
     q: [B, 1, Nq, H] — the current token's queries, at position positions[b].
-    k_cache, v_cache: [B, S_max, Nk, H]; entries 0..positions[b] are valid
-    (the current token's k/v must already be written at positions[b]).
-    positions: [B] int32. Output: [B, 1, Nq, H], dtype of q.
+    k_cache, v_cache: [B, Nk, S_max, H] (runtime/kv_cache.KVCache layout);
+    entries 0..positions[b] are valid (the current token's k/v must already
+    be written at positions[b]). positions: [B] int32.
+    Output: [B, 1, Nq, H], dtype of q.
+
+    Dispatches to the Pallas decode kernel when enabled (one HBM pass over
+    each contiguous (slot, kv head) [S, H] plane); this jnp body is the
+    contract it is tested against.
     """
     b, t, nq, h = q.shape
-    s = k_cache.shape[1]
+    nk = k_cache.shape[1]
+    from gabby_tpu.ops import pallas as pk
+    if t == 1 and pk.kernels_enabled() and nq % nk == 0:
+        from gabby_tpu.ops.pallas import attention as pattn
+        return pattn.decode_attention(q, k_cache, v_cache, positions,
+                                      scale=scale)
+    s = k_cache.shape[2]
     if scale is None:
         scale = h ** -0.5
     mask = jnp.arange(s)[None, None, :] <= positions[:, None, None]  # [B,1,S]
-    out = _gqa_core(_split_groups(q, k_cache.shape[2]), k_cache, v_cache,
-                    mask, scale)
+    out = _gqa_core(_split_groups(q, nk), jnp.swapaxes(k_cache, 1, 2),
+                    jnp.swapaxes(v_cache, 1, 2), mask, scale)
     return out.astype(q.dtype)
+
+
+def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
+                              v_codes: jnp.ndarray, k_scale: jnp.ndarray,
+                              v_scale: jnp.ndarray, positions: jnp.ndarray,
+                              *, scale: Optional[float] = None) -> jnp.ndarray:
+    """Decode attention straight off an INT8, head-major KV cache.
+
+    k/v_codes: [B, Nk, S, H] int8; k/v_scale: [B, Nk, S] f32 (per-token,
+    per-kv-head symmetric scales; runtime/kv_cache.quantize_kv). The Pallas
+    kernel folds the scales into scores/probabilities so no dequantized
+    cache plane ever hits memory; this jnp fallback dequantizes explicitly
+    (same numerics, more HBM traffic)."""
+    from gabby_tpu.ops import pallas as pk
+    if (q.shape[1] == 1 and pk.kernels_enabled()
+            and q.shape[2] % k_codes.shape[1] == 0):
+        from gabby_tpu.ops.pallas import attention as pattn
+        return pattn.decode_attention(q, k_codes, v_codes, positions,
+                                      k_scale, v_scale, scale=scale)
+    from gabby_tpu.runtime.kv_cache import dequantize_kv
+    kk = dequantize_kv(k_codes, k_scale, q.dtype)
+    vv = dequantize_kv(v_codes, v_scale, q.dtype)
+    return cache_attention(q, kk, vv, positions, scale=scale)

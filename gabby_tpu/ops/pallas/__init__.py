@@ -1,0 +1,46 @@
+"""Pallas TPU kernels for the serving hot path.
+
+Decode is HBM-bandwidth-bound: every step streams the full weight set plus
+the KV cache through the chip. These kernels exist to touch the MINIMUM
+number of HBM bytes — int8/int4 weights are contracted as codes (scales
+applied to the f32 accumulator), and the quantized KV cache feeds attention
+directly (no dequantized [B, S, Nk, H] ever materializes in HBM, which the
+jnp reference path does per layer per step).
+
+The jnp implementations in gabby_tpu/ops/{attention,quant}.py are the
+semantics contracts; tests compare kernels against them in interpret mode
+on CPU (SURVEY.md §4) and the integration is a swap behind `kernels_enabled`.
+
+Enablement: auto on TPU backends, off elsewhere; override with
+GABBY_KERNELS=1/0 or set_kernels(True/False). Kernels fall back to jnp for
+shapes that don't tile (tiny test models).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_FORCED: Optional[bool] = None
+_env = os.environ.get("GABBY_KERNELS")
+if _env is not None:
+    _FORCED = _env not in ("0", "false", "off")
+
+
+def kernels_enabled() -> bool:
+    if _FORCED is not None:
+        return _FORCED
+    return jax.default_backend() == "tpu"
+
+
+def set_kernels(enabled: Optional[bool]) -> None:
+    """True/False force; None restores auto (TPU only)."""
+    global _FORCED
+    _FORCED = enabled
+
+
+def interpret_mode() -> bool:
+    """Run kernels through the Pallas interpreter off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"

@@ -1,0 +1,177 @@
+"""Fused dequant + matmul Pallas kernels (INT8 / INT4 weight-only).
+
+x [M, K] (bf16/f32) @ QTensor([K, N], int8 codes or int4 packed) -> [M, N].
+
+Why a kernel at all: XLA will happily fuse `codes.astype(bf16) * scale` into
+a matmul, but for int4 it first materializes the UNPACKED int8 weight in HBM
+(the stack+reshape in ops/quant.unpack_int4 is not fusable into the dot),
+doubling the bytes decode must stream. Here the packed bytes go straight
+from HBM to VMEM and nibbles are expanded in-register.
+
+INT4 layout note: bytes pack ADJACENT logical rows (2i lo, 2i+1 hi; see
+ops/quant.QTensor) so tensor-parallel shards stay contiguous. The kernel
+never interleaves sublanes — instead the ACTIVATION's lanes are
+de-interleaved once outside the kernel (x_even/x_odd views of a [M, K]
+tensor, fused by XLA into whatever produced x), and each packed tile
+contributes dot(x_even_tile, lo) + dot(x_odd_tile, hi).
+
+Accumulation is always f32 on the MXU; the per-output-channel scale hits
+the accumulator once, on the last K step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gabby_tpu.ops import pallas as pk
+
+TILE_N_CANDIDATES = (256, 128)
+TILE_K_CANDIDATES = (512, 256, 128, 64, 32)
+
+
+def _pick(total: int, candidates) -> int:
+    for c in candidates:
+        if total % c == 0:
+            return c
+    return 0
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+def _int4_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Mosaic has no i8 vector shifts: widen to i32 for the nibble unpack.
+    # Shift each nibble's sign bit to bit 31, then arithmetic-shift down.
+    packed = w_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(packed, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(packed, 24), 28)
+    acc_ref[:] += jnp.dot(xe_ref[:], lo.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(xo_ref[:], hi.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
+    m, k = x2d.shape
+    _, n = codes.shape
+    tile_n = _pick(n, TILE_N_CANDIDATES)
+    tile_k = _pick(k, TILE_K_CANDIDATES)
+    tile_m = min(_round_up(m, 16), 256)
+    mp = _round_up(m, tile_m)
+    xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
+
+    out = pl.pallas_call(
+        _int8_kernel,
+        grid=(mp // tile_m, n // tile_n, k // tile_k),
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + k * n + mp * n * 2 + n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp.astype(jnp.bfloat16), codes, scale.reshape(1, n))
+    return out[:m] if mp != m else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
+    m, k = x2d.shape
+    kp, n = packed.shape  # kp == k // 2
+    tile_n = _pick(n, TILE_N_CANDIDATES)
+    tile_kp = _pick(kp, TILE_K_CANDIDATES)
+    tile_m = min(_round_up(m, 16), 256)
+    mp = _round_up(m, tile_m)
+    xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
+    # de-interleave activation lanes once: columns [0::2] then [1::2]
+    xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
+    x_even = xs[:, :, 0]  # pairs with low nibbles (logical rows 2i)
+    x_odd = xs[:, :, 1]   # pairs with high nibbles (logical rows 2i+1)
+
+    out = pl.pallas_call(
+        _int4_kernel,
+        grid=(mp // tile_m, n // tile_n, kp // tile_kp),
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_kp), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_kp), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_kp, tile_n), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + kp * n + mp * n * 2 + n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_even, x_odd, packed, scale.reshape(1, n))
+    return out[:m] if mp != m else out
+
+
+def supported(k: int, n: int, bits: int) -> bool:
+    """Do these contraction/output dims tile onto the kernel grid?"""
+    kk = k // 2 if bits == 4 else k
+    return (_pick(n, TILE_N_CANDIDATES) != 0
+            and _pick(kk, TILE_K_CANDIDATES) != 0)
+
+
+def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
+            bits: int) -> jnp.ndarray:
+    """x: [..., K] @ quantized [K, N] -> [..., N] in x.dtype."""
+    *lead, k_in = x.shape
+    n = codes.shape[1]
+    x2d = x.reshape(-1, k_in)
+    interp = pk.interpret_mode()
+    if bits == 8:
+        out = _qmatmul_int8(x2d, codes, scale, interpret=interp)
+    else:
+        out = _qmatmul_int4(x2d, codes, scale, interpret=interp)
+    return out.reshape(*lead, n)

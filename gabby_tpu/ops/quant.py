@@ -99,6 +99,11 @@ def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     identical to dequantize-then-matmul but touches only 1/2 (or 1/4) of the
     HBM bytes for the weight.
     """
+    from gabby_tpu.ops import pallas as pk
+    if qt.q.ndim == 2 and pk.kernels_enabled():
+        from gabby_tpu.ops.pallas import quant_matmul as pqm
+        if pqm.supported(qt.shape[0], qt.shape[1], qt.bits):
+            return pqm.qmatmul(x, qt.q, qt.scale, qt.bits)
     q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
     acc = jax.lax.dot_general(
         x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),

@@ -89,11 +89,12 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
 
 
 def cache_specs(quantized: bool):
-    """Specs for KVCache fields: [L, B, S, K, H] (+ [L, B, S, K] scales)."""
+    """Specs for KVCache fields, head-major layout [L, B, K, S, H]
+    (+ [L, B, K, S] scales): kv-head axis on "model", slot axis on "data"."""
     from gabby_tpu.runtime.kv_cache import KVCache
 
-    kv = P(None, "data", None, "model", None)
-    sc = P(None, "data", None, "model") if quantized else None
+    kv = P(None, "data", "model", None, None)
+    sc = P(None, "data", "model", None) if quantized else None
     return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc)
 
 

@@ -25,8 +25,13 @@ from gabby_tpu.config import ModelConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """k, v: [L, B, S, Nk, H] (bf16/f32, or int8 codes when quantized).
-    k_scale, v_scale: [L, B, S, Nk] f32 when quantized, else None."""
+    """k, v: [L, B, Nk, S, H] (bf16/f32, or int8 codes when quantized).
+    k_scale, v_scale: [L, B, Nk, S] f32 when quantized, else None.
+
+    Head-major layout: each (slot, kv head) owns a contiguous [S, H] plane,
+    which is exactly what the Pallas decode kernel streams HBM->VMEM per
+    grid step (and what Mosaic's block-shape rules want); sequence-major
+    [S, Nk, H] would force either relayouts per step or illegal blocks."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -43,7 +48,7 @@ class KVCache:
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     def nbytes(self) -> int:
         n = self.k.nbytes + self.v.nbytes
@@ -54,7 +59,7 @@ class KVCache:
 
 def create_cache(cfg: ModelConfig, batch: int, max_seq: int,
                  dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
-    shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
     if quantized:
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),

@@ -1,0 +1,141 @@
+"""Pallas kernel correctness vs the jnp reference ops.
+
+Kernels run in interpret mode on the CPU backend (SURVEY.md §4): identical
+kernel code, bit-compatible semantics, no TPU required. Every case checks
+the kernel against the plain-jnp contract implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gabby_tpu.ops import attention as attn_ref
+from gabby_tpu.ops import pallas as pk
+from gabby_tpu.ops import quant
+from gabby_tpu.ops.pallas import attention as pattn
+from gabby_tpu.ops.pallas import quant_matmul as pqm
+from gabby_tpu.runtime.kv_cache import quantize_kv
+
+
+@pytest.fixture(autouse=True)
+def _no_auto_dispatch():
+    """Reference paths must stay jnp while we compare against kernels."""
+    pk.set_kernels(False)
+    yield
+    pk.set_kernels(None)
+
+
+def _rand(key, *shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+# ---- fused dequant matmul ----
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("m,k,n", [(8, 128, 256), (3, 256, 128),
+                                   (33, 64, 256)])
+def test_qmatmul_matches_qlinear(bits, m, k, n):
+    w = _rand(0, k, n) * 0.3
+    qt = quant.quantize(w, bits)
+    x = _rand(1, m, k).astype(jnp.bfloat16)
+
+    ref = quant.qlinear(x, qt)                      # jnp contract
+    out = pqm.qmatmul(x, qt.q, qt.scale, bits)      # kernel
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_qmatmul_leading_dims():
+    w = _rand(0, 128, 128) * 0.3
+    qt = quant.quantize(w, 8)
+    x = _rand(1, 2, 5, 128).astype(jnp.bfloat16)
+    out = pqm.qmatmul(x, qt.q, qt.scale, 8)
+    ref = quant.qlinear(x, qt)
+    assert out.shape == (2, 5, 128)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_supported_gates_odd_shapes():
+    assert pqm.supported(128, 256, 8)
+    assert not pqm.supported(100, 256, 8)   # K doesn't tile
+    assert not pqm.supported(128, 100, 8)   # N doesn't tile
+    assert pqm.supported(64, 128, 4)        # K/2 = 32 tiles
+
+
+# ---- decode attention ----
+
+@pytest.mark.parametrize("s", [64, 128])
+@pytest.mark.parametrize("nq,nk,h", [(8, 4, 64), (4, 4, 32), (8, 2, 128)])
+def test_decode_attention_bf16(s, nq, nk, h):
+    b = 4
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    k = (_rand(1, b, nk, s, h) * 0.5).astype(jnp.bfloat16)   # head-major
+    v = (_rand(2, b, nk, s, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([0, 5, s // 2, s - 1], jnp.int32)
+
+    ref = attn_ref.cache_attention(q, k, v, positions)
+    out = pattn.decode_attention(q, k, v, positions)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_int8_kv():
+    b, s, nq, nk, h = 3, 96, 8, 4, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    k = _rand(1, b, nk, s, h) * 0.5   # head-major cache layout
+    v = _rand(2, b, nk, s, h) * 0.5
+    k_codes, k_scale = quantize_kv(k)
+    v_codes, v_scale = quantize_kv(v)
+    positions = jnp.asarray([3, s // 3, s - 1], jnp.int32)
+
+    ref = attn_ref.cache_attention_quantized(
+        q, k_codes, v_codes, k_scale, v_scale, positions)
+    out = pattn.decode_attention(q, k_codes, v_codes, positions,
+                                 k_scale, v_scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_position_zero_matches():
+    """A fresh slot (position 0) must attend only to index 0."""
+    b, s, nq, nk, h = 1, 32, 4, 2, 32
+    q = _rand(0, b, 1, nq, h).astype(jnp.bfloat16)
+    k = _rand(1, b, nk, s, h).astype(jnp.bfloat16)
+    v = _rand(2, b, nk, s, h).astype(jnp.bfloat16)
+    positions = jnp.zeros((b,), jnp.int32)
+    out = pattn.decode_attention(q, k, v, positions)
+    # attending to exactly one key makes the output that key's value
+    expect = jnp.repeat(v[:, :, 0], nq // nk, axis=1).reshape(b, 1, nq, h)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(expect, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+# ---- end-to-end decode parity with kernels forced on (interpret) ----
+
+def test_decode_step_with_kernels_enabled():
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.runtime.kv_cache import create_cache
+
+    # dims chosen to clear kernel gates: K/N tile (128/256), GQA 8/4
+    cfg = cfglib.tiny(num_heads=8, num_kv_heads=4, head_dim=64,
+                      hidden_size=256, intermediate_size=256, vocab_size=256,
+                      max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qparams = quant.quantize_tree(params, 8)
+    cache = create_cache(cfg, 2, 64, quantized=True)
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    positions = jnp.asarray([3, 7], jnp.int32)
+
+    logits_ref, _ = llama.decode_step(qparams, cfg, tokens, positions, cache)
+    pk.set_kernels(True)  # interpret mode on CPU
+    logits_k, _ = llama.decode_step(qparams, cfg, tokens, positions, cache)
+    pk.set_kernels(False)
+    np.testing.assert_allclose(np.asarray(logits_k), np.asarray(logits_ref),
+                               rtol=5e-2, atol=5e-1)
