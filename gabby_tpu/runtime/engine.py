@@ -71,6 +71,8 @@ class Request:
         default_factory=queue.Queue)
     # filled in when finished
     completion_tokens: int = 0
+    submit_ts: float = dataclasses.field(default_factory=time.monotonic)
+    first_token_ts: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -129,6 +131,8 @@ class Engine:
         # serving metrics (scraped by /statusz via the bridge)
         self.stats = {"requests": 0, "completion_tokens": 0,
                       "prompt_tokens": 0, "decode_steps": 0}
+        self._ttfts: list[float] = []  # rolling, for p50 TTFT
+        self._host_rng = np.random.default_rng(0x6ABB)
 
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="gabby-engine")
@@ -178,6 +182,15 @@ class Engine:
                 return ("".join(parts), fin, len(req.prompt_ids),
                         req.completion_tokens)
 
+    def stats_snapshot(self) -> dict:
+        """Engine-side serving metrics (TTFT is admit -> first token)."""
+        s = dict(self.stats)
+        if self._ttfts:
+            s["p50_ttft_ms"] = round(float(np.median(self._ttfts)) * 1e3, 2)
+        s["active_slots"] = sum(1 for x in self._slots if x is not None)
+        s["queued"] = self._queue.qsize()
+        return s
+
     def shutdown(self) -> None:
         self._shutdown = True
         self._wake.set()
@@ -188,9 +201,30 @@ class Engine:
     def _free_slots(self) -> list[int]:
         return [i for i, s in enumerate(self._slots) if s is None]
 
+    def _sample_host(self, logits: np.ndarray, req: Request) -> int:
+        """Sample the FIRST token (from prefill logits) on the host with the
+        request's sampling params — same semantics as ops/sampling.sample
+        for a single row."""
+        if req.temperature <= 0:
+            return int(np.argmax(logits))
+        cand = 128
+        idx = np.argpartition(logits, -cand)[-cand:]
+        idx = idx[np.argsort(logits[idx])[::-1]]  # descending
+        vals = logits[idx].astype(np.float64) / max(req.temperature, 1e-6)
+        keep = np.ones(cand, bool)
+        if req.top_k > 0:
+            keep &= np.arange(cand) < req.top_k
+        probs = np.exp(vals - vals.max())
+        probs /= probs.sum()
+        if req.top_p < 1.0:
+            cum = np.cumsum(probs)
+            keep &= (cum - probs) < req.top_p
+        probs = np.where(keep, probs, 0.0)
+        probs /= probs.sum()
+        return int(self._host_rng.choice(idx, p=probs))
+
     def _admit(self, slot_ix: int, req: Request) -> None:
         """Prefill req's prompt into `slot_ix` and activate the lane."""
-        ec = self.ec
         ids = np.asarray(req.prompt_ids, np.int32)
         n = len(ids)
         offset = 0
@@ -208,9 +242,10 @@ class Engine:
                 self._cache)
             offset += take
 
-        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        first_id = self._sample_host(
+            np.asarray(jax.device_get(logits), np.float32), req)
         # splice slot scalars on device (tiny arrays; negligible traffic)
-        self._tokens = self._tokens.at[slot_ix].set(first)
+        self._tokens = self._tokens.at[slot_ix].set(first_id)
         self._positions = self._positions.at[slot_ix].set(n)
         self._active = self._active.at[slot_ix].set(True)
         s = self._sstate
@@ -225,10 +260,12 @@ class Engine:
         self._slots[slot_ix] = slot
         self.stats["requests"] += 1
         self.stats["prompt_tokens"] += n
-        # the first generated token comes from prefill logits (greedy when
-        # temperature==0; sampled lanes resample it inside decode anyway
-        # only for subsequent steps — emit it now)
-        self._emit_token(slot_ix, int(jax.device_get(first)))
+        # first generated token comes straight from the prefill logits
+        req.first_token_ts = time.monotonic()
+        self._ttfts.append(req.first_token_ts - req.submit_ts)
+        if len(self._ttfts) > 1024:
+            del self._ttfts[:512]
+        self._emit_token(slot_ix, first_id)
 
     def _emit_token(self, slot_ix: int, token_id: int) -> None:
         """Append a token to the slot's request; stream decoded delta."""
@@ -308,6 +345,14 @@ class Engine:
                 for slot_ix in range(toks.shape[1]):
                     if emitted[step, slot_ix] and self._slots[slot_ix]:
                         self._emit_token(slot_ix, int(toks[step, slot_ix]))
+
+            # a slot the DEVICE deactivated without an EOS hit its cache
+            # capacity (decode_loop's new_pos < max_seq guard): finish it
+            # host-side or its request would hang forever
+            active_host = np.asarray(jax.device_get(self._active))
+            for slot_ix, slot in enumerate(self._slots):
+                if slot is not None and not active_host[slot_ix]:
+                    self._finish(slot_ix, "length")
 
         # drain on shutdown
         for slot_ix in range(len(self._slots)):

@@ -140,7 +140,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--model-id", default="")
     p.add_argument("--log-level", type=int, default=3,
                    help="front-end log level (0 off .. 4 debug)")
+    p.add_argument("--profiler-port", type=int, default=0,
+                   help="start a jax.profiler trace server on this port")
     args = p.parse_args(argv)
+
+    if args.profiler_port:
+        jax.profiler.start_server(args.profiler_port)
 
     from gabby_tpu.bridge import NativeServer
 

@@ -1,0 +1,57 @@
+"""Perplexity harness + quantization quality-delta gates (tiny model).
+
+BASELINE.json's gates (INT8 <= 0.1 ppl, INT4 <= 0.5 ppl vs BF16 on
+WikiText-2) are relative deltas on the same data; with no network the same
+protocol runs on a synthetic corpus. A tiny RANDOM model's deltas are not
+the 1B model's, so the gates here are machinery checks with loose
+factors — the real gates run via `python -m gabby_tpu.eval.ppl` against a
+downloaded model + corpus."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gabby_tpu import config as cfglib
+from gabby_tpu.eval import ppl_from_tokens
+from gabby_tpu.models import llama
+from gabby_tpu.ops import quant
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = cfglib.tiny(max_seq_len=256)
+    params = llama.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    stream = rng.randint(0, cfg.vocab_size, size=4096).astype(np.int32)
+    return cfg, params, stream
+
+
+def test_ppl_finite_and_reasonable(setup):
+    cfg, params, stream = setup
+    ppl = ppl_from_tokens(params, cfg, stream, seq_len=64, batch=4)
+    assert np.isfinite(ppl)
+    # random model on random tokens: ppl near vocab size, not astronomically off
+    assert 1.0 < ppl < cfg.vocab_size * 50
+
+
+def test_ppl_partial_tail_batch(setup):
+    cfg, params, stream = setup
+    # 5 windows with batch 4 -> one full call + a tail call of 1
+    ppl = ppl_from_tokens(params, cfg, stream[:64 * 5], seq_len=64, batch=4)
+    ref = ppl_from_tokens(params, cfg, stream[:64 * 5], seq_len=64, batch=5)
+    np.testing.assert_allclose(ppl, ref, rtol=1e-4)
+
+
+def test_quantization_ppl_deltas(setup):
+    """INT8 must barely move ppl; INT4 may move it more but boundedly."""
+    cfg, params, stream = setup
+    kw = dict(seq_len=64, batch=4, max_windows=16)
+    base = ppl_from_tokens(params, cfg, stream, **kw)
+    p8 = ppl_from_tokens(quant.quantize_tree(params, 8), cfg, stream, **kw)
+    p4 = ppl_from_tokens(quant.quantize_tree(params, 4), cfg, stream, **kw)
+    d8, d4 = abs(p8 - base), abs(p4 - base)
+    # relative-gate shape: int8 tight, int4 looser but bounded
+    assert d8 / base < 0.02, f"int8 ppl delta {d8} vs {base}"
+    assert d4 / base < 0.15, f"int4 ppl delta {d4} vs {base}"
+    assert d8 <= d4 * 1.5 + 1e-3  # int8 never meaningfully worse than int4
