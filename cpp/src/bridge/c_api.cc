@@ -28,6 +28,18 @@ class CallbackGenerator : public gabby::Generator {
 
     std::string model_id() const override { return model_id_; }
 
+    void set_stats(gabby_stats_fn stats, void* stats_data) {
+        stats_ = stats;
+        stats_data_ = stats_data;
+    }
+
+    std::string stats_json() const override {
+        if (!stats_) return "";
+        char buf[8192];
+        size_t n = stats_(stats_data_, buf, sizeof(buf));
+        return std::string(buf, n > sizeof(buf) ? 0 : n);
+    }
+
     void Generate(const GenRequest& req,
                   const std::function<void(const GenChunk&)>& emit) override {
         std::string request_json = Serialize(req);
@@ -113,12 +125,15 @@ class CallbackGenerator : public gabby::Generator {
     gabby_generate_fn generate_;
     void* user_data_;
     std::string model_id_;
+    gabby_stats_fn stats_ = nullptr;
+    void* stats_data_ = nullptr;
 };
 
 }  // namespace
 
 struct GabbyServer {
     std::unique_ptr<gabby::InferenceService> service;
+    std::shared_ptr<CallbackGenerator> generator;
 };
 
 extern "C" {
@@ -143,6 +158,7 @@ GabbyServer* gabby_server_create(const GabbyServerConfig* config,
         auto gen = std::make_shared<CallbackGenerator>(
             generate, user_data, model_id ? model_id : "gabby-tpu");
         auto* server = new GabbyServer;
+        server->generator = gen;
         server->service =
             std::make_unique<gabby::InferenceService>(sc, std::move(gen));
         return server;
@@ -150,6 +166,11 @@ GabbyServer* gabby_server_create(const GabbyServerConfig* config,
         g_last_error = e.what();
         return nullptr;
     }
+}
+
+void gabby_server_set_stats(GabbyServer* server, gabby_stats_fn stats,
+                            void* user_data) {
+    server->generator->set_stats(stats, user_data);
 }
 
 int gabby_server_start(GabbyServer* server) {

@@ -47,10 +47,19 @@ typedef int (*gabby_generate_fn)(void* user_data, const char* request_json,
                                  size_t len, void* emit_ctx,
                                  gabby_emit_fn emit);
 
+// Optional: fills `buf` with a JSON object of engine-side metrics (merged
+// into /statusz under "engine"). Returns the number of bytes written, or 0
+// for none. Must not exceed `cap`.
+typedef size_t (*gabby_stats_fn)(void* user_data, char* buf, size_t cap);
+
 // model_id may be NULL (defaults to "gabby-tpu").
 GabbyServer* gabby_server_create(const GabbyServerConfig* config,
                                  gabby_generate_fn generate, void* user_data,
                                  const char* model_id);
+
+// Registers the /statusz engine-metrics hook (optional; call before start).
+void gabby_server_set_stats(GabbyServer* server, gabby_stats_fn stats,
+                            void* user_data);
 
 // Binds + starts listening. Returns the bound port, or -1 on error.
 int gabby_server_start(GabbyServer* server);

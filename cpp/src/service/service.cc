@@ -176,6 +176,15 @@ void InferenceService::Statusz(http::Request&, http::ResponseWriter& resp) {
         {"tokens_per_sec",
          Value::number(micros > 0 ? ctoks * 1e6 / micros : 0.0)},
     });
+    std::string engine = generator_->stats_json();
+    if (!engine.empty()) {
+        try {
+            auto* obj = dynamic_cast<json::ObjectValue*>(status.get());
+            obj->set("engine", json::Parse(engine));
+        } catch (const json::JSONError& e) {
+            LOG(WARN) << "bad engine stats json: " << e.what();
+        }
+    }
     resp.WriteStatus(http::StatusCode::OK);
     resp.WriteHeader("Content-Type", "application/json");
     resp.WriteData(json::to_string(*status));

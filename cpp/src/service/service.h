@@ -56,6 +56,9 @@ class Generator {
     virtual void Generate(const GenRequest& req,
                           const std::function<void(const GenChunk&)>& emit) = 0;
     virtual std::string model_id() const { return "gabby-tpu"; }
+    // Optional engine-side metrics: a JSON object string merged into
+    // /statusz under "engine", or "" for none.
+    virtual std::string stats_json() const { return ""; }
 };
 
 struct ServiceMetrics {

@@ -26,6 +26,10 @@ _EMIT_FN = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p,
 _GENERATE_FN = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
                                 ctypes.c_char_p, ctypes.c_size_t,
                                 ctypes.c_void_p, _EMIT_FN)
+# NB: buf must be c_void_p, NOT c_char_p — ctypes converts c_char_p args to
+# immutable bytes, dropping the pointer we need to write through.
+_STATS_FN = ctypes.CFUNCTYPE(ctypes.c_size_t, ctypes.c_void_p,
+                             ctypes.c_void_p, ctypes.c_size_t)
 
 
 class _ServerConfig(ctypes.Structure):
@@ -77,6 +81,8 @@ def load_library(path: Optional[str] = None) -> ctypes.CDLL:
     lib.gabby_server_wait.argtypes = [ctypes.c_void_p]
     lib.gabby_server_destroy.argtypes = [ctypes.c_void_p]
     lib.gabby_last_error.restype = ctypes.c_char_p
+    lib.gabby_server_set_stats.argtypes = [ctypes.c_void_p, _STATS_FN,
+                                           ctypes.c_void_p]
     return lib
 
 
@@ -95,7 +101,8 @@ class NativeServer:
                  read_timeout_millis: int = 60000,
                  write_timeout_millis: int = 600000,
                  max_queue: int = 0, log_level: int = 3,
-                 lib_path: Optional[str] = None):
+                 lib_path: Optional[str] = None,
+                 stats_fn: Optional[Callable[[], dict]] = None):
         self._lib = load_library(lib_path)
         self._handler = handler
         self._stopped = threading.Event()
@@ -135,6 +142,21 @@ class NativeServer:
         if not self._server:
             raise RuntimeError("gabby_server_create: " +
                                self._lib.gabby_last_error().decode())
+
+        if stats_fn is not None:
+            def _stats(user_data, buf, cap):
+                del user_data
+                try:
+                    payload = json.dumps(stats_fn()).encode("utf-8")
+                except Exception:
+                    return 0
+                n = min(len(payload), cap)
+                ctypes.memmove(buf, payload, n)
+                return n
+
+            self._stats_cb = _STATS_FN(_stats)
+            self._lib.gabby_server_set_stats(self._server, self._stats_cb,
+                                             None)
 
     def start(self) -> int:
         """Starts listening; returns the bound port."""

@@ -142,7 +142,16 @@ def load_llama_params(model_dir: str, cfg: ModelConfig, *, dtype=jnp.bfloat16,
     }
     if not cfg.tie_word_embeddings:
         head = np.ascontiguousarray(t["lm_head.weight"].transpose(1, 0))
-        params["lm_head"] = put(("lm_head",), jnp.asarray(head, dtype))
+        params["lm_head"] = put(("lm_head",),
+                                _maybe_quantize(head, quant_bits, dtype))
+    elif quant_bits:
+        # tied embeddings + quantized serve: give the unembed its own INT8
+        # [D, V] copy so decode stops streaming the bf16 table (see
+        # ops/quant.quantize_tree's quantize_unembed note)
+        head = np.ascontiguousarray(
+            t["model.embed_tokens.weight"].transpose(1, 0))
+        params["lm_head"] = put(("lm_head",), quant.quantize(
+            jnp.asarray(head, jnp.float32), 8))
     return params
 
 

@@ -79,11 +79,19 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     """
     b, t, nq, h = q.shape
     nk = k_cache.shape[1]
-    from gabby_tpu.ops import pallas as pk
-    if t == 1 and pk.kernels_enabled() and nq % nk == 0:
-        from gabby_tpu.ops.pallas import attention as pattn
-        return pattn.decode_attention(q, k_cache, v_cache, positions,
-                                      scale=scale)
+    # Policy note: for a bf16 cache XLA's masked attention measured FASTER
+    # than the Pallas kernel at uniform contexts (XLA overlaps it with the
+    # surrounding matmuls), so the kernel is not auto-dispatched here — the
+    # quantized path (cache_attention_quantized) is where it wins. Force
+    # with GABBY_ATTN_KERNEL=1 to study skip behavior at short contexts.
+    import os
+    if (t == 1 and nq % nk == 0
+            and os.environ.get("GABBY_ATTN_KERNEL") == "1"):
+        from gabby_tpu.ops import pallas as pk
+        if pk.kernels_enabled():
+            from gabby_tpu.ops.pallas import attention as pattn
+            return pattn.decode_attention(q, k_cache, v_cache, positions,
+                                          scale=scale)
     s = k_cache.shape[2]
     if scale is None:
         scale = h ** -0.5

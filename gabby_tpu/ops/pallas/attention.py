@@ -1,19 +1,26 @@
-"""GQA decode attention Pallas kernel (bf16 or INT8 KV cache).
+"""GQA flash-decode attention Pallas kernel (bf16 or INT8 KV cache).
 
 One decode step attends [B, 1, Nq, H] queries against the HEAD-MAJOR cache
-[B, Nk, S, H] with per-slot valid lengths. Grid = (B, Nk): each program
-streams ONE contiguous (slot, kv-head) [S, H] plane HBM->VMEM exactly once
-and computes all G = Nq/Nk grouped query heads against it — the minimum
-possible HBM traffic for decode attention, which is what bounds decode
-throughput (SURVEY.md §6, BASELINE.json north star).
+[B, Nk, S, H] with per-slot valid lengths. Grid = (B, S-chunks): each grid
+step streams ALL kv heads' [CHUNK, H] planes for one slot (a ~2 MB DMA —
+sized so per-step overhead is noise against DMA time) and folds them into
+per-head online-softmax carries in scratch. Heads are a small unrolled loop
+in-kernel; decode attention is HBM-bound, so MXU utilization of the tiny
+[G, H] dots is irrelevant.
+
+The part that makes decode attention scale with the REAL context instead of
+max_seq: `positions` rides in as a scalar-prefetch argument and the chunk
+index map CLAMPS trailing fully-masked chunks to the last valid chunk.
+Pallas skips the HBM fetch when consecutive grid steps map to the same
+block, so a slot at position 1k in an 8k cache streams ~1k rows, not 8k.
 
 INT8 KV never materializes dequantized: k's scale folds into the score
 (q·codes_j * k_scale_j) and v's scale folds into the probability
-(p_j * v_scale_j) before the PV matmul, so the VPU touches [S] scale
-vectors instead of [S, H] planes.
+(p_j * v_scale_j) before the PV matmul, so the VPU touches [CHUNK] scale
+vectors instead of [CHUNK, H] planes.
 
-Numerics match ops/attention._gqa_core: f32 scores, exp-normalized softmax
-with a large-negative mask (NaN-free for fully-masked rows).
+Numerics match ops/attention._gqa_core (f32 math; exp-normalized softmax;
+large-negative mask) up to online-softmax reassociation.
 """
 
 from __future__ import annotations
@@ -28,96 +35,132 @@ from jax.experimental.pallas import tpu as pltpu
 from gabby_tpu.ops import pallas as pk
 
 NEG_INF = -1e30
+CHUNK = 1024  # cache rows per grid step per head
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
-    """pos: [B,1] SMEM (whole array); q: [1,1,G,H]; k,v: [1,1,S,H]."""
-    pos = pos_ref[pl.program_id(0), 0]
-    qg = q_ref[0, 0].astype(jnp.float32)   # [G, H]
-    k = k_ref[0, 0].astype(jnp.float32)    # [S, H]
-    v = v_ref[0, 0].astype(jnp.float32)    # [S, H]
+def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                o_ref, m_ref, l_ref, acc_ref, *, sm_scale):
+    """One (slot, chunk) grid step over all kv heads.
 
-    scores = jax.lax.dot_general(
-        qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale  # [G, S]
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col <= pos, scores, NEG_INF)
-    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)  # [G, H]
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    q: [1, Nk, G, H]; k/v: [1, Nk, C, H]; ks/vs: [1, Nk, 1, C] or None
+    (scales carry S on the LANE axis — an [., C, 1] block would be
+    lane-padded 1 -> 128, a 128x VMEM blowup); scratch: m,l [Nk*G, 1] f32,
+    acc [Nk*G, H] f32."""
+    g = q_ref.shape[2]
 
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-def _kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
-                  sm_scale):
-    """INT8 cache: k,v codes [1,1,S,H]; ks,vs scales [1,1,S,1]."""
-    pos = pos_ref[pl.program_id(0), 0]
-    qg = q_ref[0, 0].astype(jnp.float32)   # [G, H]
-    k = k_ref[0, 0].astype(jnp.float32)    # [S, H] codes
-    v = v_ref[0, 0].astype(jnp.float32)    # [S, H] codes
-    ks = ks_ref[0, 0, :, 0]                # [S]
-    vs = vs_ref[0, 0, :, 0]                # [S]
+    @pl.when(c * chunk <= pos)
+    def _():
+        for h in range(nk):  # small static unroll (Nk is 2..16)
+            # big operands stay bf16 (int8 codes exact in bf16): the MXU
+            # takes bf16 inputs natively with f32 accumulation — casting
+            # [C, H] planes to f32 on the VPU was measurable overhead
+            qg = q_ref[0, h].astype(jnp.bfloat16)      # [G, H]
+            k = k_ref[0, h].astype(jnp.bfloat16)       # [C, H]
+            v = v_ref[0, h].astype(jnp.bfloat16)       # [C, H]
+            scores = jax.lax.dot_general(
+                qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [G, C] f32
+            if ks_ref is not None:
+                scores = scores * (ks_ref[0, h, 0, :] * sm_scale)[None, :]
+            else:
+                scores = scores * sm_scale
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col + c * chunk <= pos, scores, NEG_INF)
 
-    scores = jax.lax.dot_general(
-        qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    scores = scores * (ks * sm_scale)[None, :]           # fold k scale in
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col <= pos, scores, NEG_INF)
-    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    pv = probs * vs[None, :]                             # fold v scale in
-    out = jnp.dot(pv, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+            rows = slice(h * g, (h + 1) * g)
+            m_old = m_ref[rows]                        # [G, 1]
+            m_new = jnp.maximum(m_old,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(scores - m_new)                # [G, C] f32
+            pv = p * vs_ref[0, h, 0, :][None, :] if vs_ref is not None else p
+            m_ref[rows] = m_new
+            l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            acc_ref[rows] = acc_ref[rows] * alpha + jnp.dot(
+                pv.astype(jnp.bfloat16), v,
+                preferred_element_type=jnp.float32)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        out = acc_ref[:] / l_ref[:]                    # [Nk*G, H]
+        o_ref[0] = out.reshape(nk, g, out.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sm_scale", "out_dtype", "interpret"))
-def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, pos2d, *,
+def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, positions, *,
                  sm_scale: float, out_dtype, interpret: bool):
     """q4: [B, Nk, G, H]; k/v_cache: [B, Nk, S, H];
-    k/v_scale: [B, Nk, S, 1] or None; pos2d: [B, 1] i32."""
+    k/v_scale: [B, Nk, 1, S] or None; positions: [B] i32."""
     b, nk, g, h = q4.shape
     s = k_cache.shape[2]
+    chunk = min(CHUNK, s)
+    n_chunks = pl.cdiv(s, chunk)
     quant = k_scale is not None
 
+    def kv_map(bb, cc, pos_ref):
+        # clamp trailing fully-masked chunks to the last VALID chunk index:
+        # consecutive identical block indices skip the HBM fetch entirely
+        return (bb, 0, jnp.minimum(cc, pos_ref[bb] // chunk), 0)
+
+    def sc_map(bb, cc, pos_ref):
+        return (bb, 0, 0, jnp.minimum(cc, pos_ref[bb] // chunk))
+
     in_specs = [
-        pl.BlockSpec((b, 1), lambda bb, hh: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, g, h), lambda bb, hh: (bb, hh, 0, 0),
+        pl.BlockSpec((1, nk, g, h), lambda bb, cc, p: (bb, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, s, h), lambda bb, hh: (bb, hh, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, s, h), lambda bb, hh: (bb, hh, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk, chunk, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk, chunk, h), kv_map, memory_space=pltpu.VMEM),
     ]
-    args = [pos2d, q4, k_cache, v_cache]
+    args = [q4, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, s, 1), lambda bb, hh: (bb, hh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, 1), lambda bb, hh: (bb, hh, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, 1, chunk), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, 1, chunk), sc_map, memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
-        kernel = functools.partial(_kernel_quant, sm_scale=sm_scale)
-    else:
-        kernel = functools.partial(_kernel, sm_scale=sm_scale)
 
+    def kernel(pos_ref, q_ref, k_ref, v_ref, *rest):
+        if quant:
+            ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        else:
+            (o_ref, m_ref, l_ref, acc_ref) = rest
+            ks_ref = vs_ref = None
+        _flash_step(pos_ref[pl.program_id(0)], pl.program_id(1), chunk, nk,
+                    q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nk, g, h),
+                               lambda bb, cc, p: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nk * g, 1), jnp.float32),   # running max
+            pltpu.VMEM((nk * g, 1), jnp.float32),   # running sum
+            pltpu.VMEM((nk * g, h), jnp.float32),   # output accumulator
+        ],
+    )
     kv_bytes = 2 * b * nk * s * h * k_cache.dtype.itemsize
     return pl.pallas_call(
         kernel,
-        grid=(b, nk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g, h), lambda bb, hh: (bb, hh, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nk, g, h), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nk * g * s * h,
             bytes_accessed=kv_bytes + b * nk * g * h * 4,
             transcendentals=b * nk * g * s),
         interpret=interpret,
-    )(*args)
+    )(positions, *args)
 
 
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
@@ -133,10 +176,10 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     assert t == 1, "decode kernel is single-position"
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = q[:, 0].reshape(b, nk, nq // nk, h)  # grouped heads, metadata-only
-    ks = k_scale[..., None] if k_scale is not None else None
-    vs = v_scale[..., None] if v_scale is not None else None
+    ks = k_scale[:, :, None, :] if k_scale is not None else None
+    vs = v_scale[:, :, None, :] if v_scale is not None else None
     out = _decode_call(q4, k_cache, v_cache, ks, vs,
-                       positions.reshape(b, 1).astype(jnp.int32),
+                       positions.astype(jnp.int32),
                        sm_scale=sm_scale, out_dtype=q.dtype,
                        interpret=pk.interpret_mode())
     return out.reshape(b, 1, nq, h)

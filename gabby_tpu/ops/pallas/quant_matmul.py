@@ -30,8 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gabby_tpu.ops import pallas as pk
 
-TILE_N_CANDIDATES = (256, 128)
-TILE_K_CANDIDATES = (512, 256, 128, 64, 32)
+TILE_N_CANDIDATES = (512, 256, 128)
+TILE_K_CANDIDATES = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32)
+# Weight-tile byte budget. Decode streams the whole weight matrix every
+# step, so per-grid-step overhead must be amortized against DMA time:
+# ~2 MB per tile ≈ 2.4 us of HBM time on v5e vs sub-us step overhead.
+# (First cut used 128 KB tiles; the overhead of ~8k grid steps per decode
+# step cost more than the kernel saved.)
+TILE_BYTES = 2 * 1024 * 1024
 
 
 def _pick(total: int, candidates) -> int:
@@ -39,6 +45,20 @@ def _pick(total: int, candidates) -> int:
         if total % c == 0:
             return c
     return 0
+
+
+def _pick_tiles(k: int, n: int) -> tuple[int, int]:
+    """(tile_k, tile_n) hitting ~TILE_BYTES, both dividing their dims."""
+    tile_n = _pick(n, TILE_N_CANDIDATES)
+    if tile_n == 0:
+        return 0, 0
+    budget_k = max(TILE_BYTES // tile_n, 32)
+    tile_k = 0
+    for c in TILE_K_CANDIDATES:
+        if c <= budget_k and k % c == 0:
+            tile_k = c
+            break
+    return tile_k, tile_n
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,8 +106,7 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
 def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
     m, k = x2d.shape
     _, n = codes.shape
-    tile_n = _pick(n, TILE_N_CANDIDATES)
-    tile_k = _pick(k, TILE_K_CANDIDATES)
+    tile_k, tile_n = _pick_tiles(k, n)
     tile_m = min(_round_up(m, 16), 256)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
@@ -120,8 +139,7 @@ def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
 def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
     m, k = x2d.shape
     kp, n = packed.shape  # kp == k // 2
-    tile_n = _pick(n, TILE_N_CANDIDATES)
-    tile_kp = _pick(kp, TILE_K_CANDIDATES)
+    tile_kp, tile_n = _pick_tiles(kp, n)
     tile_m = min(_round_up(m, 16), 256)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
@@ -159,8 +177,8 @@ def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
 def supported(k: int, n: int, bits: int) -> bool:
     """Do these contraction/output dims tile onto the kernel grid?"""
     kk = k // 2 if bits == 4 else k
-    return (_pick(n, TILE_N_CANDIDATES) != 0
-            and _pick(kk, TILE_K_CANDIDATES) != 0)
+    tile_k, tile_n = _pick_tiles(kk, n)
+    return tile_k != 0 and tile_n != 0
 
 
 def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,

@@ -99,8 +99,13 @@ def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     identical to dequantize-then-matmul but touches only 1/2 (or 1/4) of the
     HBM bytes for the weight.
     """
+    # Dispatch policy (measured on v5e, llama-1B decode): the Pallas kernel
+    # wins ONLY for INT4 — XLA materializes the unpacked int8 weight in HBM
+    # there (2.2x decode win for the kernel) but its fused int8 dequant
+    # matmul is faster than ours (it overlaps weight streaming with
+    # neighboring ops; a custom call is an opaque barrier).
     from gabby_tpu.ops import pallas as pk
-    if qt.q.ndim == 2 and pk.kernels_enabled():
+    if qt.q.ndim == 2 and qt.bits == 4 and pk.kernels_enabled():
         from gabby_tpu.ops.pallas import quant_matmul as pqm
         if pqm.supported(qt.shape[0], qt.shape[1], qt.bits):
             return pqm.qmatmul(x, qt.q, qt.scale, qt.bits)
@@ -113,12 +118,21 @@ def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     return (acc * qt.scale).astype(x.dtype)
 
 
-def quantize_tree(params, bits: int, *, skip=("embed", "norm")):
+def quantize_tree(params, bits: int, *, skip=("embed", "norm"),
+                  quantize_unembed: bool = True):
     """Quantize every 2-D+ matmul weight in a params pytree (dicts of arrays).
 
     Leaves whose key path contains a name in `skip`, and 1-D leaves (norms),
     stay in their original dtype. Stacked [L, in, out] layer weights are
     quantized per-layer via vmap-free slicing (numpy-side, load time).
+
+    quantize_unembed: for tied-embedding models (lm_head is None) the
+    unembed matmul otherwise streams the full-precision [V, D] table every
+    decode step — the single largest weight stream on Llama-3.2-1B. This
+    materializes a SEPARATE INT8 [D, V] copy for the unembed (always 8-bit,
+    even under bits=4: per-vocab-channel INT4 logits measurably hurt
+    quality) while the embedding gather keeps reading the bf16 table.
+    Trades V*D bytes of HBM capacity for halving that stream.
     """
     def visit(path, leaf):
         name = "/".join(str(p) for p in path)
@@ -134,7 +148,12 @@ def quantize_tree(params, bits: int, *, skip=("embed", "norm")):
             bits=bits,
         )
 
-    return _tree_map_with_name(visit, params)
+    out = _tree_map_with_name(visit, params)
+    if (quantize_unembed and isinstance(out, dict)
+            and out.get("lm_head") is None and "embed" in out):
+        out["lm_head"] = quantize(
+            jnp.asarray(out["embed"], jnp.float32).T, 8)
+    return out
 
 
 def _tree_map_with_name(fn, tree, path=()):

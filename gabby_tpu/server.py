@@ -156,7 +156,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         make_handler(engine), port=args.port, workers=args.workers,
         model_id=model_id, read_timeout_millis=args.read_timeout_millis,
         write_timeout_millis=args.write_timeout_millis,
-        log_level=args.log_level)
+        log_level=args.log_level, stats_fn=engine.stats_snapshot)
     port = server.start()
     print(f"listening on port {port}", flush=True)
 

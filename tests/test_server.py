@@ -34,7 +34,8 @@ def server():
                                  steps_per_call=4, default_max_tokens=8,
                                  cache_dtype="float32"))
     srv = NativeServer(make_handler(engine), port=0, workers=2,
-                       model_id="tiny-test", log_level=0)
+                       model_id="tiny-test", log_level=0,
+                       stats_fn=engine.stats_snapshot)
     port = srv.start()
     yield port
     srv.close()
@@ -142,5 +143,8 @@ def test_statusz_and_models(server):
     st = json.loads(body)
     assert st["requests"] >= 1
     assert st["completion_tokens"] >= 1
+    # engine-side metrics merged through the stats callback
+    assert st["engine"]["requests"] >= 1
+    assert st["engine"]["p50_ttft_ms"] > 0
     status, body = _get(server, "/v1/models")
     assert json.loads(body)["data"][0]["id"] == "tiny-test"
