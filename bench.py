@@ -43,6 +43,7 @@ HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v5p": 2765.0,
 
 CONFIGS = {
     "int8_1b": dict(preset=cfglib.llama32_1b, bits=8, kv_quant=False),
+    "int8kv_1b": dict(preset=cfglib.llama32_1b, bits=8, kv_quant=True),
     "bf16_1b": dict(preset=cfglib.llama32_1b, bits=None, kv_quant=False),
     "int4_1b": dict(preset=cfglib.llama32_1b, bits=4, kv_quant=True),
     "int4_3b": dict(preset=cfglib.llama32_3b, bits=4, kv_quant=True),
