@@ -134,8 +134,8 @@ class Engine:
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
         self._host_rng = np.random.default_rng(0x6ABB)
 
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="gabby-engine")
+        self._thread = threading.Thread(target=self._loop_guarded,
+                                        daemon=True, name="gabby-engine")
         self._thread.start()
 
     # ---- public API ----
@@ -308,6 +308,27 @@ class Engine:
             self._stop_set_cache = set(
                 int(x) for x in np.asarray(self._eos_ids))
         return self._stop_set_cache
+
+    def _loop_guarded(self) -> None:
+        """A dead engine thread must not strand waiting requests: on an
+        unexpected loop error, every in-flight and queued request gets an
+        error finish instead of hanging its HTTP worker forever."""
+        try:
+            self._loop()
+        except Exception as e:  # noqa: BLE001 — deliberately broad
+            import traceback
+            traceback.print_exc()
+            self._shutdown = True
+            for slot_ix, slot in enumerate(self._slots):
+                if slot is not None:
+                    slot.request.out.put((None, f"error: engine died: {e}"))
+                    self._slots[slot_ix] = None
+            while True:
+                try:
+                    self._queue.get_nowait().out.put(
+                        (None, f"error: engine died: {e}"))
+                except queue.Empty:
+                    break
 
     def _loop(self) -> None:
         ec = self.ec

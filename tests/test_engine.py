@@ -122,6 +122,48 @@ def test_max_tokens_cap(engine):
         assert fin == "stop" and n <= 3
 
 
+def test_long_prompt_chunked_prefill(setup):
+    """A prompt spanning several prefill buckets (16/64/256/512) must give
+    the same continuation as the unchunked reference prefill."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=1024, steps_per_call=4,
+                              default_max_tokens=4, cache_dtype="float32"))
+    try:
+        long_text = " ".join(f"w{i}" for i in range(150))  # ~600+ tokens
+        msgs = [{"role": "user", "content": long_text}]
+        from gabby_tpu.tokenizer import ChatFormat
+        n_prompt = len(ChatFormat(tok).prompt_ids(msgs))
+        assert n_prompt > 512, "prompt must span multiple chunks"
+        text, fin, _, _ = eng.generate_sync(msgs, max_tokens=4)
+        ref_ids = reference_generation_long(cfg, params, tok, msgs, 4)
+        assert text == tok.decode(ref_ids)
+    finally:
+        eng.shutdown()
+
+
+def reference_generation_long(cfg, params, tok, messages, max_tokens):
+    from gabby_tpu.tokenizer import ChatFormat
+    chat = ChatFormat(tok)
+    ids = chat.prompt_ids(messages)
+    stop = chat.stop_ids()
+    cache = create_cache(cfg, 1, 1024, dtype=jnp.float32)
+    logits, cache = llama.prefill(
+        params, cfg, jnp.asarray([ids], jnp.int32), cache)
+    out = []
+    t = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    pos = len(ids)
+    while len(out) < max_tokens:
+        if int(t[0]) in stop:
+            break
+        out.append(int(t[0]))
+        logits, cache = llama.decode_step(
+            params, cfg, t, jnp.asarray([pos], jnp.int32), cache)
+        t = jnp.argmax(logits, -1).astype(jnp.int32)
+        pos += 1
+    return out
+
+
 def test_sampling_params_accepted(engine):
     text, fin, _, _ = engine.generate_sync(
         MSGS, max_tokens=4, temperature=0.8, top_k=20, top_p=0.9)
