@@ -83,6 +83,17 @@ class _Slot:
     prompt_len: int = 0
 
 
+@dataclasses.dataclass
+class _Admission:
+    """A request mid-prefill: its chunks interleave with decode calls."""
+
+    slot_ix: int
+    req: Request
+    ids: np.ndarray
+    offset: int = 0
+    last_logits: Optional[jnp.ndarray] = None
+
+
 class Engine:
     """Continuous-batching engine over a fixed slot batch.
 
@@ -223,27 +234,30 @@ class Engine:
         probs /= probs.sum()
         return int(self._host_rng.choice(idx, p=probs))
 
-    def _admit(self, slot_ix: int, req: Request) -> None:
-        """Prefill req's prompt into `slot_ix` and activate the lane."""
-        ids = np.asarray(req.prompt_ids, np.int32)
-        n = len(ids)
-        offset = 0
-        logits = None
-        while offset < n:
-            remaining = n - offset
-            bucket = next((bkt for bkt in PREFILL_BUCKETS if bkt >= remaining),
-                          PREFILL_BUCKETS[-1])
-            take = min(bucket, remaining)
-            chunk = np.zeros((bucket,), np.int32)
-            chunk[:take] = ids[offset:offset + take]
-            logits, self._cache = generate.prefill_slot(
-                self.params, self.cfg, jnp.asarray(chunk),
-                jnp.int32(take), jnp.int32(slot_ix), jnp.int32(offset),
-                self._cache)
-            offset += take
+    def _prefill_one_chunk(self, adm: "_Admission") -> bool:
+        """Advance an in-flight admission by ONE prefill chunk; returns True
+        when the prompt is fully prefilled. One chunk per engine-loop
+        iteration keeps long-prompt admissions from stalling active decode
+        streams for more than a chunk's worth of time (chunked prefill,
+        BASELINE config 5)."""
+        remaining = len(adm.ids) - adm.offset
+        bucket = next((bkt for bkt in PREFILL_BUCKETS if bkt >= remaining),
+                      PREFILL_BUCKETS[-1])
+        take = min(bucket, remaining)
+        chunk = np.zeros((bucket,), np.int32)
+        chunk[:take] = adm.ids[adm.offset:adm.offset + take]
+        adm.last_logits, self._cache = generate.prefill_slot(
+            self.params, self.cfg, jnp.asarray(chunk),
+            jnp.int32(take), jnp.int32(adm.slot_ix), jnp.int32(adm.offset),
+            self._cache)
+        adm.offset += take
+        return adm.offset >= len(adm.ids)
 
+    def _finish_admission(self, adm: "_Admission") -> None:
+        """Activate the fully-prefilled slot and emit its first token."""
+        slot_ix, req, n = adm.slot_ix, adm.req, len(adm.ids)
         first_id = self._sample_host(
-            np.asarray(jax.device_get(logits), np.float32), req)
+            np.asarray(jax.device_get(adm.last_logits), np.float32), req)
         # splice slot scalars on device (tiny arrays; negligible traffic)
         self._tokens = self._tokens.at[slot_ix].set(first_id)
         self._positions = self._positions.at[slot_ix].set(n)
@@ -332,22 +346,34 @@ class Engine:
 
     def _loop(self) -> None:
         ec = self.ec
+        admitting: Optional[_Admission] = None
         while not self._shutdown:
-            # admit as many queued requests as there are free slots
-            admitted = False
-            for slot_ix in self._free_slots():
+            # start a new admission when none is in flight and a slot is free
+            if admitting is None:
+                free = self._free_slots()
+                if free:
+                    try:
+                        req = self._queue.get_nowait()
+                        admitting = _Admission(
+                            slot_ix=free[0], req=req,
+                            ids=np.asarray(req.prompt_ids, np.int32))
+                    except queue.Empty:
+                        pass
+
+            # advance the in-flight admission by ONE chunk, then fall
+            # through to decode: prefill and decode interleave so a long
+            # prompt never stalls active streams for more than a chunk
+            if admitting is not None:
                 try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                try:
-                    self._admit(slot_ix, req)
-                    admitted = True
+                    if self._prefill_one_chunk(admitting):
+                        self._finish_admission(admitting)
+                        admitting = None
                 except Exception as e:  # defensive: bad request params
-                    req.out.put((None, f"error: {e}"))
+                    admitting.req.out.put((None, f"error: {e}"))
+                    admitting = None
 
             if not any(s is not None for s in self._slots):
-                if not admitted:
+                if admitting is None:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                 continue
@@ -376,6 +402,8 @@ class Engine:
                     self._finish(slot_ix, "length")
 
         # drain on shutdown
+        if admitting is not None:
+            admitting.req.out.put((None, "abort"))
         for slot_ix in range(len(self._slots)):
             if self._slots[slot_ix] is not None:
                 self._finish(slot_ix, "abort")
