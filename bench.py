@@ -85,6 +85,75 @@ def _tree_bytes(tree) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(tree))
 
 
+def run_serving(args, spec, cfg, log) -> int:
+    """End-to-end serving benchmark: concurrent chat requests through the
+    continuous-batching Engine (real prefill + decode + streaming), the
+    headline BASELINE metric (output tok/s/chip + p50 TTFT)."""
+    import threading
+
+    from gabby_tpu.runtime.engine import Engine, EngineConfig
+    from gabby_tpu.tokenizer import Tokenizer
+
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if spec["bits"]:
+        params = quant.quantize_tree(params, spec["bits"])
+        params = jax.tree.map(jax.device_put, params)
+    tok = Tokenizer.byte_fallback(cfg.vocab_size)
+    engine = Engine(cfg, params, tok, EngineConfig(
+        batch_slots=args.batch, max_seq=args.max_seq,
+        steps_per_call=args.steps, default_max_tokens=args.gen_tokens,
+        kv_quantized=spec["kv_quant"]))
+
+    prompt_text = ("benchmark " * 200)[:args.prefill_len]
+    msgs = [{"role": "user", "content": prompt_text}]
+    n_requests = args.requests or 3 * args.batch
+
+    # warm all compile paths with one request end-to-end
+    engine.generate_sync(msgs, max_tokens=4)
+    log(f"serving: {n_requests} requests x {args.gen_tokens} tokens, "
+        f"{args.batch} slots")
+
+    done = []
+    lock = threading.Lock()
+
+    def run_one():
+        text, fin, np_, nc = engine.generate_sync(
+            msgs, max_tokens=args.gen_tokens)
+        with lock:
+            done.append(nc)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=run_one) for _ in range(n_requests)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    total_tokens = sum(done)
+    stats = engine.stats_snapshot()
+    engine.shutdown()
+
+    tok_per_s = total_tokens / dt
+    print(json.dumps({
+        "metric": f"serving throughput {args.config} "
+                  f"(slots={args.batch}, prompt~{args.prefill_len}, "
+                  f"gen={args.gen_tokens})",
+        "value": round(tok_per_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(stats.get("p50_ttft_ms", 0.0), 1),
+        "detail": {
+            "requests": n_requests,
+            "wall_s": round(dt, 2),
+            "p50_ttft_ms": stats.get("p50_ttft_ms"),
+            "completion_tokens": total_tokens,
+            "device": jax.devices()[0].device_kind,
+            "note": "vs_baseline field carries p50 TTFT ms (reference "
+                    "publishes no numbers, see BASELINE.md)",
+        },
+    }))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="int8_1b", choices=sorted(CONFIGS))
@@ -98,12 +167,23 @@ def main() -> int:
                    help="seconds each timed region must cover")
     p.add_argument("--prefill-len", type=int, default=512)
     p.add_argument("--json-only", action="store_true")
+    p.add_argument("--serving", action="store_true",
+                   help="benchmark through the continuous-batching engine "
+                        "(concurrent requests, p50 TTFT) instead of raw "
+                        "decode")
+    p.add_argument("--requests", type=int, default=0,
+                   help="serving mode: request count (default 3x slots)")
+    p.add_argument("--gen-tokens", type=int, default=128,
+                   help="serving mode: completion length per request")
     args = p.parse_args()
 
     spec = CONFIGS[args.config]
     cfg = spec["preset"](max_seq_len=args.max_seq)
     log = (lambda *a: None) if args.json_only else (
         lambda *a: print(*a, file=sys.stderr, flush=True))
+
+    if args.serving:
+        return run_serving(args, spec, cfg, log)
 
     log(f"devices: {jax.devices()}")
     log(f"building {args.config}: ~{cfg.num_params()/1e9:.2f}B params")
