@@ -1,9 +1,11 @@
-from gabby_tpu.parallel.mesh import make_mesh, local_mesh
+from gabby_tpu.parallel.mesh import initialize_multihost, local_mesh, make_mesh
 from gabby_tpu.parallel.sharding import (
-    param_specs, param_shardings, shard_params, cache_specs, cache_shardings,
+    cache_shardings, cache_specs, param_shardings, param_specs,
+    shard_params, sharded_device_put_fn,
 )
 
 __all__ = [
-    "make_mesh", "local_mesh", "param_specs", "param_shardings",
-    "shard_params", "cache_specs", "cache_shardings",
+    "make_mesh", "local_mesh", "initialize_multihost",
+    "param_specs", "param_shardings", "shard_params",
+    "sharded_device_put_fn", "cache_specs", "cache_shardings",
 ]

@@ -88,6 +88,26 @@ def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
     return jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
 
 
+def sharded_device_put_fn(mesh: Mesh):
+    """A `device_put_fn` for loader.load_llama_params: places each leaf on
+    its TP sharding AS IT IS LOADED, so a large checkpoint never has to fit
+    unsharded on one device (the 8B/70B multi-chip loading path)."""
+
+    def put(path: tuple, leaf):
+        rule = PARAM_RULES["/".join(str(p) for p in path)]
+        if isinstance(leaf, QTensor):
+            spec = _qtensor_specs(rule, leaf.bits)
+            return QTensor(
+                q=jax.device_put(leaf.q, NamedSharding(mesh, spec.q)),
+                scale=jax.device_put(leaf.scale,
+                                     NamedSharding(mesh, spec.scale)),
+                bits=leaf.bits,
+            )
+        return jax.device_put(leaf, NamedSharding(mesh, rule))
+
+    return put
+
+
 def cache_specs(quantized: bool):
     """Specs for KVCache fields, head-major layout [L, B, K, S, H]
     (+ [L, B, K, S] scales): kv-head axis on "model", slot axis on "data"."""

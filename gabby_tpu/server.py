@@ -32,12 +32,22 @@ def _build_engine(args):
 
     bits = args.quant if args.quant in (4, 8) else None
 
+    mesh = None
+    if args.tp > 1:
+        from gabby_tpu.parallel import make_mesh
+        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[:args.tp])
+
     if args.model_dir:
         from gabby_tpu.loader import load_model_dir
-        import os
+        put_fn = None
+        if mesh is not None:
+            # shard leaves AS they load: big checkpoints never need to fit
+            # unsharded on a single device
+            from gabby_tpu.parallel import sharded_device_put_fn
+            put_fn = sharded_device_put_fn(mesh)
         cfg, params, tokenizer = load_model_dir(
             args.model_dir, dtype=jnp.bfloat16, quant_bits=bits,
-            max_seq_len=args.max_seq)
+            max_seq_len=args.max_seq, device_put_fn=put_fn)
     else:
         preset = getattr(cfglib, args.preset)
         cfg = preset(max_seq_len=args.max_seq)
@@ -51,13 +61,13 @@ def _build_engine(args):
             params = quant.quantize_tree(params, bits)
         tokenizer = Tokenizer.byte_fallback(cfg.vocab_size)
 
-    # tensor-parallel sharding over all local devices when asked
+    # tensor-parallel placement over local devices when asked
     cache_shardings = None
-    if args.tp > 1:
+    if mesh is not None:
         from gabby_tpu.parallel import (cache_shardings as mk_cache_sh,
-                                        make_mesh, shard_params)
-        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[:args.tp])
-        params = shard_params(params, mesh)
+                                        shard_params)
+        if not args.model_dir:  # random weights were built replicated
+            params = shard_params(params, mesh)
         cache_shardings = mk_cache_sh(mesh, quantized=args.kv_quant)
 
     econfig = EngineConfig(

@@ -115,3 +115,27 @@ def test_load_quantized(tmp_path, tiny_setup):
     b = llama.forward(qparams, cfg2, tokens)
     # int8 per-channel should track the fp logits closely on a tiny model
     assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 0.2
+
+
+def test_load_sharded_onto_mesh(tmp_path, tiny_setup):
+    """device_put_fn places every leaf on its TP sharding at load time —
+    the multi-chip loading path (parallel.sharded_device_put_fn)."""
+    from gabby_tpu.parallel import make_mesh, sharded_device_put_fn
+
+    cfg, params = tiny_setup  # tiny: num_kv_heads divides 4
+    d = _write_hf_dir(tmp_path, cfg, params)
+    mesh = make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+    cfg2, sparams, _ = loader.load_model_dir(
+        str(d), dtype=jnp.float32, quant_bits=8,
+        device_put_fn=sharded_device_put_fn(mesh))
+
+    wq = sparams["blocks"]["wq"]
+    assert isinstance(wq, QTensor)
+    # output axis of wq must be split over the 4-way "model" axis
+    shard_shape = wq.q.sharding.shard_shape(wq.q.shape)
+    assert shard_shape[-1] == wq.q.shape[-1] // 4
+    # and compute must still be correct through the sharded tree
+    tokens = jnp.array([[3, 17, 42, 9]], dtype=jnp.int32)
+    a = llama.forward(params, cfg, tokens)
+    b = llama.forward(sparams, cfg2, tokens)
+    assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 0.2
