@@ -110,6 +110,8 @@ class CallbackGenerator : public gabby::Generator {
                 {"content", Value::string(m.content)},
             }));
         }
+        std::vector<ValuePtr> stop;
+        for (const auto& s : req.stop) stop.push_back(Value::string(s));
         auto v = Value::object({
             {"messages", Value::array(std::move(msgs))},
             {"model", Value::string(req.model)},
@@ -118,6 +120,7 @@ class CallbackGenerator : public gabby::Generator {
             {"top_k", Value::number(req.top_k)},
             {"max_tokens", Value::number(req.max_tokens)},
             {"stream", Value::boolean(req.stream)},
+            {"stop", Value::array(std::move(stop))},
         });
         return gabby::json::to_string(*v);
     }

@@ -121,6 +121,21 @@ GenRequest ExtractRequest(const Value& body) {
     if (auto it = obj.find("stream"); it != obj.end()) {
         out.stream = it->second->as_boolean();
     }
+    if (auto it = obj.find("stop"); it != obj.end()) {
+        const auto& v = it->second;
+        if (v->is(json::Type::STR)) {
+            out.stop.push_back(v->as_string());
+        } else if (v->is(json::Type::ARRAY)) {
+            for (const auto& s : v->as_array()) {
+                out.stop.push_back(s->as_string());
+            }
+            if (out.stop.size() > 8) {
+                throw BadRequestException("too many stop sequences (max 8)");
+            }
+        } else if (!v->is(json::Type::NIL)) {
+            throw BadRequestException("'stop' must be a string or array");
+        }
+    }
     return out;
 }
 

@@ -35,6 +35,7 @@ struct GenRequest {
     int top_k = -1;
     int max_tokens = -1;
     bool stream = false;
+    std::vector<std::string> stop;  // stop sequences (OpenAI "stop")
 };
 
 // One unit of generator output. Non-streaming engines emit a single chunk

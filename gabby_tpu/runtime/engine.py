@@ -49,7 +49,12 @@ PREFILL_BUCKETS = (16, 64, 256, 512)
 class EngineConfig:
     batch_slots: int = 8
     max_seq: int = 2048
-    steps_per_call: int = 8
+    # decode steps fused per device call: `steps_per_call` when the batch
+    # is drained (amortizes dispatch), `steps_per_call_busy` while requests
+    # are queued/prefilling (keeps TTFT low — decode bursts between prefill
+    # chunks are the thing a waiting request sits behind)
+    steps_per_call: int = 32
+    steps_per_call_busy: int = 8
     default_max_tokens: int = 512
     default_temperature: float = 0.0   # greedy
     default_top_k: int = 0
@@ -65,6 +70,7 @@ class Request:
     temperature: float
     top_k: int
     top_p: float
+    stop: list[str] = dataclasses.field(default_factory=list)
     # engine pushes (delta_text, finish_reason|None) tuples; a final item
     # always has finish_reason set. On engine shutdown pushes (None, "abort").
     out: "queue.Queue[tuple[Optional[str], Optional[str]]]" = dataclasses.field(
@@ -155,7 +161,8 @@ class Engine:
                max_tokens: Optional[int] = None,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> Request:
+               top_p: Optional[float] = None,
+               stop: Optional[list[str]] = None) -> Request:
         """Queue a chat request. Returns the Request whose `out` queue
         yields (delta_text, finish_reason|None) until a final item."""
         ec = self.ec
@@ -171,6 +178,7 @@ class Engine:
             temperature >= 0 else ec.default_temperature,
             top_k=top_k if top_k is not None and top_k >= 0 else ec.default_top_k,
             top_p=top_p if top_p is not None and 0 < top_p <= 1 else ec.default_top_p,
+            stop=[s for s in (stop or []) if s][:8],
         )
         self._queue.put(req)
         self._wake.set()
@@ -293,11 +301,26 @@ class Engine:
         slot.emitted_ids.append(token_id)
         req.completion_tokens = len(slot.emitted_ids)
         text = self.tokenizer.decode(slot.emitted_ids)
-        # hold back the tail if it ends with a replacement char (an
-        # incomplete UTF-8 sequence split across tokens)
+
+        # stop sequences: finish at the earliest occurrence, never emitting
+        # the stop text itself (OpenAI semantics)
+        if req.stop:
+            hits = [j for j in (text.find(s) for s in req.stop) if j >= 0]
+            if hits:
+                cut = min(hits)
+                if cut > slot.emitted_text_len:
+                    req.out.put((text[slot.emitted_text_len:cut], None))
+                slot.emitted_text_len = len(text)  # suppress the tail flush
+                self._finish(slot_ix, "stop")
+                return
+
+        # hold back: a trailing replacement char (incomplete UTF-8 split
+        # across tokens) and any suffix that could grow into a stop string
         safe = len(text)
         while safe > 0 and text[safe - 1] == "�":
             safe -= 1
+        if req.stop:
+            safe = min(safe, len(text) - max(map(len, req.stop)) + 1)
         if safe > slot.emitted_text_len:
             req.out.put((text[slot.emitted_text_len:safe], None))
             slot.emitted_text_len = safe
@@ -378,13 +401,16 @@ class Engine:
                     self._wake.clear()
                 continue
 
-            # one fused multi-step decode call for the whole batch
+            # one fused multi-step decode call for the whole batch; short
+            # bursts while admissions are pending, long ones when drained
+            busy = admitting is not None or not self._queue.empty()
+            steps = ec.steps_per_call_busy if busy else ec.steps_per_call
             (out_tokens, out_active, self._tokens, self._positions,
              self._active, self._cache, self._sstate) = generate.decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
-                self._active, self._cache, self._sstate, ec.steps_per_call,
+                self._active, self._cache, self._sstate, steps,
                 eos_ids=self._eos_ids)
-            self.stats["decode_steps"] += ec.steps_per_call
+            self.stats["decode_steps"] += steps
 
             toks = np.asarray(jax.device_get(out_tokens))      # [K, B]
             emitted = np.asarray(jax.device_get(out_active))   # [K, B]

@@ -95,6 +95,7 @@ def make_handler(engine):
             top_k=request.get("top_k") if request.get("top_k", -1) >= 0 else None,
             top_p=(request["top_p"]
                    if 0 < request.get("top_p", -1) <= 1 else None),
+            stop=request.get("stop") or None,
         )
         req = engine.submit(messages, **kw)
         streaming = bool(request.get("stream"))

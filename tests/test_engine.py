@@ -164,6 +164,21 @@ def reference_generation_long(cfg, params, tok, messages, max_tokens):
     return out
 
 
+def test_stop_sequences(engine, setup):
+    """Generation halts at the stop string; the stop text is never emitted;
+    finish_reason is 'stop'."""
+    cfg, params, tok = setup
+    # discover what the model greedily emits, pick a mid-output substring
+    full, _, _, _ = engine.generate_sync(MSGS, max_tokens=8)
+    if len(full) < 3:
+        pytest.skip("model output too short to carve a stop from")
+    stop = full[2:4]
+    text, fin, _, _ = engine.generate_sync(MSGS, max_tokens=8, stop=[stop])
+    assert fin == "stop"
+    assert stop not in text
+    assert text == full[:full.find(stop)]
+
+
 def test_sampling_params_accepted(engine):
     text, fin, _, _ = engine.generate_sync(
         MSGS, max_tokens=4, temperature=0.8, top_k=20, top_p=0.9)

@@ -136,6 +136,24 @@ def test_protocol_errors(server):
     assert status == 404
 
 
+def test_stop_sequence_via_api(server):
+    s, b = _post(server, "/v1/chat/completions", CHAT)
+    full = json.loads(b)["choices"][0]["message"]["content"]
+    if len(full) < 3:
+        pytest.skip("output too short")
+    stop = full[1:3]
+    s, b = _post(server, "/v1/chat/completions", {**CHAT, "stop": stop})
+    out = json.loads(b)["choices"][0]
+    assert s == 200
+    assert stop not in out["message"]["content"]
+    assert out["finish_reason"] == "stop"
+    # array form + validation
+    s, _ = _post(server, "/v1/chat/completions",
+                 {**CHAT, "stop": ["a", "b", "c", "d", "e", "f", "g", "h",
+                                   "i"]})
+    assert s == 400  # > 8 stops rejected
+
+
 def test_statusz_and_models(server):
     _post(server, "/v1/chat/completions", CHAT)
     status, body = _get(server, "/statusz")
