@@ -155,17 +155,122 @@ def load_llama_params(model_dir: str, cfg: ModelConfig, *, dtype=jnp.bfloat16,
     return params
 
 
+# ---- pre-quantized checkpoints (quantize once, serve many times) -------
+
+GABBY_META = "gabby.json"
+
+
+def _flatten_params(params: dict, prefix="") -> tuple[dict[str, np.ndarray],
+                                                      dict[str, int]]:
+    """Params pytree -> (flat tensors, per-QTensor bits).
+    QTensor leaves become <name>.q / <name>.scale."""
+    flat: dict[str, np.ndarray] = {}
+    qbits: dict[str, int] = {}
+    for k, v in params.items():
+        name = f"{prefix}{k}"
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            sub, subbits = _flatten_params(v, name + ".")
+            flat.update(sub)
+            qbits.update(subbits)
+        elif isinstance(v, quant.QTensor):
+            flat[name + ".q"] = np.asarray(v.q)
+            flat[name + ".scale"] = np.asarray(v.scale)
+            qbits[name] = v.bits
+        else:
+            flat[name] = np.asarray(v)
+    return flat, qbits
+
+
+def save_quantized(out_dir: str, cfg: ModelConfig, params: dict,
+                   bits: int, *, src_dir: Optional[str] = None) -> None:
+    """Writes a pre-quantized checkpoint: the params pytree flattened into
+    one safetensors file + gabby.json metadata; tokenizer/config JSONs are
+    copied from src_dir when given so the directory serves standalone."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    flat, qbits = _flatten_params(params)
+    write_safetensors(os.path.join(out_dir, "model.safetensors"), flat)
+    with open(os.path.join(out_dir, GABBY_META), "w") as f:
+        json.dump({"format": "gabby-quant", "bits": bits, "qbits": qbits,
+                   "config": {k: v for k, v in cfg.__dict__.items()
+                              if k != "rope_scaling"},
+                   "rope_scaling": (cfg.rope_scaling.__dict__
+                                    if cfg.rope_scaling else None)}, f)
+    if src_dir:
+        for name in ("config.json", "generation_config.json",
+                     "tokenizer.json", "tokenizer_config.json",
+                     "special_tokens_map.json"):
+            src = os.path.join(src_dir, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, name))
+
+
+def load_quantized(model_dir: str, *, max_seq_len: Optional[int] = None,
+                   dtype=jnp.bfloat16, device_put_fn=None):
+    """Loads a save_quantized() directory. Returns (cfg, params, bits)."""
+    with open(os.path.join(model_dir, GABBY_META)) as f:
+        meta = json.load(f)
+    assert meta.get("format") == "gabby-quant", "not a gabby checkpoint"
+    from gabby_tpu.config import RopeScaling
+    cfg_kv = dict(meta["config"])
+    cfg_kv["rope_scaling"] = (RopeScaling(**meta["rope_scaling"])
+                              if meta.get("rope_scaling") else None)
+    cfg_kv["eos_token_ids"] = tuple(cfg_kv.get("eos_token_ids", ()))
+    if max_seq_len is not None:
+        cfg_kv["max_seq_len"] = max_seq_len
+    cfg = ModelConfig(**cfg_kv)
+
+    flat = read_safetensors(os.path.join(model_dir, "model.safetensors"))
+    qbits: dict[str, int] = meta["qbits"]
+    put = device_put_fn or (lambda path, x: x)
+
+    params: dict[str, Any] = {}
+    for name in sorted(set(n[:-2] if n.endswith(".q") else
+                           n[:-6] if n.endswith(".scale") else n
+                           for n in flat)):
+        parts = name.split(".")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        path = tuple(parts)
+        if name in qbits:
+            leaf = quant.QTensor(q=jnp.asarray(flat[name + ".q"]),
+                                 scale=jnp.asarray(flat[name + ".scale"]),
+                                 bits=int(qbits[name]))
+        else:
+            arr = flat[name]
+            leaf = jnp.asarray(arr).astype(
+                dtype if np.issubdtype(arr.dtype, np.floating) else arr.dtype)
+        node[parts[-1]] = put(path, leaf)
+    params.setdefault("lm_head", None)
+    return cfg, params, int(meta["bits"])
+
+
 def load_model_dir(model_dir: str, *, dtype=jnp.bfloat16,
                    quant_bits: Optional[int] = None,
                    max_seq_len: Optional[int] = None,
                    device_put_fn=None):
     """Load the five HF JSONs + weights, mirroring the reference's
     InferenceConfig aggregation (/root/reference/src/inference/config.cc:11-28)
-    but producing live objects instead of parsed DOMs.
+    but producing live objects instead of parsed DOMs. Directories written
+    by save_quantized() load directly (quant_bits then comes from the
+    checkpoint's own metadata).
 
     Returns (cfg, params, tokenizer | None).
     """
     from gabby_tpu.tokenizer import Tokenizer
+
+    if os.path.exists(os.path.join(model_dir, GABBY_META)):
+        cfg, params, _bits = load_quantized(
+            model_dir, max_seq_len=max_seq_len, dtype=dtype,
+            device_put_fn=device_put_fn)
+        tok_path = os.path.join(model_dir, "tokenizer.json")
+        tokenizer = (Tokenizer.from_file(tok_path)
+                     if os.path.exists(tok_path) else None)
+        return cfg, params, tokenizer
 
     overrides: dict[str, Any] = {}
     if max_seq_len is not None:

@@ -412,8 +412,13 @@ class Engine:
                 eos_ids=self._eos_ids)
             self.stats["decode_steps"] += steps
 
-            toks = np.asarray(jax.device_get(out_tokens))      # [K, B]
-            emitted = np.asarray(jax.device_get(out_active))   # [K, B]
+            # ONE host transfer for everything this iteration needs
+            kb = steps * len(self._slots)
+            packed = np.asarray(jax.device_get(generate.pack_host_view(
+                out_tokens, out_active, self._active)))
+            toks = packed[:kb].reshape(steps, -1)               # [K, B]
+            emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
+            active_host = packed[2 * kb:] != 0                   # [B]
             for step in range(toks.shape[0]):
                 for slot_ix in range(toks.shape[1]):
                     if emitted[step, slot_ix] and self._slots[slot_ix]:
@@ -422,7 +427,6 @@ class Engine:
             # a slot the DEVICE deactivated without an EOS hit its cache
             # capacity (decode_loop's new_pos < max_seq guard): finish it
             # host-side or its request would hang forever
-            active_host = np.asarray(jax.device_get(self._active))
             for slot_ix, slot in enumerate(self._slots):
                 if slot is not None and not active_host[slot_ix]:
                     self._finish(slot_ix, "length")

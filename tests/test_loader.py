@@ -139,3 +139,27 @@ def test_load_sharded_onto_mesh(tmp_path, tiny_setup):
     a = llama.forward(params, cfg, tokens)
     b = llama.forward(sparams, cfg2, tokens)
     assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 0.2
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path, tiny_setup):
+    """save_quantized -> load_model_dir reproduces the same logits as
+    quantizing at load time (the quantize-once-serve-many path)."""
+    cfg, params = tiny_setup
+    (tmp_path / "src").mkdir()
+    src = _write_hf_dir(tmp_path / "src", cfg, params)
+    cfg1, q1, _ = loader.load_model_dir(str(src), quant_bits=8,
+                                        dtype=jnp.float32)
+    out = tmp_path / "quantized"
+    loader.save_quantized(str(out), cfg1, q1, 8, src_dir=str(src))
+
+    cfg2, q2, tok = loader.load_model_dir(str(out), dtype=jnp.float32)
+    assert isinstance(q2["blocks"]["wq"], QTensor)
+    assert q2["blocks"]["wq"].bits == 8
+    tokens = jnp.array([[3, 17, 42, 9]], dtype=jnp.int32)
+    a = llama.forward(q1, cfg1, tokens)
+    b = llama.forward(q2, cfg2, tokens)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2, rtol=2e-2)
+    # max_seq override applies to prequantized checkpoints too
+    cfg3, _, _ = loader.load_model_dir(str(out), max_seq_len=64)
+    assert cfg3.max_seq_len == 64
