@@ -87,6 +87,9 @@ class _Slot:
     emitted_ids: list[int] = dataclasses.field(default_factory=list)
     emitted_text_len: int = 0
     prompt_len: int = 0
+    # first token was sampled on device at admission; emit it from the
+    # next packed host fetch
+    first_pending: bool = False
 
 
 @dataclasses.dataclass
@@ -149,7 +152,7 @@ class Engine:
         self.stats = {"requests": 0, "completion_tokens": 0,
                       "prompt_tokens": 0, "decode_steps": 0}
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
-        self._host_rng = np.random.default_rng(0x6ABB)
+        self._admit_key = jax.random.PRNGKey(0x6ABB)
 
         self._thread = threading.Thread(target=self._loop_guarded,
                                         daemon=True, name="gabby-engine")
@@ -220,28 +223,6 @@ class Engine:
     def _free_slots(self) -> list[int]:
         return [i for i, s in enumerate(self._slots) if s is None]
 
-    def _sample_host(self, logits: np.ndarray, req: Request) -> int:
-        """Sample the FIRST token (from prefill logits) on the host with the
-        request's sampling params — same semantics as ops/sampling.sample
-        for a single row."""
-        if req.temperature <= 0:
-            return int(np.argmax(logits))
-        cand = 128
-        idx = np.argpartition(logits, -cand)[-cand:]
-        idx = idx[np.argsort(logits[idx])[::-1]]  # descending
-        vals = logits[idx].astype(np.float64) / max(req.temperature, 1e-6)
-        keep = np.ones(cand, bool)
-        if req.top_k > 0:
-            keep &= np.arange(cand) < req.top_k
-        probs = np.exp(vals - vals.max())
-        probs /= probs.sum()
-        if req.top_p < 1.0:
-            cum = np.cumsum(probs)
-            keep &= (cum - probs) < req.top_p
-        probs = np.where(keep, probs, 0.0)
-        probs /= probs.sum()
-        return int(self._host_rng.choice(idx, p=probs))
-
     def _prefill_one_chunk(self, adm: "_Admission") -> bool:
         """Advance an in-flight admission by ONE prefill chunk; returns True
         when the prompt is fully prefilled. One chunk per engine-loop
@@ -262,32 +243,24 @@ class Engine:
         return adm.offset >= len(adm.ids)
 
     def _finish_admission(self, adm: "_Admission") -> None:
-        """Activate the fully-prefilled slot and emit its first token."""
+        """Activate the fully-prefilled slot ON DEVICE (first token sampled
+        there too; it reaches the host in the next packed fetch)."""
         slot_ix, req, n = adm.slot_ix, adm.req, len(adm.ids)
-        first_id = self._sample_host(
-            np.asarray(jax.device_get(adm.last_logits), np.float32), req)
-        # splice slot scalars on device (tiny arrays; negligible traffic)
-        self._tokens = self._tokens.at[slot_ix].set(first_id)
-        self._positions = self._positions.at[slot_ix].set(n)
-        self._active = self._active.at[slot_ix].set(True)
-        s = self._sstate
-        self._sstate = dataclasses.replace(
-            s,
-            temperature=s.temperature.at[slot_ix].set(req.temperature),
-            top_k=s.top_k.at[slot_ix].set(req.top_k),
-            top_p=s.top_p.at[slot_ix].set(req.top_p),
-        )
+        self._admit_key, sub = jax.random.split(self._admit_key)
+        (self._tokens, self._positions, self._active,
+         self._sstate) = generate.admit_slot(
+            adm.last_logits, jnp.int32(slot_ix), jnp.int32(n),
+            req.temperature, req.top_k, req.top_p, sub,
+            self._tokens, self._positions, self._active, self._sstate)
 
-        slot = _Slot(request=req, prompt_len=n)
+        slot = _Slot(request=req, prompt_len=n, first_pending=True)
         self._slots[slot_ix] = slot
         self.stats["requests"] += 1
         self.stats["prompt_tokens"] += n
-        # first generated token comes straight from the prefill logits
         req.first_token_ts = time.monotonic()
         self._ttfts.append(req.first_token_ts - req.submit_ts)
         if len(self._ttfts) > 1024:
             del self._ttfts[:512]
-        self._emit_token(slot_ix, first_id)
 
     def _emit_token(self, slot_ix: int, token_id: int) -> None:
         """Append a token to the slot's request; stream decoded delta."""
@@ -405,6 +378,7 @@ class Engine:
             # bursts while admissions are pending, long ones when drained
             busy = admitting is not None or not self._queue.empty()
             steps = ec.steps_per_call_busy if busy else ec.steps_per_call
+            pre_tokens = self._tokens  # holds just-admitted first tokens
             (out_tokens, out_active, self._tokens, self._positions,
              self._active, self._cache, self._sstate) = generate.decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
@@ -413,12 +387,21 @@ class Engine:
             self.stats["decode_steps"] += steps
 
             # ONE host transfer for everything this iteration needs
-            kb = steps * len(self._slots)
+            b = len(self._slots)
+            kb = steps * b
             packed = np.asarray(jax.device_get(generate.pack_host_view(
-                out_tokens, out_active, self._active)))
+                out_tokens, out_active, self._active, pre_tokens)))
             toks = packed[:kb].reshape(steps, -1)               # [K, B]
             emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
-            active_host = packed[2 * kb:] != 0                   # [B]
+            active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
+            first_toks = packed[2 * kb + b:]                     # [B]
+
+            # deliver on-device-sampled first tokens of fresh admissions
+            # BEFORE this call's decode outputs (generation order)
+            for slot_ix, slot in enumerate(self._slots):
+                if slot is not None and slot.first_pending:
+                    slot.first_pending = False
+                    self._emit_token(slot_ix, int(first_toks[slot_ix]))
             for step in range(toks.shape[0]):
                 for slot_ix in range(toks.shape[1]):
                     if emitted[step, slot_ix] and self._slots[slot_ix]:
