@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from gabby_tpu.config import ModelConfig
 from gabby_tpu.ops.attention import (cache_attention,
                                      cache_attention_quantized,
-                                     causal_attention)
+                                     causal_attention,
+                                     slot_prefill_attention)
 from gabby_tpu.ops.linear import linear
 from gabby_tpu.ops.norms import rms_norm
 from gabby_tpu.ops.rope import apply_rope, rope_inv_freq
@@ -288,28 +289,15 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             vc = jax.lax.dynamic_update_slice(vc, v_codes, (slot, zero, offset, zero))
             ksc = jax.lax.dynamic_update_slice(ksc, k_s, (slot, zero, offset))
             vsc = jax.lax.dynamic_update_slice(vsc, v_s, (slot, zero, offset))
-            row_k = jax.lax.dynamic_index_in_dim(kc, slot, 0, keepdims=True)
-            row_ks = jax.lax.dynamic_index_in_dim(ksc, slot, 0, keepdims=True)
-            kk = dequantize_kv(row_k, row_ks, k.dtype)  # [1, Nk, S, H]
-            row_v = jax.lax.dynamic_index_in_dim(vc, slot, 0, keepdims=True)
-            row_vs = jax.lax.dynamic_index_in_dim(vsc, slot, 0, keepdims=True)
-            vv = dequantize_kv(row_v, row_vs, v.dtype)
             ys = (kc, vc, ksc, vsc)
+            attn = slot_prefill_attention(q, kc, vc, slot, offset, ksc, vsc)
         else:
             kc = jax.lax.dynamic_update_slice(kc, kT.astype(kc.dtype),
                                               (slot, zero, offset, zero))
             vc = jax.lax.dynamic_update_slice(vc, vT.astype(vc.dtype),
                                               (slot, zero, offset, zero))
-            kk = jax.lax.dynamic_index_in_dim(kc, slot, 0, keepdims=True).astype(k.dtype)
-            vv = jax.lax.dynamic_index_in_dim(vc, slot, 0, keepdims=True).astype(v.dtype)
             ys = (kc, vc)
-        kk = jnp.swapaxes(kk, 1, 2)  # [1, S, Nk, H] for causal attention
-        vv = jnp.swapaxes(vv, 1, 2)
-
-        # causal mask j <= offset + i over the full cache row (q_offset is
-        # traced here; causal_attention's mask math is arithmetic, so that's
-        # fine under jit)
-        attn = causal_attention(q, kk, vv, q_offset=offset)
+            attn = slot_prefill_attention(q, kc, vc, slot, offset)
         h = h + linear(attn.reshape(1, t, cfg.q_dim), blk["wo"])
         xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(blk, xn2)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free
@@ -99,6 +100,39 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     out = _gqa_core(_split_groups(q, nk), jnp.swapaxes(k_cache, 1, 2),
                     jnp.swapaxes(v_cache, 1, 2), mask, scale)
     return out.astype(q.dtype)
+
+
+def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                           v_cache: jnp.ndarray, slot: jnp.ndarray,
+                           offset: jnp.ndarray, k_scale=None, v_scale=None,
+                           *, scale: Optional[float] = None) -> jnp.ndarray:
+    """Chunked-prefill attention for ONE slot: q [1, T, Nq, H] (the chunk's
+    queries at global positions offset..offset+T-1) against cache row
+    `slot` of the head-major cache [B, Nk, S, H], whose entries
+    [0, offset+T) are valid (the chunk's own k/v already written). Causal:
+    query i attends keys j <= offset + i. k/v_scale: [B, Nk, S] when the
+    cache is INT8.
+
+    Pallas path streams the row in place with chunk skipping; this jnp body
+    slices + dequantizes the row and runs the causal reference."""
+    from gabby_tpu.ops import pallas as pk
+    if pk.kernels_enabled() and q.shape[2] % k_cache.shape[1] == 0:
+        from gabby_tpu.ops.pallas import prefill_attention as pfa
+        return pfa.prefill_attention(q, k_cache, v_cache, slot, offset,
+                                     k_scale, v_scale, scale=scale)
+    row_k = jax.lax.dynamic_index_in_dim(k_cache, slot, 0, keepdims=True)
+    row_v = jax.lax.dynamic_index_in_dim(v_cache, slot, 0, keepdims=True)
+    if k_scale is not None:
+        from gabby_tpu.runtime.kv_cache import dequantize_kv
+        ks = jax.lax.dynamic_index_in_dim(k_scale, slot, 0, keepdims=True)
+        vs = jax.lax.dynamic_index_in_dim(v_scale, slot, 0, keepdims=True)
+        kk = dequantize_kv(row_k, ks, q.dtype)
+        vv = dequantize_kv(row_v, vs, q.dtype)
+    else:
+        kk, vv = row_k.astype(q.dtype), row_v.astype(q.dtype)
+    kk = jnp.swapaxes(kk, 1, 2)  # [1, S, Nk, H]
+    vv = jnp.swapaxes(vv, 1, 2)
+    return causal_attention(q, kk, vv, q_offset=offset, scale=scale)
 
 
 def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,

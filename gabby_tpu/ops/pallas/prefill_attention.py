@@ -1,0 +1,171 @@
+"""Flash prefill attention for single-slot chunked prefill (Pallas).
+
+The admission path (runtime/engine -> models/llama.prefill_slot) attends a
+[T]-bucket chunk of ONE slot's prompt against that slot's cache row. The
+jnp fallback materializes the (dequantized) [S, H] row and scores the full
+row per layer; this kernel streams the row chunk-by-chunk with an online
+softmax and:
+
+  * clamps trailing chunks past offset+T to the last needed chunk index —
+    consecutive identical block indices skip the HBM fetch, so a chunk at
+    offset 0 of an 8k cache touches ~T rows, not 8k (scalar-prefetched
+    slot/offset feed the index map);
+  * reads the cache IN PLACE via the index map (the jnp path's
+    dynamic_index_in_dim copies the whole row out of the cache first);
+  * folds INT8 KV scales into scores/probabilities (no dequantized plane).
+
+Grid = (Nk, S-chunks); each program owns all G*T query rows of one kv head
+(queries live in VMEM across the whole chunk sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gabby_tpu.ops import pallas as pk
+
+NEG_INF = -1e30
+CHUNK = 1024
+
+
+def _kernel(scal_ref, q_ref, k_ref, v_ref, *rest, sm_scale, chunk, t,
+            quant):
+    """scal: [2] SMEM (slot, offset); q: [1, G*T, H]; k/v: [1, 1, C, H];
+    (quant: ks/vs [1, 1, 1, C]); out [1, G*T, H];
+    scratch m,l [G*T, 1] f32, acc [G*T, H] f32."""
+    if quant:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+        ks_ref = vs_ref = None
+    offset = scal_ref[1]
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c * chunk <= offset + t - 1)
+    def _():
+        qg = q_ref[0].astype(jnp.bfloat16)            # [G*T, H]
+        k = k_ref[0, 0].astype(jnp.bfloat16)          # [C, H]
+        v = v_ref[0, 0].astype(jnp.bfloat16)          # [C, H]
+        scores = jax.lax.dot_general(
+            qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [G*T, C]
+        if ks_ref is not None:
+            scores = scores * (ks_ref[0, 0, 0, :] * sm_scale)[None, :]
+        else:
+            scores = scores * sm_scale
+        # causal: key j (global c*chunk + col) <= offset + (row % T)
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % t
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + c * chunk <= offset + row, scores, NEG_INF)
+
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        pv = p * vs_ref[0, 0, 0, :][None, :] if vs_ref is not None else p
+        m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            pv.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t", "sm_scale", "out_dtype",
+                                    "interpret"))
+def _prefill_call(q3, k_cache, v_cache, k_scale, v_scale, scal, *, t: int,
+                  sm_scale: float, out_dtype, interpret: bool):
+    """q3: [Nk, G*T, H]; k/v_cache: [B, Nk, S, H];
+    k/v_scale: [B, Nk, 1, S] or None; scal: [2] i32 (slot, offset)."""
+    nk, gt, h = q3.shape
+    s = k_cache.shape[2]
+    chunk = min(CHUNK, s)
+    n_chunks = pl.cdiv(s, chunk)
+    quant = k_scale is not None
+
+    def last_needed(scal_ref):
+        # the furthest key any query in this chunk can see: offset + t - 1
+        return (scal_ref[1] + t - 1) // chunk
+
+    def kv_map(hh, cc, scal_ref):
+        # chunks past the last needed one repeat its index -> no re-fetch
+        # (slot/offset arrive via scalar prefetch)
+        return (scal_ref[0], hh, jnp.minimum(cc, last_needed(scal_ref)), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, gt, h), lambda hh, cc, sc: (hh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q3, k_cache, v_cache]
+    if quant:
+        def sc_map(hh, cc, scal_ref):
+            return (scal_ref[0], hh, 0, jnp.minimum(cc,
+                                                    last_needed(scal_ref)))
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nk, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, gt, h), lambda hh, cc, sc: (hh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((gt, 1), jnp.float32),
+            pltpu.VMEM((gt, 1), jnp.float32),
+            pltpu.VMEM((gt, h), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel, sm_scale=sm_scale, chunk=chunk,
+                               t=t, quant=quant)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nk, gt, h), out_dtype),
+        interpret=interpret,
+    )(scal, *args)
+
+
+def prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                      v_cache: jnp.ndarray, slot: jnp.ndarray,
+                      offset: jnp.ndarray, k_scale=None, v_scale=None, *,
+                      scale=None) -> jnp.ndarray:
+    """q: [1, T, Nq, H] chunk queries; k/v_cache: [B, Nk, S, H] with the
+    chunk's k/v already written at [slot, :, offset:offset+T]. Causal:
+    query i attends keys j <= offset + i. Returns [1, T, Nq, H] (q dtype).
+    """
+    _, t, nq, h = q.shape
+    nk = k_cache.shape[1]
+    g = nq // nk
+    sm_scale = float(scale) if scale is not None else h ** -0.5
+    # [1, T, Nq, H] -> [Nk, G, T, H] -> [Nk, G*T, H]
+    q3 = q[0].reshape(t, nk, g, h).transpose(1, 2, 0, 3).reshape(nk, g * t, h)
+    ks = k_scale[:, :, None, :] if k_scale is not None else None
+    vs = v_scale[:, :, None, :] if v_scale is not None else None
+    scal = jnp.stack([slot.astype(jnp.int32), offset.astype(jnp.int32)])
+    out = _prefill_call(q3, k_cache, v_cache, ks, vs, scal, t=t,
+                        sm_scale=sm_scale, out_dtype=q.dtype,
+                        interpret=pk.interpret_mode())
+    # [Nk, G*T, H] -> [1, T, Nq, H]
+    return out.reshape(nk, g, t, h).transpose(2, 0, 1, 3).reshape(
+        1, t, nq, h)

@@ -139,3 +139,56 @@ def test_decode_step_with_kernels_enabled():
     pk.set_kernels(False)
     np.testing.assert_allclose(np.asarray(logits_k), np.asarray(logits_ref),
                                rtol=5e-2, atol=5e-1)
+
+
+# ---- flash prefill (slot chunked prefill) ----
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("t,offset", [(16, 0), (8, 24), (32, 32)])
+def test_prefill_attention_matches_reference(quantized, t, offset):
+    from gabby_tpu.ops.pallas import prefill_attention as pfa
+
+    b, nk, g, h, s = 3, 4, 2, 64, 64
+    nq = nk * g
+    slot = 1
+    q = (_rand(0, 1, t, nq, h) * 0.5).astype(jnp.bfloat16)
+    kc_f = _rand(1, b, nk, s, h) * 0.5
+    vc_f = _rand(2, b, nk, s, h) * 0.5
+    if quantized:
+        kc, ks = quantize_kv(kc_f)
+        vc, vs = quantize_kv(vc_f)
+    else:
+        kc, vc = kc_f.astype(jnp.bfloat16), vc_f.astype(jnp.bfloat16)
+        ks = vs = None
+
+    ref = attn_ref.slot_prefill_attention(
+        q, kc, vc, jnp.int32(slot), jnp.int32(offset), ks, vs)
+    out = pfa.prefill_attention(q, kc, vc, jnp.int32(slot),
+                                jnp.int32(offset), ks, vs)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_prefill_slot_end_to_end_with_kernels():
+    """prefill_slot with kernels on must give the same last-token logits as
+    the jnp path (int8 KV; the serving admission path)."""
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.runtime.kv_cache import create_cache
+
+    cfg = cfglib.tiny(num_heads=8, num_kv_heads=4, head_dim=64,
+                      hidden_size=256, intermediate_size=256, vocab_size=256,
+                      max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tokens = jnp.arange(16, dtype=jnp.int32)
+    cache = create_cache(cfg, 2, 64, quantized=True)
+    l_ref, _ = llama.prefill_slot(params, cfg, tokens, jnp.int32(16),
+                                  jnp.int32(1), jnp.int32(0), cache)
+    pk.set_kernels(True)
+    cache = create_cache(cfg, 2, 64, quantized=True)
+    l_k, _ = llama.prefill_slot(params, cfg, tokens, jnp.int32(16),
+                                jnp.int32(1), jnp.int32(0), cache)
+    pk.set_kernels(False)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
+                               rtol=5e-2, atol=5e-1)
