@@ -156,7 +156,7 @@ def run_serving(args, spec, cfg, log) -> int:
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--config", default="int8_1b", choices=sorted(CONFIGS))
+    p.add_argument("--config", default="int8kv_1b", choices=sorted(CONFIGS))
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024,
                    help="KV depth per slot when measuring decode")

@@ -44,3 +44,11 @@ def set_kernels(enabled: Optional[bool]) -> None:
 def interpret_mode() -> bool:
     """Run kernels through the Pallas interpreter off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
+
+
+def int8_matmul_kernel() -> bool:
+    """Whether the fused matmul kernel also takes INT8 (not just INT4).
+    Default off: XLA's int8 dequant matmul measured faster in the
+    XLA-attention configuration; flip with GABBY_QMM_INT8=1 to re-measure
+    as the surrounding op mix changes."""
+    return os.environ.get("GABBY_QMM_INT8") == "1"

@@ -105,7 +105,8 @@ def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     # matmul is faster than ours (it overlaps weight streaming with
     # neighboring ops; a custom call is an opaque barrier).
     from gabby_tpu.ops import pallas as pk
-    if qt.q.ndim == 2 and qt.bits == 4 and pk.kernels_enabled():
+    if (qt.q.ndim == 2 and pk.kernels_enabled()
+            and (qt.bits == 4 or pk.int8_matmul_kernel())):
         from gabby_tpu.ops.pallas import quant_matmul as pqm
         if pqm.supported(qt.shape[0], qt.shape[1], qt.bits):
             return pqm.qmatmul(x, qt.q, qt.scale, qt.bits)
