@@ -114,6 +114,8 @@ class CallbackGenerator : public gabby::Generator {
         for (const auto& s : req.stop) stop.push_back(Value::string(s));
         auto v = Value::object({
             {"messages", Value::array(std::move(msgs))},
+            {"raw", Value::boolean(req.raw)},
+            {"prompt", Value::string(req.raw_prompt)},
             {"model", Value::string(req.model)},
             {"temperature", Value::number(req.temperature)},
             {"top_p", Value::number(req.top_p)},

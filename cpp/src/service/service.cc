@@ -50,6 +50,51 @@ ValuePtr MakeResponse(const std::string& id, const std::string& model,
     });
 }
 
+ValuePtr MakeCompletionResponse(const std::string& id,
+                                const std::string& model,
+                                const std::string& text,
+                                const std::string& finish_reason,
+                                int prompt_tokens, int completion_tokens) {
+    auto choice = Value::object({
+        {"index", Value::number(0)},
+        {"text", Value::string(text)},
+        {"logprobs", Value::nil()},
+        {"finish_reason", Value::string(finish_reason)},
+    });
+    auto usage = Value::object({
+        {"prompt_tokens", Value::number(prompt_tokens)},
+        {"completion_tokens", Value::number(completion_tokens)},
+        {"total_tokens", Value::number(prompt_tokens + completion_tokens)},
+    });
+    return Value::object({
+        {"id", Value::string(id)},
+        {"object", Value::string("text_completion")},
+        {"created", Value::number(static_cast<double>(NowEpochSecs()))},
+        {"model", Value::string(model)},
+        {"choices", Value::array({choice})},
+        {"usage", usage},
+    });
+}
+
+ValuePtr MakeCompletionStreamChunk(const std::string& id,
+                                   const std::string& model,
+                                   const std::string& text, bool done,
+                                   const std::string& finish_reason) {
+    auto choice = Value::object({
+        {"index", Value::number(0)},
+        {"text", Value::string(text)},
+        {"finish_reason",
+         done ? Value::string(finish_reason) : Value::nil()},
+    });
+    return Value::object({
+        {"id", Value::string(id)},
+        {"object", Value::string("text_completion")},
+        {"created", Value::number(static_cast<double>(NowEpochSecs()))},
+        {"model", Value::string(model)},
+        {"choices", Value::array({choice})},
+    });
+}
+
 ValuePtr MakeStreamChunk(const std::string& id, const std::string& model,
                          const std::string& delta, bool done,
                          const std::string& finish_reason) {
@@ -74,33 +119,10 @@ ValuePtr MakeStreamChunk(const std::string& id, const std::string& model,
 
 }  // namespace
 
-GenRequest ExtractRequest(const Value& body) {
-    const auto& obj = body.as_object();
-    GenRequest out;
-
-    auto messages = obj.find("messages");
-    if (messages == obj.end()) {
-        throw BadRequestException("missing 'messages'");
-    }
-    const auto& arr = messages->second->as_array();
-    if (arr.empty()) throw BadRequestException("'messages' is empty");
-    for (const auto& m : arr) {
-        const auto& mo = m->as_object();
-        auto role = mo.find("role");
-        auto content = mo.find("content");
-        if (role == mo.end() || content == mo.end()) {
-            throw BadRequestException("message needs 'role' and 'content'");
-        }
-        const std::string& r = role->second->as_string();
-        if (r != "system" && r != "user" && r != "assistant") {
-            throw BadRequestException("unsupported role: " + r);
-        }
-        out.messages.push_back({r, content->second->as_string()});
-    }
-    if (out.messages.back().role != "user") {
-        throw BadRequestException("last message must be from 'user'");
-    }
-
+namespace {
+// Shared sampling/stream/stop parameter extraction.
+void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
+                   GenRequest& out) {
     auto num = [&](const char* key, double lo, double hi) -> double {
         auto it = obj.find(key);
         if (it == obj.end() || it->second->is(json::Type::NIL)) return -1;
@@ -136,6 +158,49 @@ GenRequest ExtractRequest(const Value& body) {
             throw BadRequestException("'stop' must be a string or array");
         }
     }
+}
+}  // namespace
+
+GenRequest ExtractCompletionRequest(const Value& body) {
+    const auto& obj = body.as_object();
+    GenRequest out;
+    out.raw = true;
+    auto prompt = obj.find("prompt");
+    if (prompt == obj.end() || !prompt->second->is(json::Type::STR)) {
+        throw BadRequestException("missing string 'prompt'");
+    }
+    out.raw_prompt = prompt->second->as_string();
+    ExtractCommon(obj, out);
+    return out;
+}
+
+GenRequest ExtractRequest(const Value& body) {
+    const auto& obj = body.as_object();
+    GenRequest out;
+
+    auto messages = obj.find("messages");
+    if (messages == obj.end()) {
+        throw BadRequestException("missing 'messages'");
+    }
+    const auto& arr = messages->second->as_array();
+    if (arr.empty()) throw BadRequestException("'messages' is empty");
+    for (const auto& m : arr) {
+        const auto& mo = m->as_object();
+        auto role = mo.find("role");
+        auto content = mo.find("content");
+        if (role == mo.end() || content == mo.end()) {
+            throw BadRequestException("message needs 'role' and 'content'");
+        }
+        const std::string& r = role->second->as_string();
+        if (r != "system" && r != "user" && r != "assistant") {
+            throw BadRequestException("unsupported role: " + r);
+        }
+        out.messages.push_back({r, content->second->as_string()});
+    }
+    if (out.messages.back().role != "user") {
+        throw BadRequestException("last message must be from 'user'");
+    }
+    ExtractCommon(obj, out);
     return out;
 }
 
@@ -161,6 +226,10 @@ void InferenceService::Start() {
             .route("/v1/chat/completions",
                    [this](http::Request& req, http::ResponseWriter& resp) {
                        ChatCompletions(req, resp);
+                   })
+            .route("/v1/completions",
+                   [this](http::Request& req, http::ResponseWriter& resp) {
+                       Completions(req, resp);
                    })
             .build();
     server_.Start(std::move(handler));
@@ -218,6 +287,71 @@ void InferenceService::Models(http::Request&, http::ResponseWriter& resp) {
     resp.WriteStatus(http::StatusCode::OK);
     resp.WriteHeader("Content-Type", "application/json");
     resp.WriteData(json::to_string(*out));
+}
+
+void InferenceService::Completions(http::Request& req,
+                                   http::ResponseWriter& resp) {
+    if (req.method != http::Method::POST) {
+        throw MethodNotAllowedException("completions requires POST");
+    }
+    ValuePtr body = json::Parse(req.stream, req.ContentLength());
+    GenRequest gen_req = ExtractCompletionRequest(*body);
+
+    metrics_.requests.fetch_add(1);
+    std::string id = "cmpl-" + std::to_string(next_id_.fetch_add(1));
+    std::string model =
+        gen_req.model.empty() ? generator_->model_id() : gen_req.model;
+
+    auto t0 = std::chrono::steady_clock::now();
+    auto record = [&](const GenChunk& c) {
+        metrics_.prompt_tokens.fetch_add(c.prompt_tokens);
+        metrics_.completion_tokens.fetch_add(c.completion_tokens);
+        metrics_.gen_micros.fetch_add(
+            std::chrono::duration_cast<std::chrono::microseconds>(
+                std::chrono::steady_clock::now() - t0)
+                .count());
+    };
+
+    try {
+        if (gen_req.stream) {
+            resp.WriteStatus(http::StatusCode::OK);
+            resp.WriteHeader("Content-Type", "text/event-stream");
+            resp.WriteHeader("Cache-Control", "no-cache");
+            generator_->Generate(gen_req, [&](const GenChunk& c) {
+                if (!c.delta.empty() || !c.done) {
+                    auto chunk = MakeCompletionStreamChunk(id, model, c.delta,
+                                                           false, "");
+                    resp.WriteChunk("data: " + json::to_string(*chunk) +
+                                    "\n\n");
+                }
+                if (c.done) {
+                    auto fin = MakeCompletionStreamChunk(
+                        id, model, "", true, c.finish_reason);
+                    resp.WriteChunk("data: " + json::to_string(*fin) + "\n\n");
+                    resp.WriteChunk("data: [DONE]\n\n");
+                    record(c);
+                }
+            });
+        } else {
+            std::string text;
+            GenChunk last;
+            generator_->Generate(gen_req, [&](const GenChunk& c) {
+                text += c.delta;
+                if (c.done) last = c;
+            });
+            record(last);
+            auto out = MakeCompletionResponse(id, model, text,
+                                              last.finish_reason,
+                                              last.prompt_tokens,
+                                              last.completion_tokens);
+            resp.WriteStatus(http::StatusCode::OK);
+            resp.WriteHeader("Content-Type", "application/json");
+            resp.WriteData(json::to_string(*out));
+        }
+    } catch (...) {
+        metrics_.failures.fetch_add(1);
+        throw;
+    }
 }
 
 void InferenceService::ChatCompletions(http::Request& req,

@@ -28,7 +28,9 @@ struct Message {
 
 // Extracted, validated chat-completion request (protocol-agnostic).
 struct GenRequest {
-    std::vector<Message> messages;
+    std::vector<Message> messages;  // chat mode (raw_prompt empty)
+    std::string raw_prompt;         // legacy /v1/completions mode
+    bool raw = false;               // true: no chat template
     std::string model;
     double temperature = -1;   // <0 = engine default
     double top_p = -1;
@@ -87,6 +89,7 @@ class InferenceService {
 
     // Exposed for tests.
     void ChatCompletions(http::Request& req, http::ResponseWriter& resp);
+    void Completions(http::Request& req, http::ResponseWriter& resp);
     void HealthCheck(http::Request& req, http::ResponseWriter& resp);
     void Statusz(http::Request& req, http::ResponseWriter& resp);
     void Models(http::Request& req, http::ResponseWriter& resp);
@@ -101,6 +104,9 @@ class InferenceService {
 // Parses + validates a chat-completion body (already-parsed JSON).
 // Throws BadRequestException on protocol violations.
 GenRequest ExtractRequest(const json::Value& body);
+
+// Parses a legacy text-completion body ("prompt" instead of "messages").
+GenRequest ExtractCompletionRequest(const json::Value& body);
 
 }  // namespace gabby
 

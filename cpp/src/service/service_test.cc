@@ -171,6 +171,26 @@ TEST(Service, StatuszAndModels) {
               "fake-model");
 }
 
+TEST(Service, LegacyCompletions) {
+    TestService svc;
+    auto [status, body] = http::PostJson(
+        svc.port(), "/v1/completions",
+        R"({"model": "m1", "prompt": "Once upon", "max_tokens": 8})");
+    EXPECT_EQ(status, 200);
+    const auto& obj = body->as_object();
+    EXPECT_EQ(obj.at("object")->as_string(), "text_completion");
+    const auto& choice = obj.at("choices")->as_array().at(0)->as_object();
+    EXPECT_EQ(choice.at("text")->as_string(), "hello from fake");
+    EXPECT_EQ(choice.at("finish_reason")->as_string(), "stop");
+    // the generator saw raw mode
+    EXPECT_TRUE(svc.generator().last_request.raw);
+    EXPECT_EQ(svc.generator().last_request.raw_prompt, "Once upon");
+    // missing prompt -> 400
+    auto [s2, _] = http::PostJson(svc.port(), "/v1/completions",
+                                  R"({"model": "m"})");
+    EXPECT_EQ(s2, 400);
+}
+
 TEST(Service, ExtractRequestDefaults) {
     auto body = json::Parse(
         R"({"messages": [{"role": "user", "content": "q"}]})");

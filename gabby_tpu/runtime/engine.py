@@ -160,16 +160,26 @@ class Engine:
 
     # ---- public API ----
 
-    def submit(self, messages: list[dict[str, str]], *,
-               max_tokens: Optional[int] = None,
-               temperature: Optional[float] = None,
-               top_k: Optional[int] = None,
-               top_p: Optional[float] = None,
-               stop: Optional[list[str]] = None) -> Request:
-        """Queue a chat request. Returns the Request whose `out` queue
-        yields (delta_text, finish_reason|None) until a final item."""
+    def submit(self, messages: list[dict[str, str]], **kw) -> Request:
+        """Queue a chat request (Llama-3 chat template applied). Returns the
+        Request whose `out` queue yields (delta_text, finish_reason|None)
+        until a final item."""
+        return self.submit_ids(self.chat.prompt_ids(messages), **kw)
+
+    def submit_raw(self, prompt: str, **kw) -> Request:
+        """Queue a raw text-completion request (no chat template; BOS +
+        encoded prompt) — the legacy /v1/completions path."""
+        ids = [self.tokenizer.token_id("<|begin_of_text|>")]
+        ids += self.tokenizer.encode(prompt)
+        return self.submit_ids(ids, **kw)
+
+    def submit_ids(self, prompt_ids: list[int], *,
+                   max_tokens: Optional[int] = None,
+                   temperature: Optional[float] = None,
+                   top_k: Optional[int] = None,
+                   top_p: Optional[float] = None,
+                   stop: Optional[list[str]] = None) -> Request:
         ec = self.ec
-        prompt_ids = self.chat.prompt_ids(messages)
         limit = ec.max_seq - 1
         if len(prompt_ids) > limit:
             prompt_ids = prompt_ids[-limit:]  # keep the tail (most recent)

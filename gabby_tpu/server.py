@@ -87,7 +87,6 @@ def make_handler(engine):
     """Adapts bridge requests to the engine (the Generator seam)."""
 
     def handler(request: dict, emit) -> None:
-        messages = request["messages"]
         kw = dict(
             max_tokens=request.get("max_tokens") or None,
             temperature=(request["temperature"]
@@ -97,7 +96,10 @@ def make_handler(engine):
                    if 0 < request.get("top_p", -1) <= 1 else None),
             stop=request.get("stop") or None,
         )
-        req = engine.submit(messages, **kw)
+        if request.get("raw"):
+            req = engine.submit_raw(request.get("prompt", ""), **kw)
+        else:
+            req = engine.submit(request["messages"], **kw)
         streaming = bool(request.get("stream"))
         parts: list[str] = []
         while True:

@@ -136,6 +136,17 @@ def test_protocol_errors(server):
     assert status == 404
 
 
+def test_legacy_completions(server):
+    s, b = _post(server, "/v1/completions",
+                 {"model": "tiny-test", "prompt": "hello wor",
+                  "max_tokens": 4})
+    assert s == 200, b
+    out = json.loads(b)
+    assert out["object"] == "text_completion"
+    assert isinstance(out["choices"][0]["text"], str)
+    assert out["usage"]["prompt_tokens"] > 0
+
+
 def test_stop_sequence_via_api(server):
     s, b = _post(server, "/v1/chat/completions", CHAT)
     full = json.loads(b)["choices"][0]["message"]["content"]
