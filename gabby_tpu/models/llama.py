@@ -198,48 +198,64 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     bcast_p = positions[:, None]
     quantized = cache.quantized
 
-    def body(h, xs):
-        if quantized:
-            blk, kc, vc, ksc, vsc = xs
-        else:
-            blk, kc, vc = xs
+    # Cache-traffic design (profiled; the naive forms were the bottleneck):
+    # the stacked cache is READ-ONLY inside the layer scan — attention takes
+    # the full [L, ...] arrays plus a traced layer index (the Pallas kernel
+    # indexes the layer via scalar prefetch; zero copies) and attends cache
+    # rows j < pos plus the CURRENT token's k/v passed separately at full
+    # precision (`fresh_k/v`). Each layer's new row is collected through ys
+    # and written back in ONE batched scatter after the scan, in place on
+    # the donated buffers. Writing inside the scan instead — whether
+    # streaming layers through xs/ys or carrying the whole cache — made XLA
+    # materialize cache copies (measured at 2/3 of the step, or worse).
+    def body(carry, blk):
+        h, layer = carry
         xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, blk, xn, pos2d, inv_freq)
+        fresh_k, fresh_v = k[:, 0], v[:, 0]  # [B, Nk, H]
 
         if quantized:
+            attn = cache_attention_quantized(
+                q, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                positions, layer=layer, fresh_k=fresh_k, fresh_v=fresh_v)
             k_codes, k_s = quantize_kv(k)  # [B, 1, Nk, H], [B, 1, Nk]
             v_codes, v_s = quantize_kv(v)
-            kc = kc.at[bcast_b, bcast_h, bcast_p].set(k_codes[:, 0])
-            vc = vc.at[bcast_b, bcast_h, bcast_p].set(v_codes[:, 0])
-            ksc = ksc.at[bcast_b, bcast_h, bcast_p].set(k_s[:, 0])
-            vsc = vsc.at[bcast_b, bcast_h, bcast_p].set(v_s[:, 0])
-            ys = (kc, vc, ksc, vsc)
-            # attend straight off the codes: the Pallas kernel folds the
-            # scales in; the jnp fallback dequantizes inside
-            attn = cache_attention_quantized(q, kc, vc, ksc, vsc, positions)
+            ys = (k_codes[:, 0], v_codes[:, 0], k_s[:, 0], v_s[:, 0])
         else:
-            kc = kc.at[bcast_b, bcast_h, bcast_p].set(
-                k[:, 0].astype(kc.dtype))
-            vc = vc.at[bcast_b, bcast_h, bcast_p].set(
-                v[:, 0].astype(vc.dtype))
-            ys = (kc, vc)
-            attn = cache_attention(q, kc.astype(k.dtype),
-                                   vc.astype(v.dtype), positions)
+            attn = cache_attention(q, cache.k, cache.v, positions,
+                                   layer=layer, fresh_k=fresh_k,
+                                   fresh_v=fresh_v)
+            ys = (fresh_k.astype(cache.k.dtype),
+                  fresh_v.astype(cache.v.dtype))
         h = h + linear(attn.reshape(b, 1, cfg.q_dim), blk["wo"])
         xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(blk, xn2)
-        return h, ys
+        return (h, layer + 1), ys
 
-    if quantized:
-        xs = (params["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-    else:
-        xs = (params["blocks"], cache.k, cache.v)
-    h, ys = jax.lax.scan(body, h, xs)
+    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), params["blocks"])
     logits = _unembed(params, cfg, h)[:, 0]  # [B, V]
+
+    # single batched in-place write of every layer's new row
+    lix = jnp.arange(cfg.num_layers)[:, None, None]
     if quantized:
-        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
+        new_cache = KVCache(
+            k=cache.k.at[lix, bcast_b[None], bcast_h[None],
+                         bcast_p[None]].set(ys[0]),
+            v=cache.v.at[lix, bcast_b[None], bcast_h[None],
+                         bcast_p[None]].set(ys[1]),
+            k_scale=cache.k_scale.at[lix, bcast_b[None], bcast_h[None],
+                                     bcast_p[None]].set(ys[2]),
+            v_scale=cache.v_scale.at[lix, bcast_b[None], bcast_h[None],
+                                     bcast_p[None]].set(ys[3]),
+        )
     else:
-        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
+        new_cache = KVCache(
+            k=cache.k.at[lix, bcast_b[None], bcast_h[None],
+                         bcast_p[None]].set(ys[0]),
+            v=cache.v.at[lix, bcast_b[None], bcast_h[None],
+                         bcast_p[None]].set(ys[1]),
+            k_scale=None, v_scale=None,
+        )
     return logits, new_cache
 
 
@@ -272,51 +288,65 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     quantized = cache.quantized
     zero = jnp.zeros((), jnp.int32)
 
-    def body(h, xs):
-        if quantized:
-            blk, kc, vc, ksc, vsc = xs
-        else:
-            blk, kc, vc = xs
+    # Same cache-traffic design as decode_step: the stacked cache is
+    # READ-ONLY inside the layer scan (attention reads rows j < offset via
+    # the kernel's scalar-prefetched (slot, offset, layer) and attends the
+    # chunk's own k/v as a separate full-precision causal block); each
+    # layer's new rows collect through ys and land in ONE in-place
+    # dynamic-update-slice after the scan.
+    def body(carry, blk):
+        h, layer = carry
         xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, blk, xn, positions[None, :], inv_freq)
         kT = jnp.swapaxes(k, 1, 2)  # [1, Nk, T, H] (head-major cache)
         vT = jnp.swapaxes(v, 1, 2)
 
         if quantized:
+            attn = slot_prefill_attention(
+                q, cache.k, cache.v, slot, offset,
+                cache.k_scale, cache.v_scale,
+                fresh_k=kT[0], fresh_v=vT[0], layer=layer)
             k_codes, k_s = quantize_kv(kT)
             v_codes, v_s = quantize_kv(vT)
-            kc = jax.lax.dynamic_update_slice(kc, k_codes, (slot, zero, offset, zero))
-            vc = jax.lax.dynamic_update_slice(vc, v_codes, (slot, zero, offset, zero))
-            ksc = jax.lax.dynamic_update_slice(ksc, k_s, (slot, zero, offset))
-            vsc = jax.lax.dynamic_update_slice(vsc, v_s, (slot, zero, offset))
-            ys = (kc, vc, ksc, vsc)
-            attn = slot_prefill_attention(q, kc, vc, slot, offset, ksc, vsc)
+            ys = (k_codes[0], v_codes[0], k_s[0], v_s[0])
         else:
-            kc = jax.lax.dynamic_update_slice(kc, kT.astype(kc.dtype),
-                                              (slot, zero, offset, zero))
-            vc = jax.lax.dynamic_update_slice(vc, vT.astype(vc.dtype),
-                                              (slot, zero, offset, zero))
-            ys = (kc, vc)
-            attn = slot_prefill_attention(q, kc, vc, slot, offset)
+            attn = slot_prefill_attention(q, cache.k, cache.v, slot, offset,
+                                          fresh_k=kT[0], fresh_v=vT[0],
+                                          layer=layer)
+            ys = (kT[0].astype(cache.k.dtype), vT[0].astype(cache.v.dtype))
         h = h + linear(attn.reshape(1, t, cfg.q_dim), blk["wo"])
         xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
         h = h + _mlp(blk, xn2)
-        return h, ys
+        return (h, layer + 1), ys
 
-    if quantized:
-        xs = (params["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-    else:
-        xs = (params["blocks"], cache.k, cache.v)
-    h, ys = jax.lax.scan(body, h, xs)
+    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), params["blocks"])
 
     # unembed only the last valid position (cheap: 1 row, not T)
     h_last = jax.lax.dynamic_slice(
         h, (zero, length - 1, zero), (1, 1, cfg.hidden_size))
     logits = _unembed(params, cfg, h_last)[0, 0]  # [V]
+
+    # one in-place write of all layers' chunk rows: ys k/v are
+    # [L, Nk, T, H] (+ scales [L, Nk, T])
     if quantized:
-        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, ys[0][:, None], (zero, slot, zero, offset, zero)),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, ys[1][:, None], (zero, slot, zero, offset, zero)),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, ys[2][:, None], (zero, slot, zero, offset)),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, ys[3][:, None], (zero, slot, zero, offset)),
+        )
     else:
-        new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, ys[0][:, None], (zero, slot, zero, offset, zero)),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, ys[1][:, None], (zero, slot, zero, offset, zero)),
+            k_scale=None, v_scale=None,
+        )
     return logits, new_cache
 
 

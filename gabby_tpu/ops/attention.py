@@ -65,11 +65,14 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                     positions: jnp.ndarray,
-                    *, scale: Optional[float] = None) -> jnp.ndarray:
+                    *, scale: Optional[float] = None, **kw) -> jnp.ndarray:
     """Decode attention against a fixed-shape, HEAD-MAJOR cache.
 
     q: [B, 1, Nq, H] — the current token's queries, at position positions[b].
-    k_cache, v_cache: [B, Nk, S_max, H] (runtime/kv_cache.KVCache layout);
+    k_cache, v_cache: [B, Nk, S_max, H] (runtime/kv_cache.KVCache layout) —
+    or the full stacked [L, B, Nk, S_max, H] with a traced `layer=` kwarg
+    (the decode scan carries the whole cache; passing it unsliced lets the
+    Pallas kernel index the layer via scalar prefetch with zero copies);
     entries 0..positions[b] are valid (the current token's k/v must already
     be written at positions[b]). positions: [B] int32.
     Output: [B, 1, Nq, H], dtype of q.
@@ -79,7 +82,11 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     contract it is tested against.
     """
     b, t, nq, h = q.shape
-    nk = k_cache.shape[1]
+    layer = kw.pop("layer", None)
+    fresh_k = kw.pop("fresh_k", None)
+    fresh_v = kw.pop("fresh_v", None)
+    assert not kw, f"unknown kwargs {kw}"
+    nk = k_cache.shape[2 if layer is not None else 1]
     # Policy note: for a bf16 cache XLA's masked attention measured FASTER
     # than the Pallas kernel at uniform contexts (XLA overlaps it with the
     # surrounding matmuls), so the kernel is not auto-dispatched here — the
@@ -92,34 +99,66 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         if pk.kernels_enabled():
             from gabby_tpu.ops.pallas import attention as pattn
             return pattn.decode_attention(q, k_cache, v_cache, positions,
-                                          scale=scale)
+                                          layer=layer, fresh_k=fresh_k,
+                                          fresh_v=fresh_v, scale=scale)
+    if layer is not None:  # slice this layer out of the stacked cache
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, False)
     s = k_cache.shape[2]
     if scale is None:
         scale = h ** -0.5
-    mask = jnp.arange(s)[None, None, :] <= positions[:, None, None]  # [B,1,S]
-    out = _gqa_core(_split_groups(q, nk), jnp.swapaxes(k_cache, 1, 2),
-                    jnp.swapaxes(v_cache, 1, 2), mask, scale)
+    kk = jnp.swapaxes(k_cache, 1, 2)  # [B, S, Nk, H]
+    vv = jnp.swapaxes(v_cache, 1, 2)
+    if fresh_k is not None:
+        # fresh-row contract: cache valid for j < pos, the current token's
+        # unquantized k/v appended as position S (always attended)
+        kk = jnp.concatenate([kk.astype(q.dtype), fresh_k[:, None]], axis=1)
+        vv = jnp.concatenate([vv.astype(q.dtype), fresh_v[:, None]], axis=1)
+        mask = jnp.concatenate(
+            [jnp.arange(s)[None, :] < positions[:, None],
+             jnp.ones((q.shape[0], 1), bool)], axis=1)[:, None, :]
+    else:
+        mask = (jnp.arange(s)[None, None, :]
+                <= positions[:, None, None])  # [B,1,S]
+    out = _gqa_core(_split_groups(q, nk), kk, vv, mask, scale)
     return out.astype(q.dtype)
 
 
 def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, slot: jnp.ndarray,
                            offset: jnp.ndarray, k_scale=None, v_scale=None,
-                           *, scale: Optional[float] = None) -> jnp.ndarray:
+                           *, scale: Optional[float] = None,
+                           fresh_k=None, fresh_v=None,
+                           layer=None) -> jnp.ndarray:
     """Chunked-prefill attention for ONE slot: q [1, T, Nq, H] (the chunk's
     queries at global positions offset..offset+T-1) against cache row
-    `slot` of the head-major cache [B, Nk, S, H], whose entries
-    [0, offset+T) are valid (the chunk's own k/v already written). Causal:
-    query i attends keys j <= offset + i. k/v_scale: [B, Nk, S] when the
-    cache is INT8.
+    `slot` of the head-major cache [B, Nk, S, H] — or the full stacked
+    [L, B, Nk, S, H] with a traced `layer=` — whose entries [0, offset+T)
+    are valid (the chunk's own k/v already written). Causal: query i
+    attends keys j <= offset + i. k/v_scale: [(L,) B, Nk, S] when INT8.
+
+    With fresh_k/fresh_v ([Nk, T, H], the chunk's own unquantized k/v) the
+    cache is read strictly below `offset` and the chunk attends itself
+    causally at full precision — the form that lets the cache write happen
+    once, in place, outside the layer scan.
 
     Pallas path streams the row in place with chunk skipping; this jnp body
     slices + dequantizes the row and runs the causal reference."""
+    nk = k_cache.shape[2 if layer is not None else 1]
     from gabby_tpu.ops import pallas as pk
-    if pk.kernels_enabled() and q.shape[2] % k_cache.shape[1] == 0:
+    if (fresh_k is not None and pk.kernels_enabled()
+            and q.shape[2] % nk == 0):
         from gabby_tpu.ops.pallas import prefill_attention as pfa
         return pfa.prefill_attention(q, k_cache, v_cache, slot, offset,
-                                     k_scale, v_scale, scale=scale)
+                                     k_scale, v_scale, fresh_k=fresh_k,
+                                     fresh_v=fresh_v, layer=layer,
+                                     scale=scale)
+    if layer is not None:
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, False)
     row_k = jax.lax.dynamic_index_in_dim(k_cache, slot, 0, keepdims=True)
     row_v = jax.lax.dynamic_index_in_dim(v_cache, slot, 0, keepdims=True)
     if k_scale is not None:
@@ -132,27 +171,56 @@ def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         kk, vv = row_k.astype(q.dtype), row_v.astype(q.dtype)
     kk = jnp.swapaxes(kk, 1, 2)  # [1, S, Nk, H]
     vv = jnp.swapaxes(vv, 1, 2)
-    return causal_attention(q, kk, vv, q_offset=offset, scale=scale)
+    if fresh_k is None:
+        return causal_attention(q, kk, vv, q_offset=offset, scale=scale)
+    # fresh-block contract: past cache rows (j < offset) + the chunk's own
+    # unquantized k/v appended, causal within the chunk
+    _, t, nq, h = q.shape
+    sc = float(scale) if scale is not None else h ** -0.5
+    s_max = kk.shape[1]
+    kk_ext = jnp.concatenate(
+        [kk.astype(q.dtype), jnp.swapaxes(fresh_k, 0, 1)[None]], axis=1)
+    vv_ext = jnp.concatenate(
+        [vv.astype(q.dtype), jnp.swapaxes(fresh_v, 0, 1)[None]], axis=1)
+    past = jnp.broadcast_to(jnp.arange(s_max)[None, :] < offset, (t, s_max))
+    causal = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]  # [T, T]
+    mask = jnp.concatenate([past, causal], axis=1)[None]  # [1, T, S+T]
+    out = _gqa_core(_split_groups(q, nk), kk_ext, vv_ext, mask, sc)
+    return out.astype(q.dtype)
 
 
 def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
                               v_codes: jnp.ndarray, k_scale: jnp.ndarray,
                               v_scale: jnp.ndarray, positions: jnp.ndarray,
-                              *, scale: Optional[float] = None) -> jnp.ndarray:
+                              *, scale: Optional[float] = None,
+                              **kw) -> jnp.ndarray:
     """Decode attention straight off an INT8, head-major KV cache.
 
-    k/v_codes: [B, Nk, S, H] int8; k/v_scale: [B, Nk, S] f32 (per-token,
-    per-kv-head symmetric scales; runtime/kv_cache.quantize_kv). The Pallas
-    kernel folds the scales into scores/probabilities so no dequantized
-    cache plane ever hits memory; this jnp fallback dequantizes explicitly
-    (same numerics, more HBM traffic)."""
+    k/v_codes: [B, Nk, S, H] int8 (or stacked [L, ...] with `layer=`);
+    k/v_scale: [B, Nk, S] f32 (per-token, per-kv-head symmetric scales;
+    runtime/kv_cache.quantize_kv). The Pallas kernel folds the scales into
+    scores/probabilities so no dequantized cache plane ever hits memory;
+    this jnp fallback dequantizes explicitly (same numerics, more HBM
+    traffic)."""
+    layer = kw.pop("layer", None)
+    fresh_k = kw.pop("fresh_k", None)
+    fresh_v = kw.pop("fresh_v", None)
+    assert not kw, f"unknown kwargs {kw}"
+    nk = k_codes.shape[2 if layer is not None else 1]
     from gabby_tpu.ops import pallas as pk
-    if (q.shape[1] == 1 and pk.kernels_enabled()
-            and q.shape[2] % k_codes.shape[1] == 0):
+    if q.shape[1] == 1 and pk.kernels_enabled() and q.shape[2] % nk == 0:
         from gabby_tpu.ops.pallas import attention as pattn
         return pattn.decode_attention(q, k_codes, v_codes, positions,
-                                      k_scale, v_scale, scale=scale)
+                                      k_scale, v_scale, layer=layer,
+                                      fresh_k=fresh_k, fresh_v=fresh_v,
+                                      scale=scale)
+    if layer is not None:
+        k_codes = jax.lax.dynamic_index_in_dim(k_codes, layer, 0, False)
+        v_codes = jax.lax.dynamic_index_in_dim(v_codes, layer, 0, False)
+        k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, False)
+        v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, False)
     from gabby_tpu.runtime.kv_cache import dequantize_kv
     kk = dequantize_kv(k_codes, k_scale, q.dtype)
     vv = dequantize_kv(v_codes, v_scale, q.dtype)
-    return cache_attention(q, kk, vv, positions, scale=scale)
+    return cache_attention(q, kk, vv, positions, scale=scale,
+                           fresh_k=fresh_k, fresh_v=fresh_v)

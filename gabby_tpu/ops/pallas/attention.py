@@ -1,15 +1,21 @@
 """GQA flash-decode attention Pallas kernel (bf16 or INT8 KV cache).
 
-One decode step attends [B, 1, Nq, H] queries against the HEAD-MAJOR cache
-[B, Nk, S, H] with per-slot valid lengths. Grid = (B, S-chunks): each grid
-step streams ALL kv heads' [CHUNK, H] planes for one slot (a ~2 MB DMA —
-sized so per-step overhead is noise against DMA time) and folds them into
-per-head online-softmax carries in scratch. Heads are a small unrolled loop
-in-kernel; decode attention is HBM-bound, so MXU utilization of the tiny
-[G, H] dots is irrelevant.
+One decode step attends [B, 1, Nq, H] queries against the FULL stacked
+head-major cache [L, B, Nk, S, H] with per-slot valid lengths. The layer
+index rides in via scalar prefetch, so the caller (the per-layer scan body
+in models/llama.decode_step, where the cache is a loop CARRY updated in
+place) never slices a layer out of the cache — a dynamic-slice there would
+copy 2*B*Nk*S*H bytes per layer per step, which the profiler showed costing
+more than the attention itself.
+
+Grid = (B, S-chunks): each grid step streams ALL kv heads' [CHUNK, H]
+planes for one slot (a ~2 MB DMA — sized so per-step overhead is noise
+against DMA time) and folds them into per-head online-softmax carries in
+scratch. Heads are a small unrolled loop in-kernel; decode attention is
+HBM-bound, so MXU utilization of the tiny [G, H] dots is irrelevant.
 
 The part that makes decode attention scale with the REAL context instead of
-max_seq: `positions` rides in as a scalar-prefetch argument and the chunk
+max_seq: `positions` rides in the same scalar-prefetch vector and the chunk
 index map CLAMPS trailing fully-masked chunks to the last valid chunk.
 Pallas skips the HBM fetch when consecutive grid steps map to the same
 block, so a slot at position 1k in an 8k cache streams ~1k rows, not 8k.
@@ -26,6 +32,7 @@ large-negative mask) up to online-softmax reassociation.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,12 +46,16 @@ CHUNK = 1024  # cache rows per grid step per head
 
 
 def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                o_ref, m_ref, l_ref, acc_ref, *, sm_scale):
+                fk_ref, fv_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale):
     """One (slot, chunk) grid step over all kv heads.
 
-    q: [1, Nk, G, H]; k/v: [1, Nk, C, H]; ks/vs: [1, Nk, 1, C] or None
-    (scales carry S on the LANE axis — an [., C, 1] block would be
-    lane-padded 1 -> 128, a 128x VMEM blowup); scratch: m,l [Nk*G, 1] f32,
+    q: [1, Nk, G, H]; k/v: [1, 1, Nk, C, H]; ks/vs: [1, 1, Nk, 1, C] or
+    None (scales carry S on the LANE axis — an [., C, 1] block would be
+    lane-padded 1 -> 128, a 128x VMEM blowup); fk/fv: [1, Nk, H] — the
+    CURRENT token's unquantized k/v, attended as a virtual extra row so the
+    kernel only ever reads the PRE-update cache (mask j < pos; this is what
+    lets the cache scatter happen once, in place, outside the layer scan);
+    or None for the plain j <= pos contract. scratch: m,l [Nk*G, 1] f32,
     acc [Nk*G, H] f32."""
     g = q_ref.shape[2]
 
@@ -54,32 +65,38 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(c * chunk <= pos)
+    # strict bound when the fresh row is separate; inclusive otherwise
+    in_range = (c * chunk < pos) if fk_ref is not None else (c * chunk <= pos)
+
+    @pl.when(in_range)
     def _():
         for h in range(nk):  # small static unroll (Nk is 2..16)
             # big operands stay bf16 (int8 codes exact in bf16): the MXU
             # takes bf16 inputs natively with f32 accumulation — casting
             # [C, H] planes to f32 on the VPU was measurable overhead
-            qg = q_ref[0, h].astype(jnp.bfloat16)      # [G, H]
-            k = k_ref[0, h].astype(jnp.bfloat16)       # [C, H]
-            v = v_ref[0, h].astype(jnp.bfloat16)       # [C, H]
+            qg = q_ref[0, h].astype(jnp.bfloat16)         # [G, H]
+            k = k_ref[0, 0, h].astype(jnp.bfloat16)       # [C, H]
+            v = v_ref[0, 0, h].astype(jnp.bfloat16)       # [C, H]
             scores = jax.lax.dot_general(
                 qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [G, C] f32
+                preferred_element_type=jnp.float32)       # [G, C] f32
             if ks_ref is not None:
-                scores = scores * (ks_ref[0, h, 0, :] * sm_scale)[None, :]
+                scores = scores * (ks_ref[0, 0, h, 0, :] *
+                                   sm_scale)[None, :]
             else:
                 scores = scores * sm_scale
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col + c * chunk <= pos, scores, NEG_INF)
+            bound = pos if fk_ref is not None else pos + 1
+            scores = jnp.where(col + c * chunk < bound, scores, NEG_INF)
 
             rows = slice(h * g, (h + 1) * g)
-            m_old = m_ref[rows]                        # [G, 1]
+            m_old = m_ref[rows]                           # [G, 1]
             m_new = jnp.maximum(m_old,
                                 jnp.max(scores, axis=-1, keepdims=True))
             alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(scores - m_new)                # [G, C] f32
-            pv = p * vs_ref[0, h, 0, :][None, :] if vs_ref is not None else p
+            p = jnp.exp(scores - m_new)                   # [G, C] f32
+            pv = (p * vs_ref[0, 0, h, 0, :][None, :]
+                  if vs_ref is not None else p)
             m_ref[rows] = m_new
             l_ref[rows] = l_ref[rows] * alpha + jnp.sum(p, axis=-1,
                                                         keepdims=True)
@@ -89,52 +106,88 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
-        out = acc_ref[:] / l_ref[:]                    # [Nk*G, H]
+        if fk_ref is not None:
+            # fold the current token's k/v (full precision) as one extra row
+            for h in range(nk):
+                rows = slice(h * g, (h + 1) * g)
+                qg = q_ref[0, h].astype(jnp.float32)       # [G, H]
+                kf = fk_ref[0, h].astype(jnp.float32)      # [H]
+                vf = fv_ref[0, h].astype(jnp.float32)      # [H]
+                sf = jnp.sum(qg * kf[None, :], axis=-1,
+                             keepdims=True) * sm_scale     # [G, 1]
+                m_old = m_ref[rows]
+                m_new = jnp.maximum(m_old, sf)
+                alpha = jnp.exp(m_old - m_new)
+                pf = jnp.exp(sf - m_new)
+                m_ref[rows] = m_new
+                l_ref[rows] = l_ref[rows] * alpha + pf
+                acc_ref[rows] = acc_ref[rows] * alpha + pf * vf[None, :]
+        out = acc_ref[:] / l_ref[:]                       # [Nk*G, H]
         o_ref[0] = out.reshape(nk, g, out.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sm_scale", "out_dtype", "interpret"))
-def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, positions, *,
-                 sm_scale: float, out_dtype, interpret: bool):
-    """q4: [B, Nk, G, H]; k/v_cache: [B, Nk, S, H];
-    k/v_scale: [B, Nk, 1, S] or None; positions: [B] i32."""
+def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
+                 scal, *, sm_scale: float, out_dtype, interpret: bool):
+    """q4: [B, Nk, G, H]; k/v_cache: [L, B, Nk, S, H];
+    k/v_scale: [L, B, Nk, 1, S] or None; fresh_k/v: [B, Nk, H] or None;
+    scal: [B+1] i32 = positions ++ [layer]."""
     b, nk, g, h = q4.shape
-    s = k_cache.shape[2]
+    s = k_cache.shape[3]
     chunk = min(CHUNK, s)
     n_chunks = pl.cdiv(s, chunk)
     quant = k_scale is not None
+    fresh = fresh_k is not None
 
-    def kv_map(bb, cc, pos_ref):
+    def last_chunk(scal_ref, bb):
+        # with a separate fresh row the last cache row read is pos-1
+        p = scal_ref[bb] - 1 if fresh else scal_ref[bb]
+        return jnp.maximum(p, 0) // chunk
+
+    def kv_map(bb, cc, scal_ref):
         # clamp trailing fully-masked chunks to the last VALID chunk index:
         # consecutive identical block indices skip the HBM fetch entirely
-        return (bb, 0, jnp.minimum(cc, pos_ref[bb] // chunk), 0)
+        return (scal_ref[b], bb, 0,
+                jnp.minimum(cc, last_chunk(scal_ref, bb)), 0)
 
-    def sc_map(bb, cc, pos_ref):
-        return (bb, 0, 0, jnp.minimum(cc, pos_ref[bb] // chunk))
+    def sc_map(bb, cc, scal_ref):
+        return (scal_ref[b], bb, 0, 0,
+                jnp.minimum(cc, last_chunk(scal_ref, bb)))
 
     in_specs = [
-        pl.BlockSpec((1, nk, g, h), lambda bb, cc, p: (bb, 0, 0, 0),
+        pl.BlockSpec((1, nk, g, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nk, chunk, h), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nk, chunk, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk, chunk, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk, chunk, h), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q4, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, nk, 1, chunk), sc_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, 1, chunk), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, 1, chunk), sc_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, 1, chunk), sc_map,
+                         memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
+    if fresh:
+        in_specs += [
+            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [fresh_k, fresh_v]
 
-    def kernel(pos_ref, q_ref, k_ref, v_ref, *rest):
-        if quant:
-            ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
-        else:
-            (o_ref, m_ref, l_ref, acc_ref) = rest
-            ks_ref = vs_ref = None
-        _flash_step(pos_ref[pl.program_id(0)], pl.program_id(1), chunk, nk,
-                    q_ref, k_ref, v_ref, ks_ref, vs_ref,
+    def kernel(scal_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = rest.pop(0) if quant else None
+        vs_ref = rest.pop(0) if quant else None
+        fk_ref = rest.pop(0) if fresh else None
+        fv_ref = rest.pop(0) if fresh else None
+        o_ref, m_ref, l_ref, acc_ref = rest
+        _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), chunk, nk,
+                    q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
                     o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -142,7 +195,7 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, positions, *,
         grid=(b, n_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nk, g, h),
-                               lambda bb, cc, p: (bb, 0, 0, 0),
+                               lambda bb, cc, sc: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nk * g, 1), jnp.float32),   # running max
@@ -160,26 +213,39 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, positions, *,
             bytes_accessed=kv_bytes + b * nk * g * h * 4,
             transcendentals=b * nk * g * s),
         interpret=interpret,
-    )(positions, *args)
+    )(scal, *args)
 
 
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, positions: jnp.ndarray,
                      k_scale=None, v_scale=None, *,
+                     layer: Optional[jnp.ndarray] = None,
+                     fresh_k=None, fresh_v=None,
                      scale=None) -> jnp.ndarray:
-    """q: [B, 1, Nq, H]; k/v_cache: [B, Nk, S, H] (values or int8 codes);
-    k_scale/v_scale: [B, Nk, S] f32 when the cache is quantized.
-    positions: [B] i32 (attend to j <= positions[b]). Returns [B, 1, Nq, H]
-    in q.dtype."""
+    """q: [B, 1, Nq, H]; k/v_cache: [L, B, Nk, S, H] stacked cache with a
+    traced `layer` index, or [B, Nk, S, H] with layer=None (treated as a
+    1-layer stack — free reshape); k/v_scale: [(L,) B, Nk, S] f32 when the
+    cache is quantized. positions: [B] i32 (attend to j <= positions[b]).
+    fresh_k/v: [B, Nk, H] — the current token's unquantized k/v, attended
+    as an extra row while the cache is only read up to j < positions[b]
+    (with fresh=None the contract is j <= positions[b] with the current
+    token already written). Returns [B, 1, Nq, H] in q.dtype."""
     b, t, nq, h = q.shape
-    nk = k_cache.shape[1]
     assert t == 1, "decode kernel is single-position"
+    if layer is None:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        k_scale = k_scale[None] if k_scale is not None else None
+        v_scale = v_scale[None] if v_scale is not None else None
+        layer = jnp.int32(0)
+    nk = k_cache.shape[2]
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = q[:, 0].reshape(b, nk, nq // nk, h)  # grouped heads, metadata-only
-    ks = k_scale[:, :, None, :] if k_scale is not None else None
-    vs = v_scale[:, :, None, :] if v_scale is not None else None
-    out = _decode_call(q4, k_cache, v_cache, ks, vs,
-                       positions.astype(jnp.int32),
+    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
+    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    scal = jnp.concatenate([positions.astype(jnp.int32),
+                            jnp.asarray(layer, jnp.int32).reshape(1)])
+    out = _decode_call(q4, k_cache, v_cache, ks, vs, fresh_k, fresh_v, scal,
                        sm_scale=sm_scale, out_dtype=q.dtype,
                        interpret=pk.interpret_mode())
     return out.reshape(b, 1, nq, h)

@@ -33,11 +33,15 @@ NEG_INF = -1e30
 CHUNK = 1024
 
 
-def _kernel(scal_ref, q_ref, k_ref, v_ref, *rest, sm_scale, chunk, t,
-            quant):
-    """scal: [2] SMEM (slot, offset); q: [1, G*T, H]; k/v: [1, 1, C, H];
-    (quant: ks/vs [1, 1, 1, C]); out [1, G*T, H];
-    scratch m,l [G*T, 1] f32, acc [G*T, H] f32."""
+def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
+            chunk, t, quant):
+    """scal: [3] SMEM (slot, offset, layer); q: [1, G*T, H];
+    k/v: [1, 1, 1, C, H] (PAST cache rows, read strictly j < offset);
+    fk/fv: [1, T, H] — the chunk's OWN unquantized k/v for this head,
+    attended causally as a final virtual block (so the kernel never reads
+    rows written this step and the cache write can happen once, in place,
+    after the layer scan); (quant: ks/vs [1, 1, 1, 1, C]);
+    out [1, G*T, H]; scratch m,l [G*T, 1] f32, acc [G*T, H] f32."""
     if quant:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -52,28 +56,28 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, *rest, sm_scale, chunk, t,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(c * chunk <= offset + t - 1)
+    @pl.when(c * chunk < offset)  # past rows only
     def _():
         qg = q_ref[0].astype(jnp.bfloat16)            # [G*T, H]
-        k = k_ref[0, 0].astype(jnp.bfloat16)          # [C, H]
-        v = v_ref[0, 0].astype(jnp.bfloat16)          # [C, H]
+        k = k_ref[0, 0, 0].astype(jnp.bfloat16)       # [C, H]
+        v = v_ref[0, 0, 0].astype(jnp.bfloat16)       # [C, H]
         scores = jax.lax.dot_general(
             qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [G*T, C]
         if ks_ref is not None:
-            scores = scores * (ks_ref[0, 0, 0, :] * sm_scale)[None, :]
+            scores = scores * (ks_ref[0, 0, 0, 0, :] * sm_scale)[None, :]
         else:
             scores = scores * sm_scale
-        # causal: key j (global c*chunk + col) <= offset + (row % T)
-        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % t
+        # past rows are visible to EVERY query (j < offset <= offset + i)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col + c * chunk <= offset + row, scores, NEG_INF)
+        scores = jnp.where(col + c * chunk < offset, scores, NEG_INF)
 
         m_old = m_ref[:]
         m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
         p = jnp.exp(scores - m_new)
-        pv = p * vs_ref[0, 0, 0, :][None, :] if vs_ref is not None else p
+        pv = (p * vs_ref[0, 0, 0, 0, :][None, :]
+              if vs_ref is not None else p)
         m_ref[:] = m_new
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
@@ -81,46 +85,74 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, *rest, sm_scale, chunk, t,
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
-            o_ref.dtype)
+        # causal pass over the chunk's own (full-precision) k/v
+        qg = q_ref[0].astype(jnp.bfloat16)            # [G*T, H]
+        kf = fk_ref[0].astype(jnp.bfloat16)           # [T, H]
+        vf = fv_ref[0].astype(jnp.bfloat16)           # [T, H]
+        scores = jax.lax.dot_general(
+            qg, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [G*T, T]
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % t
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col <= row, scores, NEG_INF)
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc_ref[:] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), vf, preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("t", "sm_scale", "out_dtype",
                                     "interpret"))
-def _prefill_call(q3, k_cache, v_cache, k_scale, v_scale, scal, *, t: int,
-                  sm_scale: float, out_dtype, interpret: bool):
-    """q3: [Nk, G*T, H]; k/v_cache: [B, Nk, S, H];
-    k/v_scale: [B, Nk, 1, S] or None; scal: [2] i32 (slot, offset)."""
+def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
+                  scal, *, t: int, sm_scale: float, out_dtype,
+                  interpret: bool):
+    """q3: [Nk, G*T, H]; k/v_cache: [L, B, Nk, S, H] (full stacked cache);
+    k/v_scale: [L, B, Nk, 1, S] or None;
+    scal: [3] i32 (slot, offset, layer)."""
     nk, gt, h = q3.shape
-    s = k_cache.shape[2]
+    s = k_cache.shape[3]
     chunk = min(CHUNK, s)
     n_chunks = pl.cdiv(s, chunk)
     quant = k_scale is not None
 
     def last_needed(scal_ref):
-        # the furthest key any query in this chunk can see: offset + t - 1
-        return (scal_ref[1] + t - 1) // chunk
+        # the furthest PAST cache row any query can see is offset - 1 (the
+        # chunk's own rows arrive separately as the fresh block)
+        return jnp.maximum(scal_ref[1] - 1, 0) // chunk
 
     def kv_map(hh, cc, scal_ref):
         # chunks past the last needed one repeat its index -> no re-fetch
-        # (slot/offset arrive via scalar prefetch)
-        return (scal_ref[0], hh, jnp.minimum(cc, last_needed(scal_ref)), 0)
+        # (slot/offset/layer arrive via scalar prefetch)
+        return (scal_ref[2], scal_ref[0], hh,
+                jnp.minimum(cc, last_needed(scal_ref)), 0)
 
     in_specs = [
         pl.BlockSpec((1, gt, h), lambda hh, cc, sc: (hh, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
+    ]  # fresh blocks appended below (before the quant scales)
+    args = [q3, k_cache, v_cache, fresh_k, fresh_v]
+    in_specs += [
+        pl.BlockSpec((1, t, h), lambda hh, cc, sc: (hh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, h), lambda hh, cc, sc: (hh, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [q3, k_cache, v_cache]
     if quant:
         def sc_map(hh, cc, scal_ref):
-            return (scal_ref[0], hh, 0, jnp.minimum(cc,
-                                                    last_needed(scal_ref)))
+            return (scal_ref[2], scal_ref[0], hh, 0,
+                    jnp.minimum(cc, last_needed(scal_ref)))
         in_specs += [
-            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, chunk), sc_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, chunk), sc_map,
+                         memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
 
@@ -149,22 +181,35 @@ def _prefill_call(q3, k_cache, v_cache, k_scale, v_scale, scal, *, t: int,
 def prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                       v_cache: jnp.ndarray, slot: jnp.ndarray,
                       offset: jnp.ndarray, k_scale=None, v_scale=None, *,
+                      fresh_k=None, fresh_v=None, layer=None,
                       scale=None) -> jnp.ndarray:
-    """q: [1, T, Nq, H] chunk queries; k/v_cache: [B, Nk, S, H] with the
-    chunk's k/v already written at [slot, :, offset:offset+T]. Causal:
-    query i attends keys j <= offset + i. Returns [1, T, Nq, H] (q dtype).
-    """
+    """q: [1, T, Nq, H] chunk queries; k/v_cache: the full stacked
+    [L, B, Nk, S, H] cache with a traced `layer` (or [B, Nk, S, H] with
+    layer=None) with the chunk's k/v already written at
+    [layer, slot, :, offset:offset+T]. Causal: query i attends keys
+    j <= offset + i. Returns [1, T, Nq, H] (q dtype)."""
     _, t, nq, h = q.shape
-    nk = k_cache.shape[1]
+    if layer is None:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        k_scale = k_scale[None] if k_scale is not None else None
+        v_scale = v_scale[None] if v_scale is not None else None
+        layer = jnp.int32(0)
+    nk = k_cache.shape[2]
     g = nq // nk
     sm_scale = float(scale) if scale is not None else h ** -0.5
     # [1, T, Nq, H] -> [Nk, G, T, H] -> [Nk, G*T, H]
     q3 = q[0].reshape(t, nk, g, h).transpose(1, 2, 0, 3).reshape(nk, g * t, h)
-    ks = k_scale[:, :, None, :] if k_scale is not None else None
-    vs = v_scale[:, :, None, :] if v_scale is not None else None
-    scal = jnp.stack([slot.astype(jnp.int32), offset.astype(jnp.int32)])
-    out = _prefill_call(q3, k_cache, v_cache, ks, vs, scal, t=t,
-                        sm_scale=sm_scale, out_dtype=q.dtype,
+    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
+    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    scal = jnp.stack([slot.astype(jnp.int32), offset.astype(jnp.int32),
+                      jnp.asarray(layer, jnp.int32)])
+    if fresh_k is None:
+        # derive the chunk's own rows from q-side caller instead: not
+        # supported — the fresh block is required for this kernel
+        raise ValueError("prefill kernel requires fresh_k/fresh_v")
+    out = _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, ks, vs,
+                        scal, t=t, sm_scale=sm_scale, out_dtype=q.dtype,
                         interpret=pk.interpret_mode())
     # [Nk, G*T, H] -> [1, T, Nq, H]
     return out.reshape(nk, g, t, h).transpose(2, 0, 1, 3).reshape(

@@ -101,6 +101,36 @@ def test_decode_attention_int8_kv():
                                rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_attention_fresh_row(quantized):
+    """Fresh-row contract: cache read j < pos, current token's k/v separate
+    — must match the jnp reference with the same contract."""
+    b, s, nq, nk, h = 3, 96, 8, 4, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf_full = _rand(1, b, nk, s, h) * 0.5
+    vf_full = _rand(2, b, nk, s, h) * 0.5
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([0, s // 3, s - 1], jnp.int32)
+    if quantized:
+        kc, ks = quantize_kv(kf_full)
+        vc, vs = quantize_kv(vf_full)
+        ref = attn_ref.cache_attention_quantized(
+            q, kc, vc, ks, vs, positions, fresh_k=fresh_k, fresh_v=fresh_v)
+        out = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                     fresh_k=fresh_k, fresh_v=fresh_v)
+    else:
+        kc = kf_full.astype(jnp.bfloat16)
+        vc = vf_full.astype(jnp.bfloat16)
+        ref = attn_ref.cache_attention(q, kc, vc, positions,
+                                       fresh_k=fresh_k, fresh_v=fresh_v)
+        out = pattn.decode_attention(q, kc, vc, positions,
+                                     fresh_k=fresh_k, fresh_v=fresh_v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_decode_attention_position_zero_matches():
     """A fresh slot (position 0) must attend only to index 0."""
     b, s, nq, nk, h = 1, 32, 4, 2, 32
@@ -154,6 +184,8 @@ def test_prefill_attention_matches_reference(quantized, t, offset):
     q = (_rand(0, 1, t, nq, h) * 0.5).astype(jnp.bfloat16)
     kc_f = _rand(1, b, nk, s, h) * 0.5
     vc_f = _rand(2, b, nk, s, h) * 0.5
+    fk = (_rand(3, nk, t, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, nk, t, h) * 0.5).astype(jnp.bfloat16)
     if quantized:
         kc, ks = quantize_kv(kc_f)
         vc, vs = quantize_kv(vc_f)
@@ -161,10 +193,13 @@ def test_prefill_attention_matches_reference(quantized, t, offset):
         kc, vc = kc_f.astype(jnp.bfloat16), vc_f.astype(jnp.bfloat16)
         ks = vs = None
 
+    pk.set_kernels(False)  # jnp reference path
     ref = attn_ref.slot_prefill_attention(
-        q, kc, vc, jnp.int32(slot), jnp.int32(offset), ks, vs)
+        q, kc, vc, jnp.int32(slot), jnp.int32(offset), ks, vs,
+        fresh_k=fk, fresh_v=fv)
     out = pfa.prefill_attention(q, kc, vc, jnp.int32(slot),
-                                jnp.int32(offset), ks, vs)
+                                jnp.int32(offset), ks, vs,
+                                fresh_k=fk, fresh_v=fv)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
