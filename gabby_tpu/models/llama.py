@@ -235,25 +235,23 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), params["blocks"])
     logits = _unembed(params, cfg, h)[:, 0]  # [B, V]
 
-    # single batched in-place write of every layer's new row
+    # single batched write of every layer's new row; the uniqueness/sorted
+    # hints let XLA update the (donated) while-carry buffers in place
+    # instead of copying the whole cache each step
     lix = jnp.arange(cfg.num_layers)[:, None, None]
+    hints = dict(unique_indices=True, indices_are_sorted=True)
+    ix = (lix, bcast_b[None], bcast_h[None], bcast_p[None])
     if quantized:
         new_cache = KVCache(
-            k=cache.k.at[lix, bcast_b[None], bcast_h[None],
-                         bcast_p[None]].set(ys[0]),
-            v=cache.v.at[lix, bcast_b[None], bcast_h[None],
-                         bcast_p[None]].set(ys[1]),
-            k_scale=cache.k_scale.at[lix, bcast_b[None], bcast_h[None],
-                                     bcast_p[None]].set(ys[2]),
-            v_scale=cache.v_scale.at[lix, bcast_b[None], bcast_h[None],
-                                     bcast_p[None]].set(ys[3]),
+            k=cache.k.at[ix].set(ys[0], **hints),
+            v=cache.v.at[ix].set(ys[1], **hints),
+            k_scale=cache.k_scale.at[ix].set(ys[2], **hints),
+            v_scale=cache.v_scale.at[ix].set(ys[3], **hints),
         )
     else:
         new_cache = KVCache(
-            k=cache.k.at[lix, bcast_b[None], bcast_h[None],
-                         bcast_p[None]].set(ys[0]),
-            v=cache.v.at[lix, bcast_b[None], bcast_h[None],
-                         bcast_p[None]].set(ys[1]),
+            k=cache.k.at[ix].set(ys[0], **hints),
+            v=cache.v.at[ix].set(ys[1], **hints),
             k_scale=None, v_scale=None,
         )
     return logits, new_cache

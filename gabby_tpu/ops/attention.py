@@ -207,8 +207,18 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
     fresh_v = kw.pop("fresh_v", None)
     assert not kw, f"unknown kwargs {kw}"
     nk = k_codes.shape[2 if layer is not None else 1]
+    # Policy (re-measured after the read-only-scan restructure): XLA now
+    # fuses the int8 dequant into its attention without materializing the
+    # plane, and the Pallas custom call reading the carried cache makes
+    # XLA's copy-insertion clone the cache (~1 ms/step) — so XLA wins here
+    # too (3.76 vs 4.80 ms/step on the 1B bench point). The kernel's
+    # chunk-skip still wins when max_seq >> typical context; force it with
+    # GABBY_ATTN_KERNEL=1.
+    import os
     from gabby_tpu.ops import pallas as pk
-    if q.shape[1] == 1 and pk.kernels_enabled() and q.shape[2] % nk == 0:
+    if (q.shape[1] == 1 and q.shape[2] % nk == 0
+            and os.environ.get("GABBY_ATTN_KERNEL") == "1"
+            and pk.kernels_enabled()):
         from gabby_tpu.ops.pallas import attention as pattn
         return pattn.decode_attention(q, k_codes, v_codes, positions,
                                       k_scale, v_scale, layer=layer,
