@@ -235,25 +235,41 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), params["blocks"])
     logits = _unembed(params, cfg, h)[:, 0]  # [B, V]
 
-    # single batched write of every layer's new row; the uniqueness/sorted
-    # hints let XLA update the (donated) while-carry buffers in place
-    # instead of copying the whole cache each step
-    lix = jnp.arange(cfg.num_layers)[:, None, None]
-    hints = dict(unique_indices=True, indices_are_sorted=True)
-    ix = (lix, bcast_b[None], bcast_h[None], bcast_p[None])
+    # write every layer's new row with a chain of per-slot
+    # dynamic-update-slices (one [L,1,Nk,1,H] block per slot at its own
+    # position) — the form XLA reliably turns into in-place updates of the
+    # donated while-carry buffers; the advanced-index scatter equivalent
+    # made copy-insertion clone the cache every step
+    zero = jnp.int32(0)
+
+    def write_slot(i, caches):
+        pos_i = positions[i]
+        if quantized:
+            kc, vc, ksc, vsc = caches
+            kc = jax.lax.dynamic_update_slice(
+                kc, ys[0][:, i][:, None, :, None, :], (zero, i, zero, pos_i, zero))
+            vc = jax.lax.dynamic_update_slice(
+                vc, ys[1][:, i][:, None, :, None, :], (zero, i, zero, pos_i, zero))
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ys[2][:, i][:, None, :, None], (zero, i, zero, pos_i))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, ys[3][:, i][:, None, :, None], (zero, i, zero, pos_i))
+            return kc, vc, ksc, vsc
+        kc, vc = caches
+        kc = jax.lax.dynamic_update_slice(
+            kc, ys[0][:, i][:, None, :, None, :], (zero, i, zero, pos_i, zero))
+        vc = jax.lax.dynamic_update_slice(
+            vc, ys[1][:, i][:, None, :, None, :], (zero, i, zero, pos_i, zero))
+        return kc, vc
+
     if quantized:
-        new_cache = KVCache(
-            k=cache.k.at[ix].set(ys[0], **hints),
-            v=cache.v.at[ix].set(ys[1], **hints),
-            k_scale=cache.k_scale.at[ix].set(ys[2], **hints),
-            v_scale=cache.v_scale.at[ix].set(ys[3], **hints),
-        )
+        kc, vc, ksc, vsc = jax.lax.fori_loop(
+            0, b, write_slot, (cache.k, cache.v, cache.k_scale,
+                               cache.v_scale))
+        new_cache = KVCache(k=kc, v=vc, k_scale=ksc, v_scale=vsc)
     else:
-        new_cache = KVCache(
-            k=cache.k.at[ix].set(ys[0], **hints),
-            v=cache.v.at[ix].set(ys[1], **hints),
-            k_scale=None, v_scale=None,
-        )
+        kc, vc = jax.lax.fori_loop(0, b, write_slot, (cache.k, cache.v))
+        new_cache = KVCache(k=kc, v=vc, k_scale=None, v_scale=None)
     return logits, new_cache
 
 
