@@ -188,14 +188,9 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     Returns (f32 logits [B, V], updated cache).
     """
     b = tokens.shape[0]
-    nk = cfg.num_kv_heads
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     pos2d = positions[:, None]  # [B, 1]
     h = jnp.take(params["embed"], tokens[:, None], axis=0)  # [B, 1, D]
-    # scatter indices for the head-major cache: [B, Nk] broadcast pair
-    bcast_b = jnp.arange(b)[:, None]
-    bcast_h = jnp.arange(nk)[None, :]
-    bcast_p = positions[:, None]
     quantized = cache.quantized
 
     # Cache-traffic design (profiled; the naive forms were the bottleneck):

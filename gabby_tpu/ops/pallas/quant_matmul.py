@@ -47,18 +47,28 @@ def _pick(total: int, candidates) -> int:
     return 0
 
 
-def _pick_tiles(k: int, n: int) -> tuple[int, int]:
-    """(tile_k, tile_n) hitting ~TILE_BYTES, both dividing their dims."""
+def _pick_tiles(k: int, n: int, tile_m: int, bits: int) -> tuple[int, int]:
+    """(tile_k, tile_n) hitting ~TILE_BYTES of weight per step while the
+    whole working set (double-buffered weight + activation slabs + output
+    + accumulator) fits VMEM. k is the PACKED contraction dim for int4.
+    Returns (0, _) when nothing fits (huge tile_m, e.g. batch prefill) —
+    the caller falls back to XLA, which is the right engine at large M
+    anyway (compute-bound; the unpack cost amortizes)."""
     tile_n = _pick(n, TILE_N_CANDIDATES)
     if tile_n == 0:
         return 0, 0
-    budget_k = max(TILE_BYTES // tile_n, 32)
-    tile_k = 0
+    xfac = 2 if bits == 4 else 1  # int4 feeds two activation slabs
     for c in TILE_K_CANDIDATES:
-        if c <= budget_k and k % c == 0:
-            tile_k = c
-            break
-    return tile_k, tile_n
+        if k % c or c * tile_n > TILE_BYTES:
+            continue
+        vmem = (2 * c * tile_n                      # weight, double-buffered
+                + 2 * xfac * tile_m * c * 2         # x slabs (bf16)
+                + 2 * tile_n * 4                    # scale row (f32)
+                + 2 * tile_m * tile_n * 2           # output, double-buffered
+                + tile_m * tile_n * 4)              # f32 accumulator
+        if vmem <= 10 * 1024 * 1024:
+            return c, tile_n
+    return 0, tile_n
 
 
 def _round_up(x: int, m: int) -> int:
@@ -106,8 +116,8 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
 def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
     m, k = x2d.shape
     _, n = codes.shape
-    tile_k, tile_n = _pick_tiles(k, n)
     tile_m = min(_round_up(m, 16), 256)
+    tile_k, tile_n = _pick_tiles(k, n, tile_m, 8)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
 
@@ -139,8 +149,8 @@ def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
 def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
     m, k = x2d.shape
     kp, n = packed.shape  # kp == k // 2
-    tile_kp, tile_n = _pick_tiles(kp, n)
     tile_m = min(_round_up(m, 16), 256)
+    tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
     # de-interleave activation lanes once: columns [0::2] then [1::2]
@@ -174,10 +184,11 @@ def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
     return out[:m] if mp != m else out
 
 
-def supported(k: int, n: int, bits: int) -> bool:
-    """Do these contraction/output dims tile onto the kernel grid?"""
+def supported(m: int, k: int, n: int, bits: int) -> bool:
+    """Does this problem tile onto the kernel grid within VMEM?"""
     kk = k // 2 if bits == 4 else k
-    tile_k, tile_n = _pick_tiles(kk, n)
+    tile_m = min(_round_up(max(m, 1), 16), 256)
+    tile_k, tile_n = _pick_tiles(kk, n, tile_m, bits)
     return tile_k != 0 and tile_n != 0
 
 

@@ -108,7 +108,10 @@ def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     if (qt.q.ndim == 2 and pk.kernels_enabled()
             and (qt.bits == 4 or pk.int8_matmul_kernel())):
         from gabby_tpu.ops.pallas import quant_matmul as pqm
-        if pqm.supported(qt.shape[0], qt.shape[1], qt.bits):
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if pqm.supported(m, qt.shape[0], qt.shape[1], qt.bits):
             return pqm.qmatmul(x, qt.q, qt.scale, qt.bits)
     q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
     acc = jax.lax.dot_general(

@@ -59,10 +59,14 @@ def test_qmatmul_leading_dims():
 
 
 def test_supported_gates_odd_shapes():
-    assert pqm.supported(128, 256, 8)
-    assert not pqm.supported(100, 256, 8)   # K doesn't tile
-    assert not pqm.supported(128, 100, 8)   # N doesn't tile
-    assert pqm.supported(64, 128, 4)        # K/2 = 32 tiles
+    assert pqm.supported(8, 128, 256, 8)
+    assert not pqm.supported(8, 100, 256, 8)   # K doesn't tile
+    assert not pqm.supported(8, 128, 100, 8)   # N doesn't tile
+    assert pqm.supported(8, 64, 128, 4)        # K/2 = 32 tiles
+    # huge M (batch prefill) must fall back: nothing fits VMEM
+    assert pqm.supported(8, 8192, 512, 4)
+    # at M=4096, only small-K tiles fit; still supported
+    assert pqm.supported(4096, 8192, 512, 4)
 
 
 # ---- decode attention ----
