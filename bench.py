@@ -194,6 +194,13 @@ def main() -> int:
     cache = create_cache(cfg, args.batch, args.max_seq,
                          dtype=jnp.bfloat16, quantized=spec["kv_quant"])
     weight_bytes = _tree_bytes(params)
+    # decode streams every weight EXCEPT the embedding table (the gather
+    # reads B rows; with a separate quantized unembed the [V, D] table
+    # never moves) — keep it out of the speed-of-light denominator
+    if isinstance(params, dict) and params.get("lm_head") is not None:
+        decode_weight_bytes = weight_bytes - params["embed"].nbytes
+    else:
+        decode_weight_bytes = weight_bytes
     rt = roundtrip_s()
     log(f"weights: {weight_bytes/1e9:.2f} GB; tunnel roundtrip {rt*1e3:.0f} ms")
 
@@ -244,7 +251,7 @@ def main() -> int:
     kv_bytes_per_tok_layer = 2 * cfg.num_kv_heads * cfg.head_dim * (
         1 if spec["kv_quant"] else 2) + (8 if spec["kv_quant"] else 0)
     kv_read = b * args.context * cfg.num_layers * kv_bytes_per_tok_layer
-    sol_step = (weight_bytes + kv_read) / (_device_hbm_gbps() * 1e9)
+    sol_step = (decode_weight_bytes + kv_read) / (_device_hbm_gbps() * 1e9)
     sol_tok_per_s = b / sol_step
     log(f"decode: {step_ms:.2f} ms/step over {steps} steps, "
         f"{tok_per_s:.0f} tok/s (SOL {sol_tok_per_s:.0f}, "
