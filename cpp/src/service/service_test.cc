@@ -191,6 +191,19 @@ TEST(Service, LegacyCompletions) {
     EXPECT_EQ(s2, 400);
 }
 
+TEST(Service, LegacyCompletionsStreaming) {
+    TestService svc;
+    auto resp = http::Call(
+        svc.port(), "POST", "/v1/completions",
+        R"({"prompt": "hi", "stream": true, "max_tokens": 8})",
+        {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    EXPECT_EQ(resp.headers["content-type"], "text/event-stream");
+    EXPECT_SUBSTR(resp.body, "text_completion");
+    EXPECT_SUBSTR(resp.body, "\"text\":\"hello \"");
+    EXPECT_SUBSTR(resp.body, "data: [DONE]");
+}
+
 TEST(Service, ExtractRequestDefaults) {
     auto body = json::Parse(
         R"({"messages": [{"role": "user", "content": "q"}]})");
