@@ -102,6 +102,16 @@ def prefill(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     offset..offset+T-1, writing k/v into the cache (if given) and returning
     f32 logits [B, T, V]. `offset` is static (chunked-prefill schedules are
     fixed), so cache reads/writes are static slices, not gathers."""
+    h, cache = prefill_hidden(params, cfg, tokens, cache, offset=offset)
+    return _unembed(params, cfg, h), cache
+
+
+def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                   cache: Optional[KVCache], *, offset: int = 0
+                   ) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """prefill() without the unembed: returns final hidden states [B, T, D]
+    (serving only needs logits at each row's last valid position — callers
+    gather first, then unembed a [B, 1, D] slice)."""
     b, t = tokens.shape
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     positions = jnp.broadcast_to(offset + jnp.arange(t, dtype=jnp.int32), (b, t))
@@ -167,14 +177,13 @@ def prefill(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         xs = (params["blocks"], cache.k, cache.v)
     h, ys = jax.lax.scan(body, h, xs)
 
-    logits = _unembed(params, cfg, h)
     if cache is None:
-        return logits, None
+        return h, None
     if quantized:
         new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
     else:
         new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
-    return logits, new_cache
+    return h, new_cache
 
 
 def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,

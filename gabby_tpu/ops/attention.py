@@ -20,6 +20,21 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free
 
+# Decode-attention dispatch crossover (measured, BASELINE.md): XLA's fused
+# masked attention wins at small caches, but it streams ALL max_seq rows
+# every step; the Pallas flash kernel's chunk-skip reads only the live
+# context, so it wins once the cache is big (8k: 3.0 vs 4.9 ms/step at
+# ctx 512). max_seq is static, so the policy can key on it.
+KERNEL_ATTN_MIN_SEQ = 4096
+
+
+def _want_attn_kernel(s_max: int) -> bool:
+    import os
+    forced = os.environ.get("GABBY_ATTN_KERNEL")
+    if forced is not None:
+        return forced == "1"
+    return s_max >= KERNEL_ATTN_MIN_SEQ
+
 
 def _split_groups(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
     """[B, T, Nq, H] -> [B, T, Nk, G, H]."""
@@ -87,14 +102,8 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     fresh_v = kw.pop("fresh_v", None)
     assert not kw, f"unknown kwargs {kw}"
     nk = k_cache.shape[2 if layer is not None else 1]
-    # Policy note: for a bf16 cache XLA's masked attention measured FASTER
-    # than the Pallas kernel at uniform contexts (XLA overlaps it with the
-    # surrounding matmuls), so the kernel is not auto-dispatched here — the
-    # quantized path (cache_attention_quantized) is where it wins. Force
-    # with GABBY_ATTN_KERNEL=1 to study skip behavior at short contexts.
-    import os
-    if (t == 1 and nq % nk == 0
-            and os.environ.get("GABBY_ATTN_KERNEL") == "1"):
+    s_max = k_cache.shape[3 if layer is not None else 2]
+    if t == 1 and nq % nk == 0 and _want_attn_kernel(s_max):
         from gabby_tpu.ops import pallas as pk
         if pk.kernels_enabled():
             from gabby_tpu.ops.pallas import attention as pattn
@@ -207,18 +216,10 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
     fresh_v = kw.pop("fresh_v", None)
     assert not kw, f"unknown kwargs {kw}"
     nk = k_codes.shape[2 if layer is not None else 1]
-    # Policy (re-measured after the read-only-scan restructure): XLA now
-    # fuses the int8 dequant into its attention without materializing the
-    # plane, and the Pallas custom call reading the carried cache makes
-    # XLA's copy-insertion clone the cache (~1 ms/step) — so XLA wins here
-    # too (3.76 vs 4.80 ms/step on the 1B bench point). The kernel's
-    # chunk-skip still wins when max_seq >> typical context; force it with
-    # GABBY_ATTN_KERNEL=1.
-    import os
+    s_max = k_codes.shape[3 if layer is not None else 2]
     from gabby_tpu.ops import pallas as pk
     if (q.shape[1] == 1 and q.shape[2] % nk == 0
-            and os.environ.get("GABBY_ATTN_KERNEL") == "1"
-            and pk.kernels_enabled()):
+            and _want_attn_kernel(s_max) and pk.kernels_enabled()):
         from gabby_tpu.ops.pallas import attention as pattn
         return pattn.decode_attention(q, k_codes, v_codes, positions,
                                       k_scale, v_scale, layer=layer,

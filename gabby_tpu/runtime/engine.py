@@ -150,7 +150,8 @@ class Engine:
 
         # serving metrics (scraped by /statusz via the bridge)
         self.stats = {"requests": 0, "completion_tokens": 0,
-                      "prompt_tokens": 0, "decode_steps": 0}
+                      "prompt_tokens": 0, "decode_steps": 0,
+                      "burst_admissions": 0}
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
         self._admit_key = jax.random.PRNGKey(0x6ABB)
 
@@ -232,6 +233,93 @@ class Engine:
 
     def _free_slots(self) -> list[int]:
         return [i for i, s in enumerate(self._slots) if s is None]
+
+    @staticmethod
+    def _chunk_schedule(n: int) -> tuple:
+        """The static (offset, bucket) chunk sequence a prompt of n tokens
+        prefills through (full 512s then the smallest fitting bucket)."""
+        out = []
+        offset = 0
+        while offset < n:
+            remaining = n - offset
+            bucket = next((bkt for bkt in PREFILL_BUCKETS if bkt >= remaining),
+                          PREFILL_BUCKETS[-1])
+            out.append((offset, min(bucket, PREFILL_BUCKETS[-1])))
+            offset += min(bucket, remaining)
+        return tuple(out)
+
+    def _try_burst_admission(self) -> bool:
+        """Cold-burst fast path: when EVERY slot is free and several
+        requests with the same chunk schedule are queued, prefill them as
+        ONE batched call per chunk (weights stream once for the whole
+        group instead of once per slot). Restricted to prompts <= 2 chunks
+        so the static-offset schedule stays a handful of compiles."""
+        if any(s is not None for s in self._slots):
+            return False
+        if self._queue.qsize() < 2:
+            return False
+        drained: list[Request] = []
+        while len(drained) < 4 * len(self._slots):
+            try:
+                drained.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        key0 = self._chunk_schedule(len(drained[0].prompt_ids))
+        group, rest = [], []
+        for r in drained:
+            sched = self._chunk_schedule(len(r.prompt_ids))
+            if (sched == key0 and len(sched) <= 2
+                    and len(group) < len(self._slots)):
+                group.append(r)
+            else:
+                rest.append(r)
+        for r in rest:
+            self._queue.put(r)
+        if len(group) < 2:
+            for r in group:
+                self._queue.put(r)
+            return False
+
+        b = len(self._slots)
+        a = len(group)
+        lengths = np.ones((b,), np.int32)
+        lengths[:a] = [len(r.prompt_ids) for r in group]
+        logits = None
+        for offset, bucket in key0:
+            chunk = np.zeros((b, bucket), np.int32)
+            for i, r in enumerate(group):
+                take = min(bucket, len(r.prompt_ids) - offset)
+                chunk[i, :take] = r.prompt_ids[offset:offset + take]
+            logits, self._cache = generate.prefill_batch_chunk(
+                self.params, self.cfg, jnp.asarray(chunk),
+                jnp.asarray(lengths), self._cache, offset)
+
+        self._admit_key, sub = jax.random.split(self._admit_key)
+        ec = self.ec
+        temp = np.full((b,), ec.default_temperature, np.float32)
+        topk = np.full((b,), ec.default_top_k, np.int32)
+        topp = np.full((b,), ec.default_top_p, np.float32)
+        for i, r in enumerate(group):
+            temp[i], topk[i], topp[i] = r.temperature, r.top_k, r.top_p
+        (self._tokens, self._positions, self._active,
+         self._sstate) = generate.admit_slots(
+            logits, jnp.asarray(lengths), jnp.asarray(temp),
+            jnp.asarray(topk), jnp.asarray(topp), sub, jnp.int32(a),
+            self._tokens, self._positions, self._active, self._sstate)
+
+        now = time.monotonic()
+        for i, req in enumerate(group):
+            self._slots[i] = _Slot(request=req,
+                                   prompt_len=len(req.prompt_ids),
+                                   first_pending=True)
+            self.stats["requests"] += 1
+            self.stats["prompt_tokens"] += len(req.prompt_ids)
+            req.first_token_ts = now
+            self._ttfts.append(now - req.submit_ts)
+        if len(self._ttfts) > 1024:
+            del self._ttfts[:512]
+        self.stats["burst_admissions"] += len(group)
+        return True
 
     def _prefill_one_chunk(self, adm: "_Admission") -> bool:
         """Advance an in-flight admission by ONE prefill chunk; returns True
@@ -354,6 +442,14 @@ class Engine:
         ec = self.ec
         admitting: Optional[_Admission] = None
         while not self._shutdown:
+            # cold-burst batched admission first (all slots free + queue)
+            if admitting is None:
+                try:
+                    self._try_burst_admission()
+                except Exception:
+                    import traceback
+                    traceback.print_exc()  # fall through to the single path
+
             # start a new admission when none is in flight and a slot is free
             if admitting is None:
                 free = self._free_slots()

@@ -184,3 +184,38 @@ def test_sampling_params_accepted(engine):
         MSGS, max_tokens=4, temperature=0.8, top_k=20, top_p=0.9)
     assert fin in ("stop", "length")
     assert isinstance(text, str)
+
+
+def test_burst_admission_correctness(setup):
+    """Several same-schedule requests submitted to an idle engine take the
+    batched cold-burst prefill; outputs must still match the lone-request
+    reference exactly."""
+    import threading
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=4, max_seq=128, steps_per_call=4,
+                              default_max_tokens=5, cache_dtype="float32"))
+    try:
+        prompts = [[{"role": "user", "content": f"burst {i}"}]
+                   for i in range(4)]
+        for attempt in range(3):
+            results = [None] * len(prompts)
+            threads = [threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, eng.generate_sync(prompts[i], max_tokens=5)[0]))
+                for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            for i, msgs in enumerate(prompts):
+                ref = tok.decode(reference_generation(cfg, params, tok,
+                                                      msgs, 5))
+                assert results[i] == ref, f"burst req {i} diverged"
+            if eng.stats["burst_admissions"] >= 2:
+                break
+        # with 4 simultaneous submissions x 3 attempts the burst path must
+        # have triggered at least once
+        assert eng.stats["burst_admissions"] >= 2, eng.stats
+    finally:
+        eng.shutdown()
