@@ -108,8 +108,16 @@ def run_serving(args, spec, cfg, log) -> int:
     msgs = [{"role": "user", "content": prompt_text}]
     n_requests = args.requests or 3 * args.batch
 
-    # warm all compile paths with one request end-to-end
+    # warm ALL compile paths end-to-end: a lone request (single-slot
+    # prefill + decode) and a same-schedule burst (batched prefill + admit)
+    import threading as _t
     engine.generate_sync(msgs, max_tokens=4)
+    warm = [_t.Thread(target=lambda: engine.generate_sync(msgs, max_tokens=4))
+            for _ in range(3)]
+    for t in warm:
+        t.start()
+    for t in warm:
+        t.join()
     log(f"serving: {n_requests} requests x {args.gen_tokens} tokens, "
         f"{args.batch} slots")
 
