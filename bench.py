@@ -101,7 +101,8 @@ def run_serving(args, spec, cfg, log) -> int:
     tok = Tokenizer.byte_fallback(cfg.vocab_size)
     engine = Engine(cfg, params, tok, EngineConfig(
         batch_slots=args.batch, max_seq=args.max_seq,
-        steps_per_call=args.steps, default_max_tokens=args.gen_tokens,
+        steps_per_call=args.steps, steps_per_call_busy=args.busy_steps,
+        default_max_tokens=args.gen_tokens,
         kv_quantized=spec["kv_quant"]))
 
     prompt_text = ("benchmark " * 200)[:args.prefill_len]
@@ -183,6 +184,9 @@ def main() -> int:
                    help="serving mode: request count (default 3x slots)")
     p.add_argument("--gen-tokens", type=int, default=128,
                    help="serving mode: completion length per request")
+    p.add_argument("--busy-steps", type=int, default=8,
+                   help="serving mode: decode steps per call while requests "
+                        "are queued/prefilling")
     args = p.parse_args()
 
     spec = CONFIGS[args.config]
