@@ -157,7 +157,9 @@ def run_serving(args, spec, cfg, log) -> int:
             "completion_tokens": total_tokens,
             "device": jax.devices()[0].device_kind,
             "note": "vs_baseline field carries p50 TTFT ms (reference "
-                    "publishes no numbers, see BASELINE.md)",
+                    "publishes no numbers, see BASELINE.md); weights are "
+                    "random and the tokenizer is byte-fallback — valid for "
+                    "throughput/latency, not output quality",
         },
     }))
     return 0

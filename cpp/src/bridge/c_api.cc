@@ -48,7 +48,8 @@ class CallbackGenerator : public gabby::Generator {
             const std::function<void(const GenChunk&)>* emit;
             std::string error;
             bool aborted = false;
-        } ctx{&emit, {}, false};
+            int error_status = 500;
+        } ctx{&emit, {}, false, 500};
 
         auto emit_tramp = [](void* vctx, const char* chunk_json,
                              size_t len) -> int {
@@ -58,6 +59,12 @@ class CallbackGenerator : public gabby::Generator {
                 const auto& obj = v->as_object();
                 if (auto it = obj.find("error"); it != obj.end()) {
                     c->error = it->second->as_string();
+                    // engine-declared client errors (e.g. context length
+                    // exceeded) carry {"status": 400}
+                    if (auto st = obj.find("status"); st != obj.end()) {
+                        c->error_status =
+                            static_cast<int>(st->second->as_number());
+                    }
                     return 0;
                 }
                 GenChunk chunk;
@@ -93,6 +100,9 @@ class CallbackGenerator : public gabby::Generator {
         int rc = generate_(user_data_, request_json.data(),
                            request_json.size(), &ctx, emit_tramp);
         if (!ctx.error.empty()) {
+            if (ctx.error_status == 400) {
+                throw gabby::http::BadRequestException(ctx.error);
+            }
             throw gabby::http::InternalError(ctx.error);
         }
         if (rc != 0) {

@@ -8,7 +8,7 @@ are stacked per-layer and handed to jax.device_put (optionally quantized
 first, so INT4/INT8 checkpoints never materialize in bf16 on device).
 
 A C++ mmap safetensors reader with the same semantics serves the native
-front-end (cpp/src/sftensor.*).
+front-end (cpp/src/inference/safetensors.{h,cc}).
 """
 
 from __future__ import annotations

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gabby_tpu.config import ModelConfig
+from gabby_tpu.ops import sampling
 from gabby_tpu.runtime import generate
 from gabby_tpu.runtime.kv_cache import create_cache
 from gabby_tpu.tokenizer import ChatFormat, Tokenizer
@@ -43,6 +44,12 @@ from gabby_tpu.tokenizer import ChatFormat, Tokenizer
 # chunk-length ladder for slot prefill: smallest bucket >= remaining,
 # repeating the largest for long prompts. Few buckets = few compiles.
 PREFILL_BUCKETS = (16, 64, 256, 512)
+
+
+class RequestError(ValueError):
+    """Client-caused request rejection; maps to HTTP 400 at the API layer."""
+
+    status = 400
 
 
 @dataclasses.dataclass
@@ -119,6 +126,13 @@ class Engine:
         self.chat = ChatFormat(tokenizer)
         self.ec = econfig
         b = econfig.batch_slots
+        if econfig.max_seq % PREFILL_BUCKETS[0] != 0:
+            # prefill writes full bucket-sized blocks; _chunk_schedule only
+            # guarantees offset+bucket <= max_seq (no clamped, KV-corrupting
+            # dynamic_update_slice) when max_seq sits on the bucket grid
+            raise ValueError(
+                f"max_seq={econfig.max_seq} must be a multiple of "
+                f"{PREFILL_BUCKETS[0]} (the prefill bucket grid)")
 
         cache = create_cache(cfg, b, econfig.max_seq,
                              dtype=jnp.dtype(econfig.cache_dtype),
@@ -130,9 +144,17 @@ class Engine:
         stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
         self._eos_ids = jnp.asarray(sorted(stop), jnp.int32)
 
-        # on-device slot state
+        # on-device slot state. Free slots' positions are PARKED at
+        # max_seq-1: decode_step writes every slot's fresh k/v row at
+        # positions[i] with no active gating, and decode interleaves with
+        # another slot's multi-chunk prefill — a stale position inside the
+        # prompt range would overwrite already-prefilled KV rows. Row
+        # max_seq-1 is safe: attention masks j < pos, and a live slot
+        # overwrites that row with real data (at pos == max_seq-1) before
+        # any step could read it.
+        self._park = econfig.max_seq - 1
         self._tokens = jnp.zeros((b,), jnp.int32)
-        self._positions = jnp.zeros((b,), jnp.int32)
+        self._positions = jnp.full((b,), self._park, jnp.int32)
         self._active = jnp.zeros((b,), bool)
         self._sstate = generate.SamplingState(
             temperature=jnp.zeros((b,), jnp.float32),
@@ -183,7 +205,18 @@ class Engine:
         ec = self.ec
         limit = ec.max_seq - 1
         if len(prompt_ids) > limit:
-            prompt_ids = prompt_ids[-limit:]  # keep the tail (most recent)
+            # OpenAI semantics: over-length context is the CLIENT's error —
+            # rejecting beats silently answering a truncated prompt
+            raise RequestError(
+                f"prompt is {len(prompt_ids)} tokens but this server's "
+                f"context window is {ec.max_seq} (max prompt {limit})")
+        if top_k is not None and top_k > sampling.MAX_CANDIDATES:
+            # sampling pre-slices a static top-{MAX_CANDIDATES} candidate
+            # set on device (ops/sampling.py); larger top_k would be
+            # silently clamped, so reject it loudly instead
+            raise RequestError(
+                f"top_k={top_k} exceeds the supported maximum of "
+                f"{sampling.MAX_CANDIDATES}")
         req = Request(
             prompt_ids=prompt_ids,
             max_tokens=max_tokens if max_tokens and max_tokens > 0
@@ -216,10 +249,14 @@ class Engine:
                         req.completion_tokens)
 
     def stats_snapshot(self) -> dict:
-        """Engine-side serving metrics (TTFT is admit -> first token)."""
-        s = dict(self.stats)
-        if self._ttfts:
-            s["p50_ttft_ms"] = round(float(np.median(self._ttfts)) * 1e3, 2)
+        """Engine-side serving metrics (TTFT is admit -> first token).
+        Called from HTTP worker threads; `_lock` guards stats/_ttfts against
+        the engine thread's mutations."""
+        with self._lock:
+            s = dict(self.stats)
+            ttfts = list(self._ttfts)
+        if ttfts:
+            s["p50_ttft_ms"] = round(float(np.median(ttfts)) * 1e3, 2)
         s["active_slots"] = sum(1 for x in self._slots if x is not None)
         s["queued"] = self._queue.qsize()
         return s
@@ -234,18 +271,27 @@ class Engine:
     def _free_slots(self) -> list[int]:
         return [i for i, s in enumerate(self._slots) if s is None]
 
-    @staticmethod
-    def _chunk_schedule(n: int) -> tuple:
+    def _next_bucket(self, remaining: int, offset: int) -> int:
+        """Smallest ladder bucket >= remaining that still fits before
+        max_seq; when none covers `remaining`, the largest that fits (the
+        prompt continues in later chunks). Never lets a bucket-sized write
+        cross the cache end — with max_seq on the bucket grid a fitting
+        bucket always exists (offsets advance in bucket multiples)."""
+        room = self.ec.max_seq - offset
+        for bkt in PREFILL_BUCKETS:
+            if bkt >= remaining and bkt <= room:
+                return bkt
+        return max(b for b in PREFILL_BUCKETS if b <= room)
+
+    def _chunk_schedule(self, n: int) -> tuple:
         """The static (offset, bucket) chunk sequence a prompt of n tokens
-        prefills through (full 512s then the smallest fitting bucket)."""
+        prefills through."""
         out = []
         offset = 0
         while offset < n:
-            remaining = n - offset
-            bucket = next((bkt for bkt in PREFILL_BUCKETS if bkt >= remaining),
-                          PREFILL_BUCKETS[-1])
-            out.append((offset, min(bucket, PREFILL_BUCKETS[-1])))
-            offset += min(bucket, remaining)
+            bucket = self._next_bucket(n - offset, offset)
+            out.append((offset, bucket))
+            offset += min(bucket, n - offset)
         return tuple(out)
 
     def _try_burst_admission(self) -> bool:
@@ -308,17 +354,18 @@ class Engine:
             self._tokens, self._positions, self._active, self._sstate)
 
         now = time.monotonic()
-        for i, req in enumerate(group):
-            self._slots[i] = _Slot(request=req,
-                                   prompt_len=len(req.prompt_ids),
-                                   first_pending=True)
-            self.stats["requests"] += 1
-            self.stats["prompt_tokens"] += len(req.prompt_ids)
-            req.first_token_ts = now
-            self._ttfts.append(now - req.submit_ts)
-        if len(self._ttfts) > 1024:
-            del self._ttfts[:512]
-        self.stats["burst_admissions"] += len(group)
+        with self._lock:
+            for i, req in enumerate(group):
+                self._slots[i] = _Slot(request=req,
+                                       prompt_len=len(req.prompt_ids),
+                                       first_pending=True)
+                self.stats["requests"] += 1
+                self.stats["prompt_tokens"] += len(req.prompt_ids)
+                req.first_token_ts = now
+                self._ttfts.append(now - req.submit_ts)
+            if len(self._ttfts) > 1024:
+                del self._ttfts[:512]
+            self.stats["burst_admissions"] += len(group)
         return True
 
     def _prefill_one_chunk(self, adm: "_Admission") -> bool:
@@ -328,8 +375,7 @@ class Engine:
         streams for more than a chunk's worth of time (chunked prefill,
         BASELINE config 5)."""
         remaining = len(adm.ids) - adm.offset
-        bucket = next((bkt for bkt in PREFILL_BUCKETS if bkt >= remaining),
-                      PREFILL_BUCKETS[-1])
+        bucket = self._next_bucket(remaining, adm.offset)
         take = min(bucket, remaining)
         chunk = np.zeros((bucket,), np.int32)
         chunk[:take] = adm.ids[adm.offset:adm.offset + take]
@@ -353,12 +399,13 @@ class Engine:
 
         slot = _Slot(request=req, prompt_len=n, first_pending=True)
         self._slots[slot_ix] = slot
-        self.stats["requests"] += 1
-        self.stats["prompt_tokens"] += n
-        req.first_token_ts = time.monotonic()
-        self._ttfts.append(req.first_token_ts - req.submit_ts)
-        if len(self._ttfts) > 1024:
-            del self._ttfts[:512]
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["prompt_tokens"] += n
+            req.first_token_ts = time.monotonic()
+            self._ttfts.append(req.first_token_ts - req.submit_ts)
+            if len(self._ttfts) > 1024:
+                del self._ttfts[:512]
 
     def _emit_token(self, slot_ix: int, token_id: int) -> None:
         """Append a token to the slot's request; stream decoded delta."""
@@ -405,10 +452,15 @@ class Engine:
         # flush any held-back tail
         text = self.tokenizer.decode(slot.emitted_ids)
         tail = text[slot.emitted_text_len:]
-        self.stats["completion_tokens"] += len(slot.emitted_ids)
-        slot.request.out.put((tail or None, reason))
+        with self._lock:
+            self.stats["completion_tokens"] += len(slot.emitted_ids)
         self._slots[slot_ix] = None
         self._active = self._active.at[slot_ix].set(False)
+        # park the freed slot's write position (see __init__); update all
+        # state BEFORE notifying the client so a caller that observes the
+        # finish sees the slot fully released
+        self._positions = self._positions.at[slot_ix].set(self._park)
+        slot.request.out.put((tail or None, reason))
 
     @property
     def _stop_set(self) -> set[int]:
@@ -490,7 +542,8 @@ class Engine:
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, steps,
                 eos_ids=self._eos_ids)
-            self.stats["decode_steps"] += steps
+            with self._lock:
+                self.stats["decode_steps"] += steps
 
             # ONE host transfer for everything this iteration needs
             b = len(self._slots)

