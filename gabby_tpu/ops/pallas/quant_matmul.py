@@ -97,15 +97,27 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic has no i8 vector shifts: widen to i32 for the nibble unpack.
-    # Shift each nibble's sign bit to bit 31, then arithmetic-shift down.
-    packed = w_ref[:].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(packed, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(packed, 24), 28)
-    acc_ref[:] += jnp.dot(xe_ref[:], lo.astype(jnp.bfloat16),
+    # Cheap nibble unpack enabled by the biased packing
+    # (ops/quant.pack_int4): a byte read as signed int8 is exactly
+    # 16*hi + (lo+8), so
+    #     hi  = b >> 4   (arithmetic shift sign-extends the high nibble)
+    #     lo8 = b & 15   (biased low nibble, in [1, 15])
+    # — ONE shift + ONE mask after the i32 widen (Mosaic has no sub-i32
+    # vector shifts), vs the round-1 kernel's four shifts for two
+    # sign-extensions. The +8 bias is constant per element, so its
+    # contribution contracts to a rank-1 correction on the accumulator:
+    # acc -= 8 * rowsum(x_even), a [tile_m] vector — ~3% of the unpack
+    # cost. (The kernel was VPU-bound on the unpack, not DMA-bound; v5e
+    # has no bf16 ALU, so a float-side unpack is no cheaper.)
+    p = w_ref[:].astype(jnp.int32)
+    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)
+    lo8 = (p & 15).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(xe_ref[:], lo8,
                           preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(xo_ref[:], hi.astype(jnp.bfloat16),
+    acc_ref[:] += jnp.dot(xo_ref[:], hi,
                           preferred_element_type=jnp.float32)
+    rowsum = jnp.sum(xe_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+    acc_ref[:] -= 8.0 * rowsum
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():

@@ -57,18 +57,27 @@ class QTensor:
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """[in, out] int8 in [-8, 7] -> [in//2, out] packed bytes (byte i holds
-    row 2i in the low nibble, row 2i+1 in the high)."""
+    """[in, out] int8 in [-7, 7] -> [in//2, out] packed bytes (byte i holds
+    row 2i in the low nibble, row 2i+1 in the high).
+
+    The low nibble is stored BIASED by +8 (values 1..15), so a packed byte
+    read as signed int8 decomposes with pure float math:
+        b == 16*hi + (lo+8),  hi = floor(b/16),  lo = b - 16*hi - 8.
+    The Pallas kernel exploits this: one int8->bf16 hardware convert plus
+    mul/floor/fma per byte instead of i32 widening + four vector shifts
+    (Mosaic has no sub-i32 shifts), and the -8 bias folds into a rank-1
+    correction (8 * rowsum(x_even)) applied to the accumulator — the
+    measured fix for the round-1 kernel being VPU-bound on the unpack."""
     assert q.shape[0] % 2 == 0, "int4 packing needs an even input dim"
-    lo = q[0::2].astype(jnp.uint8) & 0xF
+    lo = (q[0::2].astype(jnp.int32) + 8).astype(jnp.uint8) & 0xF
     hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
     return (lo | hi).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """[in//2, out] packed -> [in, out] int8, sign-extended nibbles."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign-extend
-    hi = jnp.right_shift(packed, 4)
+    """[in//2, out] packed -> [in, out] int8, undoing the low-nibble bias."""
+    lo = (packed.astype(jnp.int32) & 0xF).astype(jnp.int8) - 8
+    hi = jnp.right_shift(packed, 4)  # arithmetic: sign-extends the nibble
     inter = jnp.stack([lo, hi], axis=1)  # [in//2, 2, out]
     return inter.reshape(packed.shape[0] * 2, packed.shape[1])
 
