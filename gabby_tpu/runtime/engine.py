@@ -56,6 +56,10 @@ class RequestError(ValueError):
 class EngineConfig:
     batch_slots: int = 8
     max_seq: int = 2048
+    # PRNG seed for sampling. Deterministic by default — REQUIRED for
+    # multi-host serving, where every controller must sample identical
+    # tokens from identical keys
+    seed: int = 0
     # decode steps fused per device call: `steps_per_call` when the batch
     # is drained (amortizes dispatch), `steps_per_call_busy` while requests
     # are queued/prefilling (keeps TTFT low — decode bursts between prefill
@@ -119,7 +123,20 @@ class Engine:
 
     def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
                  econfig: EngineConfig = EngineConfig(), *,
-                 cache_shardings=None, stop_ids: Optional[set[int]] = None):
+                 cache_shardings=None, stop_ids: Optional[set[int]] = None,
+                 sync=None):
+        """sync: a parallel.multihost.HostSync for multi-controller serving.
+        When given (and process_count > 1), the loop becomes PLAN-DRIVEN:
+        the leader (process 0, owning the HTTP front door) composes each
+        iteration's plan — admissions with their token ids and sampling
+        params, decode burst length — broadcasts it, and every process
+        replays the identical jitted calls on its shards of the global
+        mesh. Followers keep full shadow slot state (stub Requests nobody
+        reads), so host-side decisions (EOS, max_tokens, stop strings)
+        stay in lockstep without further communication. Requires dp=1
+        (host-fetched arrays must be fully replicated so each process can
+        device_get them locally). Shut down via the leader: it broadcasts
+        the shutdown plan that releases the followers."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -160,8 +177,13 @@ class Engine:
             temperature=jnp.zeros((b,), jnp.float32),
             top_k=jnp.zeros((b,), jnp.int32),
             top_p=jnp.ones((b,), jnp.float32),
-            key=jax.random.PRNGKey(int(time.time() * 1e3) % (2**31)),
+            key=jax.random.PRNGKey(econfig.seed),
         )
+        self._sync = sync
+        self._multi = sync is not None and sync.num_processes > 1
+        # leader-side handoff between plan composition and execution
+        self._pending_admit: Optional[Request] = None
+        self._burst_reqs: Optional[list[Request]] = None
 
         # host-side mirrors
         self._slots: list[Optional[_Slot]] = [None] * b
@@ -294,16 +316,30 @@ class Engine:
             offset += min(bucket, n - offset)
         return tuple(out)
 
-    def _try_burst_admission(self) -> bool:
-        """Cold-burst fast path: when EVERY slot is free and several
-        requests with the same chunk schedule are queued, prefill them as
-        ONE batched call per chunk (weights stream once for the whole
-        group instead of once per slot). Restricted to prompts <= 2 chunks
-        so the static-offset schedule stays a handful of compiles."""
+    @staticmethod
+    def _req_meta(req: Request) -> dict:
+        """The request fields a follower controller needs to mirror all
+        host-side decisions (sampling splice, max_tokens, stop matching)."""
+        return dict(max_tokens=req.max_tokens, temperature=req.temperature,
+                    top_k=req.top_k, top_p=req.top_p, stop=list(req.stop))
+
+    @staticmethod
+    def _stub_request(ids, meta: dict) -> Request:
+        """Follower-side shadow of the leader's Request: same control
+        fields, but its out queue has no reader (deltas are dropped)."""
+        return Request(prompt_ids=list(ids), **meta)
+
+    def _select_burst(self) -> Optional[dict]:
+        """Leader-side cold-burst selection: when EVERY slot is free and
+        several requests with the same chunk schedule are queued, group
+        them for ONE batched prefill call per chunk (weights stream once
+        for the whole group instead of once per slot). Restricted to
+        prompts <= 2 chunks so the static-offset schedule stays a handful
+        of compiles. Returns the broadcastable burst spec, or None."""
         if any(s is not None for s in self._slots):
-            return False
+            return None
         if self._queue.qsize() < 2:
-            return False
+            return None
         drained: list[Request] = []
         while len(drained) < 4 * len(self._slots):
             try:
@@ -324,18 +360,34 @@ class Engine:
         if len(group) < 2:
             for r in group:
                 self._queue.put(r)
-            return False
+            return None
+        self._burst_reqs = group
+        return {"sched": key0,
+                "prompts": [list(r.prompt_ids) for r in group],
+                "metas": [self._req_meta(r) for r in group]}
 
+    def _execute_burst(self, spec: dict) -> None:
+        """Run a burst spec's device calls and slot bookkeeping — identical
+        on every controller (followers rebuild the group as stubs)."""
         b = len(self._slots)
-        a = len(group)
+        prompts = spec["prompts"]
+        a = len(prompts)
+        if self._multi and not self._sync.is_leader:
+            group = [self._stub_request(p, m)
+                     for p, m in zip(prompts, spec["metas"])]
+        else:
+            group = self._burst_reqs
+            self._burst_reqs = None
+
         lengths = np.ones((b,), np.int32)
-        lengths[:a] = [len(r.prompt_ids) for r in group]
+        lengths[:a] = [len(p) for p in prompts]
         logits = None
-        for offset, bucket in key0:
+        for offset, bucket in spec["sched"]:
             chunk = np.zeros((b, bucket), np.int32)
-            for i, r in enumerate(group):
-                take = min(bucket, len(r.prompt_ids) - offset)
-                chunk[i, :take] = r.prompt_ids[offset:offset + take]
+            for i, p in enumerate(prompts):
+                take = min(bucket, len(p) - offset)
+                if take > 0:
+                    chunk[i, :take] = p[offset:offset + take]
             logits, self._cache = generate.prefill_batch_chunk(
                 self.params, self.cfg, jnp.asarray(chunk),
                 jnp.asarray(lengths), self._cache, offset)
@@ -366,7 +418,6 @@ class Engine:
             if len(self._ttfts) > 1024:
                 del self._ttfts[:512]
             self.stats["burst_admissions"] += len(group)
-        return True
 
     def _prefill_one_chunk(self, adm: "_Admission") -> bool:
         """Advance an in-flight admission by ONE prefill chunk; returns True
@@ -490,88 +541,161 @@ class Engine:
                 except queue.Empty:
                     break
 
-    def _loop(self) -> None:
-        ec = self.ec
-        admitting: Optional[_Admission] = None
-        while not self._shutdown:
-            # cold-burst batched admission first (all slots free + queue)
-            if admitting is None:
-                try:
-                    self._try_burst_admission()
-                except Exception:
-                    import traceback
-                    traceback.print_exc()  # fall through to the single path
-
-            # start a new admission when none is in flight and a slot is free
-            if admitting is None:
+    def _compose_plan(self, admitting: Optional[_Admission]) -> Optional[dict]:
+        """Leader-side (or single-process) decision for one loop iteration:
+        what to admit and how many decode steps to fuse. Returns None when
+        there is nothing at all to do (idle)."""
+        if self._shutdown:
+            return {"op": "shutdown"}
+        plan: dict = {}
+        if admitting is None:
+            try:
+                burst = self._select_burst()
+            except Exception:
+                import traceback
+                traceback.print_exc()  # fall through to the single path
+                burst = None
+            if burst is not None:
+                plan["burst"] = burst
+            else:
                 free = self._free_slots()
                 if free:
                     try:
                         req = self._queue.get_nowait()
-                        admitting = _Admission(
-                            slot_ix=free[0], req=req,
-                            ids=np.asarray(req.prompt_ids, np.int32))
+                        self._pending_admit = req
+                        plan["admit"] = {"slot": free[0],
+                                         "ids": list(req.prompt_ids),
+                                         "meta": self._req_meta(req)}
                     except queue.Empty:
                         pass
+        if (admitting is None and "burst" not in plan and "admit" not in plan
+                and not any(s is not None for s in self._slots)):
+            return None
+        # short decode bursts while an admission is in flight (a waiting
+        # request's TTFT sits behind each decode call), long ones
+        # otherwise. A non-empty queue with NO free slot is NOT busy:
+        # short bursts can't admit anything then — they only multiply
+        # per-iteration host-fetch overhead (measured: this was the main
+        # reason a 3x-oversubscribed bench crawled between waves).
+        busy = admitting is not None or "admit" in plan
+        steps = (self.ec.steps_per_call_busy if busy
+                 else self.ec.steps_per_call)
+        if not busy and not self._queue.empty():
+            # requests are waiting on a slot: don't decode past the
+            # nearest PREDICTABLE free-up (a slot hitting max_tokens), so
+            # the admission starts the very next iteration
+            remaining = [s.request.max_tokens - len(s.emitted_ids)
+                         for s in self._slots if s is not None]
+            if remaining:
+                tgt = max(1, min(steps, min(remaining)))
+                # power-of-two so the fused decode loop (steps is a static
+                # jit arg) compiles a bounded set of programs
+                steps = 1 << (tgt.bit_length() - 1)
+        plan["steps"] = steps
+        return plan
 
-            # advance the in-flight admission by ONE chunk, then fall
-            # through to decode: prefill and decode interleave so a long
-            # prompt never stalls active streams for more than a chunk
-            if admitting is not None:
-                try:
-                    if self._prefill_one_chunk(admitting):
-                        self._finish_admission(admitting)
-                        admitting = None
-                except Exception as e:  # defensive: bad request params
-                    admitting.req.out.put((None, f"error: {e}"))
+    def _execute_plan(self, plan: dict,
+                      admitting: Optional[_Admission]
+                      ) -> Optional[_Admission]:
+        """Run one iteration's device calls + host bookkeeping. In
+        multi-host mode every controller executes this with the SAME plan
+        against the same (replicated) slot state, so all jit dispatches and
+        all host-side finish decisions stay in lockstep."""
+        if "burst" in plan:
+            self._execute_burst(plan["burst"])
+        if "admit" in plan:
+            if self._multi and not self._sync.is_leader:
+                req = self._stub_request(plan["admit"]["ids"],
+                                         plan["admit"]["meta"])
+            else:
+                req = self._pending_admit
+                self._pending_admit = None
+            admitting = _Admission(
+                slot_ix=plan["admit"]["slot"], req=req,
+                ids=np.asarray(plan["admit"]["ids"], np.int32))
+
+        # advance the in-flight admission by ONE chunk, then fall through
+        # to decode: prefill and decode interleave so a long prompt never
+        # stalls active streams for more than a chunk
+        if admitting is not None:
+            try:
+                if self._prefill_one_chunk(admitting):
+                    self._finish_admission(admitting)
                     admitting = None
+            except Exception as e:  # defensive: bad request params
+                admitting.req.out.put((None, f"error: {e}"))
+                admitting = None
 
-            if not any(s is not None for s in self._slots):
-                if admitting is None:
-                    self._wake.wait(timeout=0.05)
+        if not any(s is not None for s in self._slots):
+            return admitting
+
+        steps = plan["steps"]
+        pre_tokens = self._tokens  # holds just-admitted first tokens
+        (out_tokens, out_active, self._tokens, self._positions,
+         self._active, self._cache, self._sstate) = generate.decode_loop(
+            self.params, self.cfg, self._tokens, self._positions,
+            self._active, self._cache, self._sstate, steps,
+            eos_ids=self._eos_ids)
+        with self._lock:
+            self.stats["decode_steps"] += steps
+
+        # ONE host transfer for everything this iteration needs (arrays
+        # are replicated across controllers, so in multi-host mode every
+        # process fetches identical values and decides identically)
+        b = len(self._slots)
+        kb = steps * b
+        packed = np.asarray(jax.device_get(generate.pack_host_view(
+            out_tokens, out_active, self._active, pre_tokens)))
+        toks = packed[:kb].reshape(steps, -1)               # [K, B]
+        emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
+        active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
+        first_toks = packed[2 * kb + b:]                     # [B]
+
+        # deliver on-device-sampled first tokens of fresh admissions
+        # BEFORE this call's decode outputs (generation order)
+        for slot_ix, slot in enumerate(self._slots):
+            if slot is not None and slot.first_pending:
+                slot.first_pending = False
+                self._emit_token(slot_ix, int(first_toks[slot_ix]))
+        for step in range(toks.shape[0]):
+            for slot_ix in range(toks.shape[1]):
+                if emitted[step, slot_ix] and self._slots[slot_ix]:
+                    self._emit_token(slot_ix, int(toks[step, slot_ix]))
+
+        # a slot the DEVICE deactivated without an EOS hit its cache
+        # capacity (decode_loop's new_pos < max_seq guard): finish it
+        # host-side or its request would hang forever
+        for slot_ix, slot in enumerate(self._slots):
+            if slot is not None and not active_host[slot_ix]:
+                self._finish(slot_ix, "length")
+        return admitting
+
+    def _loop(self) -> None:
+        admitting: Optional[_Admission] = None
+        leader = not self._multi or self._sync.is_leader
+        while True:
+            if leader:
+                plan = self._compose_plan(admitting)
+                if plan is None:
+                    if not self._multi:
+                        self._wake.wait(timeout=0.05)
+                        self._wake.clear()
+                        continue
+                    # multi-host idle: wait briefly for work, then send a
+                    # heartbeat no-op so followers never sit in a
+                    # collective long enough to trip its timeout
+                    self._wake.wait(timeout=2.0)
                     self._wake.clear()
+                    plan = self._compose_plan(admitting) or {"op": "noop"}
+            else:
+                plan = None
+            if self._multi:
+                plan = self._sync.broadcast(plan)
+            if plan.get("op") == "noop":
                 continue
-
-            # one fused multi-step decode call for the whole batch; short
-            # bursts while admissions are pending, long ones when drained
-            busy = admitting is not None or not self._queue.empty()
-            steps = ec.steps_per_call_busy if busy else ec.steps_per_call
-            pre_tokens = self._tokens  # holds just-admitted first tokens
-            (out_tokens, out_active, self._tokens, self._positions,
-             self._active, self._cache, self._sstate) = generate.decode_loop(
-                self.params, self.cfg, self._tokens, self._positions,
-                self._active, self._cache, self._sstate, steps,
-                eos_ids=self._eos_ids)
-            with self._lock:
-                self.stats["decode_steps"] += steps
-
-            # ONE host transfer for everything this iteration needs
-            b = len(self._slots)
-            kb = steps * b
-            packed = np.asarray(jax.device_get(generate.pack_host_view(
-                out_tokens, out_active, self._active, pre_tokens)))
-            toks = packed[:kb].reshape(steps, -1)               # [K, B]
-            emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
-            active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
-            first_toks = packed[2 * kb + b:]                     # [B]
-
-            # deliver on-device-sampled first tokens of fresh admissions
-            # BEFORE this call's decode outputs (generation order)
-            for slot_ix, slot in enumerate(self._slots):
-                if slot is not None and slot.first_pending:
-                    slot.first_pending = False
-                    self._emit_token(slot_ix, int(first_toks[slot_ix]))
-            for step in range(toks.shape[0]):
-                for slot_ix in range(toks.shape[1]):
-                    if emitted[step, slot_ix] and self._slots[slot_ix]:
-                        self._emit_token(slot_ix, int(toks[step, slot_ix]))
-
-            # a slot the DEVICE deactivated without an EOS hit its cache
-            # capacity (decode_loop's new_pos < max_seq guard): finish it
-            # host-side or its request would hang forever
-            for slot_ix, slot in enumerate(self._slots):
-                if slot is not None and not active_host[slot_ix]:
-                    self._finish(slot_ix, "length")
+            if plan.get("op") == "shutdown":
+                break
+            admitting = self._execute_plan(plan, admitting)
 
         # drain on shutdown
         if admitting is not None:

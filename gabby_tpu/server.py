@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _build_engine(args):
+def _build_engine(args, sync=None):
     from gabby_tpu import config as cfglib
     from gabby_tpu.models import llama
     from gabby_tpu.ops import quant
@@ -33,7 +33,16 @@ def _build_engine(args):
     bits = args.quant if args.quant in (4, 8) else None
 
     mesh = None
-    if args.tp > 1 or args.dp > 1:
+    multi = sync is not None and sync.num_processes > 1
+    if multi:
+        # multi-controller: one global mesh spanning every process's
+        # devices; TP over all of them (dp must be 1 — the engine fetches
+        # replicated host views each iteration)
+        from gabby_tpu.parallel import make_mesh
+        if args.dp != 1:
+            sys.exit("--dp > 1 is not supported with multi-host serving")
+        mesh = make_mesh(dp=1, tp=jax.device_count())
+    elif args.tp > 1 or args.dp > 1:
         from gabby_tpu.parallel import make_mesh
         n = args.dp * args.tp
         mesh = make_mesh(dp=args.dp, tp=args.tp, devices=jax.devices()[:n])
@@ -85,7 +94,7 @@ def _build_engine(args):
         else "bfloat16",
     )
     return Engine(cfg, params, tokenizer, econfig,
-                  cache_shardings=cache_shardings), cfg
+                  cache_shardings=cache_shardings, sync=sync), cfg
 
 
 def make_handler(engine):
@@ -168,6 +177,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--steps-per-call-busy", type=int, default=8,
                    help="decode steps fused per device call while requests "
                         "are queued or prefilling (lower = better TTFT)")
+    p.add_argument("--coordinator", default="",
+                   help="multi-host: jax.distributed coordinator host:port "
+                        "(start the same command on every host; host 0 "
+                        "serves HTTP, the rest follow its plan broadcasts)")
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="multi-host: total controller processes")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="multi-host: this controller's index")
     p.add_argument("--model-id", default="")
     p.add_argument("--log-level", type=int, default=3,
                    help="front-end log level (0 off .. 4 debug)")
@@ -178,9 +195,27 @@ def main(argv: Optional[list[str]] = None) -> int:
     if args.profiler_port:
         jax.profiler.start_server(args.profiler_port)
 
+    sync = None
+    if args.coordinator:
+        from gabby_tpu.parallel.mesh import initialize_multihost
+        from gabby_tpu.parallel.multihost import HostSync
+        initialize_multihost(args.coordinator,
+                             args.num_processes or None,
+                             args.process_id if args.process_id >= 0 else None)
+        sync = HostSync()
+
     from gabby_tpu.bridge import NativeServer
 
-    engine, cfg = _build_engine(args)
+    engine, cfg = _build_engine(args, sync=sync)
+
+    if sync is not None and not sync.is_leader:
+        # follower controller: no HTTP front door — the engine thread
+        # replays the leader's plan broadcasts until the leader's shutdown
+        # plan arrives (delivered when the leader exits)
+        print(f"follower {sync.process_index}/{sync.num_processes} "
+              "serving leader plans", flush=True)
+        engine._thread.join()
+        return 0
     model_id = args.model_id or (args.model_dir.rstrip("/").rsplit("/", 1)[-1]
                                  if args.model_dir else args.preset)
     server = NativeServer(

@@ -71,6 +71,140 @@ sync.barrier("done")
 '''
 
 
+ENGINE_WORKER = r'''
+import os, sys, json, threading
+import numpy as np
+
+port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, os.getcwd())  # cwd = repo root (set by the test)
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+import jax.numpy as jnp
+from gabby_tpu.config import tiny
+from gabby_tpu.models import llama
+from gabby_tpu.ops import quant
+from gabby_tpu.parallel import cache_shardings, make_mesh, shard_params
+from gabby_tpu.parallel.multihost import HostSync
+from gabby_tpu.runtime.engine import Engine, EngineConfig
+from gabby_tpu.tokenizer import Tokenizer
+
+sync = HostSync()
+mesh = make_mesh(dp=1, tp=jax.device_count())
+cfg = tiny(num_heads=2 * jax.device_count(), num_kv_heads=jax.device_count(),
+           head_dim=8, hidden_size=32, intermediate_size=64,
+           vocab_size=256, max_seq_len=128)
+params = shard_params(
+    quant.quantize_tree(
+        llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32), 8),
+    mesh)
+tok = Tokenizer.byte_fallback(cfg.vocab_size)
+
+# record every finished request's (prompt, emitted ids) on BOTH processes
+records = []
+orig_finish = Engine._finish
+def rec_finish(self, slot_ix, reason):
+    s = self._slots[slot_ix]
+    if s is not None and s.emitted_ids:
+        records.append((tuple(s.request.prompt_ids),
+                        tuple(s.emitted_ids)))
+    orig_finish(self, slot_ix, reason)
+Engine._finish = rec_finish
+
+STOP = 1  # arbitrary stop id for the random model
+eng = Engine(cfg, params, tok,
+             EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                          steps_per_call_busy=2, default_max_tokens=5,
+                          cache_dtype="float32"),
+             cache_shardings=cache_shardings(mesh, quantized=False),
+             stop_ids={STOP}, sync=sync)
+
+PROMPTS = [
+    list(range(2, 12)),                 # short
+    [7] * 70,                           # multi-chunk (64-bucket ladder x2)
+    list(range(30, 45)),                # short, admitted during decode
+]
+if sync.is_leader:
+    done = []
+    def run(ids):
+        req = eng.submit_ids(ids, max_tokens=5)
+        while True:
+            d, fin = req.out.get()
+            if fin is not None:
+                done.append(fin)
+                return
+    ts = [threading.Thread(target=run, args=(p,)) for p in PROMPTS]
+    for t in ts: t.start()
+    for t in ts: t.join(timeout=300)
+    eng.shutdown()   # broadcasts the shutdown plan -> releases followers
+else:
+    eng._thread.join(timeout=420)
+
+print("RECORDS", pid, json.dumps(sorted(records)), flush=True)
+'''
+
+
+@pytest.mark.parametrize("nprocs", [2])
+def test_two_process_engine_serving(tmp_path, nprocs):
+    """End-to-end multi-host serving THROUGH the Engine: the leader's HTTP
+    side submits requests, followers replay its plan broadcasts, and both
+    controllers must walk through byte-identical slot streams (VERDICT r1
+    item 1). Covers single admission, multi-chunk chunked prefill
+    interleaved with decode, and concurrent requests."""
+    outs = _run_workers(tmp_path, ENGINE_WORKER, nprocs)
+    rec_lines = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RECORDS"):
+                _, pid, payload = line.split(" ", 2)
+                rec_lines[pid] = payload
+    assert len(rec_lines) == nprocs, f"missing records: {rec_lines}"
+    assert len(set(rec_lines.values())) == 1, (
+        f"controllers diverged:\n{rec_lines}")
+    import json as _json
+    recs = _json.loads(next(iter(rec_lines.values())))
+    assert len(recs) == 3, f"expected 3 finished requests, got {recs}"
+    for prompt, emitted in recs:
+        assert 1 <= len(emitted) <= 5
+
+
+def _run_workers(tmp_path, worker_src, nprocs, timeout=420):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(port), str(i),
+                          str(nprocs)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+        for i in range(nprocs)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+    return outs
+
+
 @pytest.mark.parametrize("nprocs", [2])
 def test_two_process_lockstep_decode(tmp_path, nprocs):
     import socket
