@@ -81,32 +81,48 @@ unsigned int NextCodepoint(const std::string& s, size_t& i) {
     return c;
 }
 
-bool IsSpaceCp(unsigned int cp) {
-    return cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
-           cp == '\f' || cp == 0x0B || cp == 0xA0 || cp == 0x2028 ||
-           cp == 0x2029 || (cp >= 0x2000 && cp <= 0x200A) || cp == 0x3000;
+// Exact Unicode category tables (generated from the Unicode database by
+// tools/gen_unicode_tables.py) for the classes the Llama-3 split pattern
+// uses — \p{L}, \p{N}, \s. Binary search over ~650 ranges; ASCII
+// fast-pathed.
+#include "inference/unicode_tables.inc"
+
+template <size_t N>
+bool InRanges(const CpRange (&table)[N], unsigned int cp) {
+    size_t lo = 0, hi = N;
+    while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        if (cp < table[mid].lo) {
+            hi = mid;
+        } else if (cp > table[mid].hi) {
+            lo = mid + 1;
+        } else {
+            return true;
+        }
+    }
+    return false;
 }
 
-bool IsDigitCp(unsigned int cp) { return cp >= '0' && cp <= '9'; }
+bool IsSpaceCp(unsigned int cp) {
+    if (cp < 0x80) {
+        return cp == ' ' || (cp >= 0x09 && cp <= 0x0D) ||
+               (cp >= 0x1C && cp <= 0x1F);
+    }
+    return InRanges(kSpaceRanges, cp);
+}
 
-// \p{L} approximation: exact for ASCII; common letter ranges beyond.
+// \p{N}: all Unicode number categories (Nd/Nl/No), matching what the
+// reference HF tokenizer's regex engine does — NOT just ASCII digits.
+bool IsDigitCp(unsigned int cp) {
+    if (cp < 0x80) return cp >= '0' && cp <= '9';
+    return InRanges(kNumberRanges, cp);
+}
+
 bool IsLetterCp(unsigned int cp) {
     if (cp < 0x80) {
         return (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z');
     }
-    if (cp == 0xAA || cp == 0xB5 || cp == 0xBA) return true;
-    if (cp >= 0xC0 && cp <= 0x24F) return cp != 0xD7 && cp != 0xF7;
-    if (cp >= 0x370 && cp <= 0x3FF) return cp != 0x3A2;      // Greek
-    if (cp >= 0x400 && cp <= 0x52F) return true;             // Cyrillic
-    if (cp >= 0x531 && cp <= 0x58F) return true;             // Armenian
-    if (cp >= 0x5D0 && cp <= 0x5EA) return true;             // Hebrew
-    if (cp >= 0x620 && cp <= 0x64A) return true;             // Arabic
-    if (cp >= 0x900 && cp <= 0x97F) return true;             // Devanagari
-    if (cp >= 0x3040 && cp <= 0x30FF) return cp != 0x3097 && cp != 0x3098;
-    if (cp >= 0x4E00 && cp <= 0x9FFF) return true;           // CJK
-    if (cp >= 0xAC00 && cp <= 0xD7A3) return true;           // Hangul
-    if (cp >= 0x1E00 && cp <= 0x1FFF) return true;           // Latin ext.
-    return false;
+    return InRanges(kLetterRanges, cp);
 }
 
 struct Cp {

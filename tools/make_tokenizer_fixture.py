@@ -1,0 +1,124 @@
+"""Builds the committed multilingual tokenizer fixture + golden encodings.
+
+The environment has no network, so the real Llama-3 128k tokenizer.json
+cannot be downloaded — instead this trains a SMALL byte-level BPE with the
+HuggingFace `tokenizers` library (the exact implementation HF models ship
+with) using Llama-3's pre-tokenization regex, on a corpus that exercises
+the Unicode surface the round-1 review flagged: accents, CJK, Cyrillic,
+Greek, Arabic, emoji, Unicode digits, mixed scripts. The library's own
+encodings are recorded as goldens, so both this repo's Python tokenizer
+(gabby_tpu/tokenizer.py) and the C++ one (cpp/src/inference/tokenizer.cc)
+are tested against the REAL reference implementation's behavior, vocab
+format, and pretokenizer semantics (chasing the bar the reference's CI
+sets by testing against real model assets,
+/root/reference/.github/workflows/cmake-x86_64-linux.yml:25-43).
+
+Run from the repo root: python tools/make_tokenizer_fixture.py
+Outputs (committed): tests/fixtures/multilingual_tokenizer.json
+                     tests/fixtures/tokenizer_goldens.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from tokenizers import Regex, Tokenizer, decoders, models, pre_tokenizers, trainers
+
+LLAMA3_SPLIT = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+
+SPECIALS = ["<|begin_of_text|>", "<|end_of_text|>", "<|start_header_id|>",
+            "<|end_header_id|>", "<|eot_id|>", "<|eom_id|>"]
+
+TRAIN_CORPUS = [
+    "The quick brown fox jumps over the lazy dog. " * 4,
+    "hello world this is a test of the tokenizer " * 4,
+    "numbers 123 456 7890 and years like 2024 or 1999 " * 3,
+    "don't we'll I'm you're they've it's he'd " * 3,
+    "En français: où est la bibliothèque? déjà vu, naïveté, garçon. " * 3,
+    "Deutsch: Über Äpfel und Öl, größer, weiß, Straße. " * 3,
+    "Español: el niño comió mañana, ¿qué pasó? " * 3,
+    "Português: ação, coração, não, informações. " * 2,
+    "Ελληνικά: το γρήγορο καφέ αλεπού πηδά πάνω. " * 2,
+    "Русский: быстрая коричневая лиса прыгает через ленивую собаку. " * 2,
+    "日本語のテキスト：これはトークナイザのテストです。漢字、ひらがな、カタカナ。" * 2,
+    "中文文本：这是分词器的测试。你好世界。" * 2,
+    "한국어 텍스트: 이것은 토크나이저 테스트입니다. " * 2,
+    "العربية: هذا اختبار للمحلل اللغوي. " * 2,
+    "हिन्दी: यह टोकनाइज़र का परीक्षण है। " * 2,
+    "emoji 😀 🎉 ❤️ 🚀 👍🏽 and symbols © ® ™ € £ ¥ § ¶ ",
+    "unicode digits ٣٤٥ ७८९ ①②③ ⅔ and mixed a1b2c3 ",
+    "whitespace\tvariants nbsp　ideographic  double   triple ",
+    "code: def f(x): return x**2  # comment\nprint(f(3))\n",
+    "punct runs !!! ??? ... --- === ``` ,,, ;;; ::: ",
+]
+
+# what the parity tests encode (single-line only: the C++ CLI is
+# line-oriented). Deliberately includes text the training corpus never saw.
+GOLDEN_TEXTS = [
+    "hello world",
+    "The quick brown fox jumps over the lazy dog.",
+    "  leading and trailing spaces  ",
+    "naïveté déjà vu — l'hôtel coûte 100€",
+    "Größenwahn: Straße, Äpfel, Öl",
+    "¿Qué pasó? ¡Increíble!",
+    "Ελληνικά και ελληνικές λέξεις",
+    "Привет мир, это тест",
+    "これは日本語のテストです。漢字もカタカナも。",
+    "你好世界，这是一个测试。",
+    "한국어 문장 테스트",
+    "العربية مع الأرقام ٣٤٥ والنص",
+    "हिन्दी में १२३ अंक",
+    "emoji test 😀🎉 multi-codepoint 👍🏽 and ❤️",
+    "mixed scripts: latinΕλληνικάрусский漢字",
+    "unicode digits ٣٤٥ ७८९ ①②③ and fractions ⅔ ¾",
+    "nbsp separated words and　ideographic space",
+    "combining: café vs café (NFD vs NFC)",
+    "don't we'll I'M YOU'RE they've",
+    "numbers 1 22 333 4444 55555 123456789",
+    "punctuation!? (brackets) [and] {braces}, \"quotes\" 'single'",
+    "<|begin_of_text|>special<|eot_id|> tokens",
+    "trailing space before eol ",
+    "a",
+    "...",
+    "ℝ ℕ ℤ letterlike symbols and № ℮",
+    "ʕ•ᴥ•ʔ ascii-art-ish ¯\\_(ツ)_/¯",
+]
+
+
+def main() -> int:
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.Sequence([
+        pre_tokenizers.Split(Regex(LLAMA3_SPLIT), behavior="isolated"),
+        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False),
+    ])
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=1500, min_frequency=2, show_progress=False,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(TRAIN_CORPUS, trainer)
+    # Llama-3 style: specials take ids ABOVE the BPE vocab
+    tok.add_special_tokens(SPECIALS)
+
+    tok.save("tests/fixtures/multilingual_tokenizer.json", pretty=False)
+
+    goldens = []
+    for text in GOLDEN_TEXTS:
+        enc = tok.encode(text)
+        goldens.append({"text": text, "ids": enc.ids,
+                        "decoded": tok.decode(enc.ids,
+                                              skip_special_tokens=False)})
+    with open("tests/fixtures/tokenizer_goldens.json", "w") as f:
+        json.dump({"note": "recorded from HuggingFace tokenizers "
+                           "(the reference implementation); see "
+                           "tools/make_tokenizer_fixture.py",
+                   "goldens": goldens}, f, ensure_ascii=False, indent=1)
+    print(f"vocab_size={tok.get_vocab_size()} goldens={len(goldens)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
