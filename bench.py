@@ -246,20 +246,29 @@ def main() -> int:
 
     out, cache, sstate = run(cache, sstate)
     sync(out)  # compile
-    # calibrate iteration count to cover min-time
+    # calibrate group size so each timed group covers ~0.5 s (tunnel
+    # roundtrip subtracted per group stays a small correction)
     t0 = time.perf_counter()
     out, cache, sstate = run(cache, sstate)
     sync(out)
     once = max(time.perf_counter() - t0 - rt, 1e-3)
-    iters = max(3, int(args.min_time / once) + 1)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, cache, sstate = run(cache, sstate)
-    sync(out)
-    dt = time.perf_counter() - t0 - rt
-    steps = args.steps * iters
-    tok_per_s = b * steps / dt
-    step_ms = dt / steps * 1e3
+    group = max(1, int(0.5 / once) + 1)
+    n_groups = max(5, int(args.min_time / (group * once)) + 1)
+    # per-group timing, MEDIAN across groups: the chip is shared, and a
+    # single long timing window lets one interference spike (or a tunnel
+    # stall) drag the whole number — medians reproduce across runs where
+    # a grand mean does not
+    samples = []
+    for _ in range(n_groups):
+        t0 = time.perf_counter()
+        for _ in range(group):
+            out, cache, sstate = run(cache, sstate)
+        sync(out)
+        samples.append((time.perf_counter() - t0 - rt) / (group * args.steps))
+    per_step = statistics.median(samples)
+    steps = args.steps * group * n_groups
+    tok_per_s = b / per_step
+    step_ms = per_step * 1e3
 
     # ---- speed-of-light ----
     kv_bytes_per_tok_layer = 2 * cfg.num_kv_heads * cfg.head_dim * (
@@ -282,6 +291,7 @@ def main() -> int:
             "ttft_ms": round(ttft * 1e3, 1),
             "prefill_tok_s": round(b * args.prefill_len / ttft, 0),
             "sol_tok_s": round(sol_tok_per_s, 0),
+            "step_ms_samples": [round(s * 1e3, 3) for s in samples[:16]],
             "weight_gb": round(weight_bytes / 1e9, 3),
             "device": jax.devices()[0].device_kind,
             "note": "vs_baseline = fraction of HBM speed-of-light "
