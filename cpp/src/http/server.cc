@@ -125,6 +125,7 @@ class SocketWriter : public ResponseWriter {
     StatusCode status() const { return status_; }
     size_t bytes_sent() const { return bytes_; }
     bool committed() const { return committed_; }
+    void set_keep_alive(bool v) { keep_alive_ = v; }
 
    private:
     void SendHead(const std::string& framing) {
@@ -132,7 +133,8 @@ class SocketWriter : public ResponseWriter {
              "\r\n");
         Send(headers_);
         Send(framing);
-        Send("Connection: close\r\n\r\n");
+        Send(keep_alive_ ? "Connection: keep-alive\r\n\r\n"
+                         : "Connection: close\r\n\r\n");
         committed_ = true;
     }
 
@@ -148,7 +150,56 @@ class SocketWriter : public ResponseWriter {
     std::string body_;
     bool committed_ = false;
     bool chunked_ = false;
+    bool keep_alive_ = false;
     size_t bytes_ = 0;
+};
+
+// Wraps the connection stream so handler body reads are COUNTED and
+// BOUNDED by Content-Length: keep-alive must know how much body the
+// handler left unread (to drain it before the next request) and must
+// never let a handler read past its body into a pipelined request.
+// Unbuffered cookie stream -> reads pass through one byte at a time to
+// the (buffered) connection FILE*, preserving errno (EAGAIN -> timeout).
+class BodyStream {
+   public:
+    BodyStream(FILE* inner, size_t limit) : inner_(inner), limit_(limit) {
+        cookie_io_functions_t io{};
+        io.read = &BodyStream::CookieRead;
+        stream_ = fopencookie(this, "r", io);
+        if (stream_ != nullptr) setvbuf(stream_, nullptr, _IONBF, 0);
+    }
+    ~BodyStream() {
+        if (stream_ != nullptr) fclose(stream_);
+    }
+    BodyStream(const BodyStream&) = delete;
+    BodyStream& operator=(const BodyStream&) = delete;
+
+    FILE* stream() { return stream_; }
+
+    // Consumes whatever the handler left unread; false on EOF/timeout.
+    bool DrainRemainder() {
+        while (consumed_ < limit_) {
+            if (std::fgetc(inner_) == EOF) return false;
+            consumed_++;
+        }
+        return true;
+    }
+
+   private:
+    static ssize_t CookieRead(void* cookie, char* buf, size_t n) {
+        auto* b = static_cast<BodyStream*>(cookie);
+        if (n == 0 || b->consumed_ >= b->limit_) return 0;  // body exhausted
+        int ch = std::fgetc(b->inner_);
+        if (ch == EOF) return -1;  // errno preserved for the caller
+        buf[0] = static_cast<char>(ch);
+        b->consumed_++;
+        return 1;
+    }
+
+    FILE* inner_;
+    size_t limit_;
+    size_t consumed_ = 0;
+    FILE* stream_ = nullptr;
 };
 
 // Best-effort error response; never throws.
@@ -215,6 +266,7 @@ Request ParseRequest(FILE* stream, const std::string& addr) {
     if (version.rfind("HTTP/1.", 0) != 0) {
         throw BadRequestException("bad HTTP version: " + version);
     }
+    bool http11 = version != "HTTP/1.0";
     if (auto q = target.find('?'); q != std::string::npos) {
         req.path = target.substr(0, q);
         req.query = target.substr(q + 1);
@@ -240,6 +292,12 @@ Request ParseRequest(FILE* stream, const std::string& addr) {
         for (auto& c : key) c = static_cast<char>(std::tolower(c));
         req.headers[key] = h.substr(vstart, vend - vstart);
     }
+    std::string conn;
+    if (auto it = req.headers.find("connection"); it != req.headers.end()) {
+        conn = it->second;
+        for (auto& c : conn) c = static_cast<char>(std::tolower(c));
+    }
+    req.keep_alive = http11 ? conn != "close" : conn == "keep-alive";
     return req;
 }
 
@@ -369,39 +427,68 @@ void HttpServer::HandleConnection(OwnedFd client, const std::string& addr) {
     int fd = client.Release();  // stream owns the fd now
     OwnedStream stream(f);
 
-    std::string method = "?", path = "?";
-    SocketWriter writer(fd);
-    try {
-        Request req = ParseRequest(f, addr);
-        method = to_string(req.method);
-        path = req.path;
-        if (auto cl = req.Header("content-length")) {
-            if (req.ContentLength() > config_.max_body_bytes) {
-                throw HttpException(StatusCode::PAYLOAD_TOO_LARGE,
-                                    "body too large");
+    // HTTP/1.1 keep-alive: serve requests off this connection until the
+    // client closes, asks to close, errors, or the per-connection cap.
+    // Responses are always framed (Content-Length or chunked), and
+    // BodyStream accounts for unread body bytes between requests.
+    constexpr int kMaxRequestsPerConnection = 128;
+    for (int served = 0; served < kMaxRequestsPerConnection; served++) {
+        if (served > 0) {
+            // idle reused connection: EOF or timeout while WAITING for the
+            // next request is a quiet close, not a 408 (nothing in flight)
+            int c = std::fgetc(f);
+            if (c == EOF) break;
+            std::ungetc(c, f);
+        }
+        std::string method = "?", path = "?";
+        SocketWriter writer(fd);
+        bool keep = false;
+        try {
+            Request req = ParseRequest(f, addr);
+            method = to_string(req.method);
+            path = req.path;
+            keep = req.keep_alive && served + 1 < kMaxRequestsPerConnection;
+            size_t content_length = 0;
+            if (auto cl = req.Header("content-length")) {
+                content_length = req.ContentLength();
+                if (content_length > config_.max_body_bytes) {
+                    throw HttpException(StatusCode::PAYLOAD_TOO_LARGE,
+                                        "body too large");
+                }
             }
+            BodyStream body(f, content_length);
+            if (body.stream() == nullptr) {
+                throw InternalError("fopencookie failed");
+            }
+            req.stream = body.stream();
+            writer.set_keep_alive(keep);
+            handler_(req, writer);
+            writer.Flush();
+            LOG(INFO) << addr << " " << method << " " << path << " -> "
+                      << to_string(writer.status()) << " ("
+                      << writer.bytes_sent() << " bytes)";
+            if (keep && !body.DrainRemainder()) break;
+        } catch (const json::JSONError& e) {
+            LOG(INFO) << addr << " " << method << " " << path << " -> 400 ("
+                      << e.what() << ")";
+            if (!writer.committed()) {
+                MustSend(fd, StatusCode::BAD_REQUEST, e.what());
+            }
+            keep = false;
+        } catch (const HttpException& e) {
+            LOG(INFO) << addr << " " << method << " " << path << " -> "
+                      << to_string(e.status()) << " (" << e.what() << ")";
+            if (!writer.committed()) MustSend(fd, e.status(), e.what());
+            keep = false;
+        } catch (const std::exception& e) {
+            LOG(ERROR) << addr << " " << method << " " << path << " -> 500 ("
+                       << e.what() << ")";
+            if (!writer.committed()) {
+                MustSend(fd, StatusCode::INTERNAL_SERVER_ERROR, e.what());
+            }
+            keep = false;
         }
-        handler_(req, writer);
-        writer.Flush();
-        LOG(INFO) << addr << " " << method << " " << path << " -> "
-                  << to_string(writer.status()) << " (" << writer.bytes_sent()
-                  << " bytes)";
-    } catch (const json::JSONError& e) {
-        LOG(INFO) << addr << " " << method << " " << path << " -> 400 ("
-                  << e.what() << ")";
-        if (!writer.committed()) {
-            MustSend(fd, StatusCode::BAD_REQUEST, e.what());
-        }
-    } catch (const HttpException& e) {
-        LOG(INFO) << addr << " " << method << " " << path << " -> "
-                  << to_string(e.status()) << " (" << e.what() << ")";
-        if (!writer.committed()) MustSend(fd, e.status(), e.what());
-    } catch (const std::exception& e) {
-        LOG(ERROR) << addr << " " << method << " " << path << " -> 500 ("
-                   << e.what() << ")";
-        if (!writer.committed()) {
-            MustSend(fd, StatusCode::INTERNAL_SERVER_ERROR, e.what());
-        }
+        if (!keep) break;
     }
     DrainBeforeClose(fd);
 }

@@ -151,6 +151,119 @@ TEST(Server, ConcurrencySweep) {
     }
 }
 
+// Reads exactly ONE Content-Length-framed response off the socket (for
+// keep-alive tests, where ReadAll() would block until idle timeout).
+std::string ReadOneResponse(ClientSocket& sock) {
+    std::string raw;
+    char c;
+    while (raw.find("\r\n\r\n") == std::string::npos) {
+        if (!sock.ReadSome(&c, 1)) return raw;
+        raw += c;
+    }
+    auto cl_pos = raw.find("Content-Length: ");
+    size_t cl = cl_pos == std::string::npos
+                    ? 0
+                    : std::stoul(raw.substr(cl_pos + 16));
+    size_t have = raw.size() - (raw.find("\r\n\r\n") + 4);
+    for (size_t i = have; i < cl; i++) {
+        if (!sock.ReadSome(&c, 1)) break;
+        raw += c;
+    }
+    return raw;
+}
+
+TEST(Server, KeepAliveServesSequentialRequests) {
+    TestServer server(EchoHandler());
+    ClientSocket sock(server.port());
+    for (int i = 0; i < 3; i++) {
+        sock.Write("GET /r" + std::to_string(i) +
+                   " HTTP/1.1\r\nHost: t\r\n\r\n");
+        std::string raw = ReadOneResponse(sock);
+        EXPECT_SUBSTR(raw, "200 OK");
+        EXPECT_SUBSTR(raw, "Connection: keep-alive");
+        EXPECT_SUBSTR(raw, "path=/r" + std::to_string(i));
+    }
+    // explicit close honored
+    sock.Write("GET /last HTTP/1.1\r\nHost: t\r\nConnection: close\r\n\r\n");
+    std::string raw = ReadOneResponse(sock);
+    EXPECT_SUBSTR(raw, "Connection: close");
+    EXPECT_EQ(sock.ReadAll(), "");  // server closes after the response
+}
+
+TEST(Server, PipelinedRequestsOneConnection) {
+    // both requests written BEFORE reading anything; two responses in order
+    TestServer server(EchoHandler());
+    ClientSocket sock(server.port());
+    sock.Write(
+        "GET /one HTTP/1.1\r\nHost: t\r\n\r\n"
+        "GET /two HTTP/1.1\r\nHost: t\r\nConnection: close\r\n\r\n");
+    std::string first = ReadOneResponse(sock);
+    std::string second = ReadOneResponse(sock);
+    EXPECT_SUBSTR(first, "path=/one");
+    EXPECT_SUBSTR(second, "path=/two");
+}
+
+TEST(Server, KeepAliveDrainsUnreadBody) {
+    // handler never reads the POST body; the server must still drain it
+    // so the next request on the connection parses cleanly
+    TestServer server(EchoHandler());
+    ClientSocket sock(server.port());
+    std::string body(300, 'b');
+    sock.Write("POST /ignore-body HTTP/1.1\r\nHost: t\r\nContent-Length: " +
+               std::to_string(body.size()) + "\r\n\r\n" + body);
+    EXPECT_SUBSTR(ReadOneResponse(sock), "path=/ignore-body");
+    sock.Write("GET /after HTTP/1.1\r\nHost: t\r\nConnection: close\r\n\r\n");
+    EXPECT_SUBSTR(ReadOneResponse(sock), "path=/after");
+}
+
+TEST(Server, HandlerCannotReadPastItsBody) {
+    // a handler that tries to read MORE than Content-Length must hit EOF,
+    // not steal bytes from the next pipelined request
+    TestServer server([](Request& req, ResponseWriter& resp) {
+        std::string got;
+        int c;
+        while ((c = std::fgetc(req.stream)) != EOF) {
+            got += static_cast<char>(c);
+        }
+        resp.WriteData("got=" + got);
+    });
+    ClientSocket sock(server.port());
+    sock.Write(
+        "POST /a HTTP/1.1\r\nHost: t\r\nContent-Length: 3\r\n\r\nabc"
+        "POST /b HTTP/1.1\r\nHost: t\r\nContent-Length: 3\r\n"
+        "Connection: close\r\n\r\nxyz");
+    EXPECT_SUBSTR(ReadOneResponse(sock), "got=abc");
+    EXPECT_SUBSTR(ReadOneResponse(sock), "got=xyz");
+}
+
+TEST(Server, SlowReaderGets408OnWrite) {
+    // the reference's slow-reader case (its server_test.cc:95-125): a 16 MB
+    // response to a client that stops reading must trip SO_SNDTIMEO ->
+    // write timeout, not wedge the worker
+    ServerConfig config;
+    config.write_timeout_millis = 200;
+    std::atomic<bool> threw{false};
+    TestServer server(
+        [&](Request&, ResponseWriter& resp) {
+            resp.WriteStatus(StatusCode::OK);
+            resp.WriteData(std::string(16 << 20, 'x'));
+        },
+        config);
+    {
+        ClientSocket sock(server.port());
+        sock.Write("GET /big HTTP/1.1\r\nHost: t\r\nConnection: close\r\n\r\n");
+        // read a token amount, then stall without closing; the socket
+        // buffers fill and the server's send() must time out
+        char buf[1024];
+        EXPECT_TRUE(sock.ReadSome(buf, sizeof(buf)));
+        std::this_thread::sleep_for(std::chrono::milliseconds(900));
+    }
+    // the worker must be free again: a healthy request completes
+    auto resp = Call(server.port(), "GET", "/after");
+    EXPECT_EQ(resp.status, 200);
+    (void)threw;
+}
+
 TEST(Server, GracefulStopUnblocksWait) {
     auto server = std::make_unique<HttpServer>(ServerConfig{.port = 0});
     server->Start(EchoHandler());

@@ -63,6 +63,18 @@ std::string ClientSocket::ReadAll() {
     }
 }
 
+bool ClientSocket::ReadSome(char* buf, size_t n) {
+    for (;;) {
+        ssize_t r = recv(fd_.get(), buf, n, 0);
+        if (r < 0) {
+            if (errno == EINTR) continue;
+            if (errno == ECONNRESET) return false;
+            throw SystemError(errno);
+        }
+        return r > 0;
+    }
+}
+
 void ClientSocket::CloseWrite() { shutdown(fd_.get(), SHUT_WR); }
 
 ClientResponse ParseResponse(const std::string& raw) {
@@ -113,8 +125,11 @@ ClientResponse Call(int port, const std::string& method,
                     const std::map<std::string, std::string>& headers) {
     ClientSocket sock(port);
     std::ostringstream req;
+    // one-shot client: ask the server to close so ReadAll() terminates
+    // at EOF (keep-alive paths are tested with raw ClientSocket)
     req << method << " " << path << " HTTP/1.1\r\n"
         << "Host: 127.0.0.1\r\n"
+        << "Connection: close\r\n"
         << "User-Agent: gabby-test\r\n";
     for (const auto& [k, v] : headers) req << k << ": " << v << "\r\n";
     if (!body.empty() || method == "POST") {

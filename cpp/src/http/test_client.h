@@ -18,6 +18,9 @@ class ClientSocket {
     explicit ClientSocket(int port);
     void Write(const std::string& data);
     std::string ReadAll();      // until server closes
+    // Reads up to n bytes (blocking); false on EOF. For keep-alive tests
+    // that must read exactly one framed response.
+    bool ReadSome(char* buf, size_t n);
     void CloseWrite();          // half-close (shutdown SHUT_WR)
     int fd() const { return fd_.get(); }
 

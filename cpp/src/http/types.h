@@ -90,6 +90,9 @@ struct Request {
     std::string query;                         // raw query string ("" if none)
     std::map<std::string, std::string> headers;  // lower-cased keys
     FILE* stream = nullptr;  // body readable here, bounded by Content-Length
+    // HTTP/1.1 default unless "Connection: close"; HTTP/1.0 only with
+    // an explicit "Connection: keep-alive"
+    bool keep_alive = false;
 
     std::optional<std::string> Header(const std::string& name) const;
     // Content-Length as size_t; throws BadRequestException if absent/bad.
