@@ -107,11 +107,16 @@ def prefill(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-                   cache: Optional[KVCache], *, offset: int = 0
+                   cache: Optional[KVCache], *, offset: int = 0,
+                   lane_mask: Optional[jnp.ndarray] = None
                    ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """prefill() without the unembed: returns final hidden states [B, T, D]
     (serving only needs logits at each row's last valid position — callers
-    gather first, then unembed a [B, 1, D] slice)."""
+    gather first, then unembed a [B, 1, D] slice).
+
+    lane_mask: optional [B] bool — cache rows are written ONLY for masked
+    lanes (partial-burst admission: a group of free slots batch-prefills
+    while other slots' live decode state stays untouched)."""
     b, t = tokens.shape
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     positions = jnp.broadcast_to(offset + jnp.arange(t, dtype=jnp.int32), (b, t))
@@ -134,19 +139,39 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             # cache is head-major [B, Nk, S, H]: transpose the chunk once
             kT = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, H]
             vT = jnp.swapaxes(v, 1, 2)
+
+            def masked(update, cur):
+                # partial burst: unmasked lanes keep their existing rows
+                if lane_mask is None:
+                    return update
+                m = lane_mask.reshape((-1,) + (1,) * (update.ndim - 1))
+                return jnp.where(m, update, cur)
+
             if quantized:
                 k_codes, k_s = quantize_kv(kT)  # scales [B, Nk, T]
                 v_codes, v_s = quantize_kv(vT)
-                kc = jax.lax.dynamic_update_slice(kc, k_codes, (0, 0, offset, 0))
-                vc = jax.lax.dynamic_update_slice(vc, v_codes, (0, 0, offset, 0))
-                ksc = jax.lax.dynamic_update_slice(ksc, k_s, (0, 0, offset))
-                vsc = jax.lax.dynamic_update_slice(vsc, v_s, (0, 0, offset))
+                kc = jax.lax.dynamic_update_slice(
+                    kc, masked(k_codes, kc[:, :, offset:offset + t]),
+                    (0, 0, offset, 0))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, masked(v_codes, vc[:, :, offset:offset + t]),
+                    (0, 0, offset, 0))
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, masked(k_s, ksc[:, :, offset:offset + t]),
+                    (0, 0, offset))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, masked(v_s, vsc[:, :, offset:offset + t]),
+                    (0, 0, offset))
                 ys = (kc, vc, ksc, vsc)
             else:
-                kc = jax.lax.dynamic_update_slice(kc, kT.astype(kc.dtype),
-                                                  (0, 0, offset, 0))
-                vc = jax.lax.dynamic_update_slice(vc, vT.astype(vc.dtype),
-                                                  (0, 0, offset, 0))
+                kc = jax.lax.dynamic_update_slice(
+                    kc, masked(kT.astype(kc.dtype),
+                               kc[:, :, offset:offset + t]),
+                    (0, 0, offset, 0))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, masked(vT.astype(vc.dtype),
+                               vc[:, :, offset:offset + t]),
+                    (0, 0, offset, 0))
                 ys = (kc, vc)
 
         if offset == 0:

@@ -16,6 +16,7 @@ def linear(x: jnp.ndarray, w) -> jnp.ndarray:
     """x: [..., in_dim] @ w: [in_dim, out_dim] -> [..., out_dim]."""
     from gabby_tpu.ops import quant  # local import: quant imports nothing heavy
 
+    x = quant.maybe_fp8_activation(x)  # no-op unless FP8 activations are on
     if isinstance(w, quant.QTensor):
         return quant.qlinear(x, w)
     out = jax.lax.dot_general(

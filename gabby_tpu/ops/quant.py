@@ -14,11 +14,45 @@ reference has no quantization or kernels of any kind.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ---- FP8 activations (BASELINE config 5: INT4 weights + FP8 activations) --
+#
+# Activations pass through the float8_e4m3 value grid with a per-token
+# scale before every matmul. On TPUs without fp8 MXU support (v5e) this is
+# numerics-faithful emulation (cast down, cast back up; the dot engine
+# stays whatever the weight path uses — incl. the int4 Pallas kernel); on
+# fp8-capable hardware XLA keeps fp8 dots native. Flip ONCE before any
+# tracing (jit caches do not key on this flag).
+
+_ACT_FP8 = os.environ.get("GABBY_ACT_FP8", "0") == "1"
+
+
+def set_act_fp8(on: bool) -> None:
+    global _ACT_FP8
+    _ACT_FP8 = bool(on)
+
+
+def act_fp8_enabled() -> bool:
+    return _ACT_FP8
+
+
+def fp8_activation(x: jnp.ndarray) -> jnp.ndarray:
+    """Quantize activations onto the fp8(e4m3) grid with a per-token
+    (last-axis) scale, returning them in x.dtype. e4m3 max normal = 448."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 448.0, 1e-12)
+    xq = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return (xq.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def maybe_fp8_activation(x: jnp.ndarray) -> jnp.ndarray:
+    return fp8_activation(x) if _ACT_FP8 else x
 
 
 @jax.tree_util.register_dataclass

@@ -187,6 +187,13 @@ class Engine:
 
         # host-side mirrors
         self._slots: list[Optional[_Slot]] = [None] * b
+        # prefix KV registry: the prompt whose KV rows are RESIDENT in each
+        # slot's cache (kept after the request finishes; invalidated when a
+        # new admission starts overwriting the slot). A new request with a
+        # matching token prefix copies those rows instead of recomputing
+        # them (copy_slot_prefix) — shared system prompts admit in ~100 us
+        # instead of a full prefill.
+        self._slot_prompts: list[Optional[list[int]]] = [None] * b
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._wake = threading.Event()
         self._shutdown = False
@@ -195,7 +202,8 @@ class Engine:
         # serving metrics (scraped by /statusz via the bridge)
         self.stats = {"requests": 0, "completion_tokens": 0,
                       "prompt_tokens": 0, "decode_steps": 0,
-                      "burst_admissions": 0}
+                      "burst_admissions": 0, "prefix_hits": 0,
+                      "prefix_tokens_reused": 0}
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
         self._admit_key = jax.random.PRNGKey(0x6ABB)
 
@@ -329,16 +337,41 @@ class Engine:
         fields, but its out queue has no reader (deltas are dropped)."""
         return Request(prompt_ids=list(ids), **meta)
 
+    def _find_donor(self, ids: list[int]) -> tuple[int, int]:
+        """Longest-common-prefix match of `ids` against resident slot
+        prompts. Returns (donor_slot, common_len) with common_len rounded
+        down to the bucket grid (so suffix-prefill offsets stay on it) and
+        capped to leave at least one token to prefill (the admission needs
+        last-token logits) and one bucket of cache room. (-1, 0) if no
+        match clears the worthwhile threshold."""
+        grid = PREFILL_BUCKETS[0]
+        n = len(ids)
+        best, best_common = -1, 0
+        for slot_ix, resident in enumerate(self._slot_prompts):
+            if resident is None:
+                continue
+            limit = min(len(resident), n - 1, self.ec.max_seq - grid)
+            common = 0
+            while common < limit and resident[common] == ids[common]:
+                common += 1
+            common = (common // grid) * grid
+            if common > best_common:
+                best, best_common = slot_ix, common
+        if best_common < 64:  # below this, the copy isn't worth a device call
+            return -1, 0
+        return best, best_common
+
     def _select_burst(self) -> Optional[dict]:
-        """Leader-side cold-burst selection: when EVERY slot is free and
+        """Leader-side burst selection: when >= 2 slots are free and
         several requests with the same chunk schedule are queued, group
         them for ONE batched prefill call per chunk (weights stream once
-        for the whole group instead of once per slot). Restricted to
-        prompts <= 2 chunks so the static-offset schedule stays a handful
-        of compiles. Returns the broadcastable burst spec, or None."""
-        if any(s is not None for s in self._slots):
-            return None
-        if self._queue.qsize() < 2:
+        for the whole group instead of once per slot). The batched write
+        is lane-masked, so other slots' LIVE decode state is untouched —
+        a warm engine batches admissions too, not just a cold one.
+        Restricted to prompts <= 2 chunks so the static-offset schedule
+        stays a handful of compiles. Returns the broadcastable spec."""
+        free = self._free_slots()
+        if len(free) < 2 or self._queue.qsize() < 2:
             return None
         drained: list[Request] = []
         while len(drained) < 4 * len(self._slots):
@@ -350,8 +383,14 @@ class Engine:
         group, rest = [], []
         for r in drained:
             sched = self._chunk_schedule(len(r.prompt_ids))
-            if (sched == key0 and len(sched) <= 2
-                    and len(group) < len(self._slots)):
+            # a request with a strong resident-prefix match admits far
+            # cheaper through the single path (row copy + tiny suffix
+            # prefill) than through a full batched prefill
+            _, common = self._find_donor(r.prompt_ids)
+            if common * 2 >= len(r.prompt_ids):
+                rest.append(r)
+            elif (sched == key0 and len(sched) <= 2
+                    and len(group) < len(free)):
                 group.append(r)
             else:
                 rest.append(r)
@@ -363,15 +402,18 @@ class Engine:
             return None
         self._burst_reqs = group
         return {"sched": key0,
+                "slots": free[:len(group)],
                 "prompts": [list(r.prompt_ids) for r in group],
                 "metas": [self._req_meta(r) for r in group]}
 
     def _execute_burst(self, spec: dict) -> None:
         """Run a burst spec's device calls and slot bookkeeping — identical
-        on every controller (followers rebuild the group as stubs)."""
+        on every controller (followers rebuild the group as stubs). The
+        group's rows sit at their slot indices; the lane mask keeps every
+        other slot's cache/state (possibly mid-decode) untouched."""
         b = len(self._slots)
         prompts = spec["prompts"]
-        a = len(prompts)
+        slots = spec["slots"]
         if self._multi and not self._sync.is_leader:
             group = [self._stub_request(p, m)
                      for p, m in zip(prompts, spec["metas"])]
@@ -380,37 +422,44 @@ class Engine:
             self._burst_reqs = None
 
         lengths = np.ones((b,), np.int32)
-        lengths[:a] = [len(p) for p in prompts]
+        mask = np.zeros((b,), bool)
+        for slot_ix, p in zip(slots, prompts):
+            lengths[slot_ix] = len(p)
+            mask[slot_ix] = True
+            self._slot_prompts[slot_ix] = None  # being overwritten
+        lane_mask = jnp.asarray(mask)
         logits = None
         for offset, bucket in spec["sched"]:
             chunk = np.zeros((b, bucket), np.int32)
-            for i, p in enumerate(prompts):
+            for slot_ix, p in zip(slots, prompts):
                 take = min(bucket, len(p) - offset)
                 if take > 0:
-                    chunk[i, :take] = p[offset:offset + take]
+                    chunk[slot_ix, :take] = p[offset:offset + take]
             logits, self._cache = generate.prefill_batch_chunk(
                 self.params, self.cfg, jnp.asarray(chunk),
-                jnp.asarray(lengths), self._cache, offset)
+                jnp.asarray(lengths), lane_mask, self._cache, offset)
 
         self._admit_key, sub = jax.random.split(self._admit_key)
         ec = self.ec
         temp = np.full((b,), ec.default_temperature, np.float32)
         topk = np.full((b,), ec.default_top_k, np.int32)
         topp = np.full((b,), ec.default_top_p, np.float32)
-        for i, r in enumerate(group):
-            temp[i], topk[i], topp[i] = r.temperature, r.top_k, r.top_p
+        for slot_ix, r in zip(slots, group):
+            temp[slot_ix], topk[slot_ix], topp[slot_ix] = (
+                r.temperature, r.top_k, r.top_p)
         (self._tokens, self._positions, self._active,
          self._sstate) = generate.admit_slots(
             logits, jnp.asarray(lengths), jnp.asarray(temp),
-            jnp.asarray(topk), jnp.asarray(topp), sub, jnp.int32(a),
+            jnp.asarray(topk), jnp.asarray(topp), sub, lane_mask,
             self._tokens, self._positions, self._active, self._sstate)
 
         now = time.monotonic()
         with self._lock:
-            for i, req in enumerate(group):
-                self._slots[i] = _Slot(request=req,
-                                       prompt_len=len(req.prompt_ids),
-                                       first_pending=True)
+            for slot_ix, req, p in zip(slots, group, prompts):
+                self._slot_prompts[slot_ix] = list(p)
+                self._slots[slot_ix] = _Slot(request=req,
+                                             prompt_len=len(req.prompt_ids),
+                                             first_pending=True)
                 self.stats["requests"] += 1
                 self.stats["prompt_tokens"] += len(req.prompt_ids)
                 req.first_token_ts = now
@@ -450,6 +499,9 @@ class Engine:
 
         slot = _Slot(request=req, prompt_len=n, first_pending=True)
         self._slots[slot_ix] = slot
+        # the slot's cache now holds this prompt's full KV: register it
+        # for prefix reuse by later admissions
+        self._slot_prompts[slot_ix] = [int(t) for t in adm.ids]
         with self._lock:
             self.stats["requests"] += 1
             self.stats["prompt_tokens"] += n
@@ -563,9 +615,11 @@ class Engine:
                     try:
                         req = self._queue.get_nowait()
                         self._pending_admit = req
+                        donor, common = self._find_donor(req.prompt_ids)
                         plan["admit"] = {"slot": free[0],
                                          "ids": list(req.prompt_ids),
-                                         "meta": self._req_meta(req)}
+                                         "meta": self._req_meta(req),
+                                         "donor": donor, "common": common}
                     except queue.Empty:
                         pass
         if (admitting is None and "burst" not in plan and "admit" not in plan
@@ -610,9 +664,25 @@ class Engine:
             else:
                 req = self._pending_admit
                 self._pending_admit = None
+            dst = plan["admit"]["slot"]
+            # the slot's old resident prompt is about to be overwritten
+            self._slot_prompts[dst] = None
             admitting = _Admission(
-                slot_ix=plan["admit"]["slot"], req=req,
+                slot_ix=dst, req=req,
                 ids=np.asarray(plan["admit"]["ids"], np.int32))
+            donor, common = plan["admit"].get("donor", -1), \
+                plan["admit"].get("common", 0)
+            if donor >= 0 and common > 0:
+                # prefix reuse: clone the donor's rows, prefill only the
+                # suffix (the donor's prefix rows are frozen — decode
+                # writes land at positions >= its prompt length)
+                if donor != dst:
+                    self._cache = generate.copy_slot_prefix(
+                        self._cache, jnp.int32(donor), jnp.int32(dst))
+                admitting.offset = common
+                with self._lock:
+                    self.stats["prefix_hits"] += 1
+                    self.stats["prefix_tokens_reused"] += common
 
         # advance the in-flight admission by ONE chunk, then fall through
         # to decode: prefill and decode interleave so a long prompt never

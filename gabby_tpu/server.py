@@ -31,6 +31,9 @@ def _build_engine(args, sync=None):
     from gabby_tpu.tokenizer import Tokenizer
 
     bits = args.quant if args.quant in (4, 8) else None
+    if args.act_fp8:
+        # must be set before anything traces (jit caches don't key on it)
+        quant.set_act_fp8(True)
 
     mesh = None
     multi = sync is not None and sync.num_processes > 1
@@ -163,6 +166,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="weight-only quantization bits (0 = bf16)")
     p.add_argument("--kv-quant", action="store_true",
                    help="INT8 KV cache")
+    p.add_argument("--act-fp8", action="store_true",
+                   help="pass activations through the fp8(e4m3) grid with "
+                        "per-token scales before every matmul (BASELINE "
+                        "config 5; emulated on TPUs without fp8 MXUs)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over local devices")
     p.add_argument("--dp", type=int, default=1,

@@ -72,6 +72,43 @@ def test_big_config_traces(preset, bits):
     assert new_cache.k.shape == cache.k.shape
 
 
+def test_70b_fp8_activations_traces_over_mesh():
+    """BASELINE config 5 shape: 70B INT4 weights + FP8 activations — the
+    decode step must trace with fp8 activation casts in the graph, and the
+    sharding rules must cover its params."""
+    from gabby_tpu.ops import quant
+    cfg = cfglib.llama3_70b(max_seq_len=4096)
+    params = _abstract_params(cfg, 4)
+    cache = _abstract_cache(cfg, 8, 4096, quantized=True)
+    tokens = jax.ShapeDtypeStruct((8,), jnp.int32)
+    positions = jax.ShapeDtypeStruct((8,), jnp.int32)
+    quant.set_act_fp8(True)
+    try:
+        jaxpr = jax.make_jaxpr(
+            lambda p, t, pos, c: llama.decode_step(p, cfg, t, pos, c)[0])(
+            params, tokens, positions, cache)
+        # the fp8 grid pass must actually be in the traced graph
+        assert "f8_e4m3" in str(jaxpr.jaxpr).replace("float8_e4m3fn", "f8_e4m3")
+        # and the partition rules must produce a spec for every leaf
+        mesh = make_mesh(dp=1, tp=8)
+        param_shardings(params, mesh)
+    finally:
+        quant.set_act_fp8(False)
+
+
+def test_fp8_activations_quality_and_exactness():
+    """fp8 activations change numerics but must stay CLOSE on a real tiny
+    forward (sanity for the emulated grid: per-token scale, e4m3 max 448)."""
+    from gabby_tpu.ops import quant
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64), jnp.float32) * 3.0
+    y = quant.fp8_activation(x)
+    assert y.shape == x.shape and y.dtype == x.dtype
+    # fp8 e4m3 has ~2 decimal digits: elementwise within ~6% of the input
+    import numpy as np
+    rel = np.abs(np.asarray(y) - np.asarray(x)) / (np.abs(np.asarray(x)) + 1e-6)
+    assert float(rel.max()) < 0.07, float(rel.max())
+
+
 def test_8b_tp8_compiles():
     """8B INT4 decode step lowers + compiles over an 8-way TP mesh (the
     BASELINE config-4 shape, on the virtual CPU mesh)."""

@@ -43,6 +43,23 @@ def test_ppl_partial_tail_batch(setup):
     np.testing.assert_allclose(ppl, ref, rtol=1e-4)
 
 
+def test_fp8_activation_ppl_delta(setup):
+    """FP8 activations (BASELINE config 5) must barely move perplexity —
+    tighter than INT4's weight gate since e4m3 has ~2 decimal digits."""
+    cfg, params, stream = setup
+    kw = dict(seq_len=64, batch=4, max_windows=16)
+    base = ppl_from_tokens(params, cfg, stream, **kw)
+    quant.set_act_fp8(True)
+    try:
+        # fresh trace: the flag is read at trace time
+        jax.clear_caches()
+        p_fp8 = ppl_from_tokens(params, cfg, stream, **kw)
+    finally:
+        quant.set_act_fp8(False)
+        jax.clear_caches()
+    assert abs(p_fp8 - base) / base < 0.05, f"fp8 ppl delta {p_fp8} vs {base}"
+
+
 def test_quantization_ppl_deltas(setup):
     """INT8 must barely move ppl; INT4 may move it more but boundedly."""
     cfg, params, stream = setup
