@@ -66,20 +66,22 @@ def init_params(cfg: ModelConfig, key: jax.Array,
 
 
 def _qkv(cfg: ModelConfig, blk: Params, x: jnp.ndarray, positions: jnp.ndarray,
-         inv_freq) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+         inv_freq, layer=None) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, t, _ = x.shape
-    q = linear(x, blk["wq"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = linear(x, blk["wk"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = linear(x, blk["wv"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = linear(x, blk["wq"], layer).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = linear(x, blk["wk"], layer).reshape(b, t, cfg.num_kv_heads,
+                                            cfg.head_dim)
+    v = linear(x, blk["wv"], layer).reshape(b, t, cfg.num_kv_heads,
+                                            cfg.head_dim)
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
     return q, k, v
 
 
-def _mlp(blk: Params, x: jnp.ndarray) -> jnp.ndarray:
-    gate = jax.nn.silu(linear(x, blk["w_gate"]).astype(jnp.float32))
-    up = linear(x, blk["w_up"]).astype(jnp.float32)
-    return linear((gate * up).astype(x.dtype), blk["w_down"])
+def _mlp(blk: Params, x: jnp.ndarray, layer=None) -> jnp.ndarray:
+    gate = jax.nn.silu(linear(x, blk["w_gate"], layer).astype(jnp.float32))
+    up = linear(x, blk["w_up"], layer).astype(jnp.float32)
+    return linear((gate * up).astype(x.dtype), blk["w_down"], layer)
 
 
 def _unembed(params: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
@@ -124,15 +126,18 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     quantized = cache is not None and cache.quantized
 
-    def body(h, xs):
+    blocks = params["blocks"]
+
+    def body(carry, xs):
+        h, layer = carry
         if cache is None:
-            (blk,) = xs
+            ((attn_norm, mlp_norm),) = xs
         elif quantized:
-            blk, kc, vc, ksc, vsc = xs
+            (attn_norm, mlp_norm), kc, vc, ksc, vsc = xs
         else:
-            blk, kc, vc = xs
-        xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(cfg, blk, xn, positions, inv_freq)
+            (attn_norm, mlp_norm), kc, vc = xs
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, positions, inv_freq, layer=layer)
 
         ys = ()
         if cache is not None:
@@ -189,18 +194,20 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             kk = jnp.swapaxes(kk, 1, 2)  # back to [B, S', Nk, H]
             vv = jnp.swapaxes(vv, 1, 2)
         attn = causal_attention(q, kk, vv, q_offset=offset)
-        h = h + linear(attn.reshape(b, t, cfg.q_dim), blk["wo"])
-        xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(blk, xn2)
-        return h, ys
+        h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
+        return (h, layer + 1), ys
 
+    norms = (blocks["attn_norm"], blocks["mlp_norm"])
     if cache is None:
-        xs = (params["blocks"],)
+        xs = (norms,)
     elif quantized:
-        xs = (params["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (norms, cache.k, cache.v, cache.k_scale, cache.v_scale)
     else:
-        xs = (params["blocks"], cache.k, cache.v)
-    h, ys = jax.lax.scan(body, h, xs)
+        xs = (norms, cache.k, cache.v)
+    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), xs)
 
     if cache is None:
         return h, None
@@ -237,10 +244,21 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     # the donated buffers. Writing inside the scan instead — whether
     # streaming layers through xs/ys or carrying the whole cache — made XLA
     # materialize cache copies (measured at 2/3 of the step, or worse).
-    def body(carry, blk):
+    #
+    # WEIGHTS get the same treatment as the cache: the scan streams only
+    # the tiny norm vectors through xs; the big stacked [L, in, out]
+    # matmul weights are captured whole and indexed by the traced layer
+    # inside linear() (the quantized Pallas kernels take the layer via
+    # scalar prefetch — streaming weights through xs dynamic-sliced a full
+    # HBM copy of every layer's weights per step, which the profile showed
+    # costing as much as the matmuls themselves).
+    blocks = params["blocks"]
+
+    def body(carry, norms):
         h, layer = carry
-        xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(cfg, blk, xn, pos2d, inv_freq)
+        attn_norm, mlp_norm = norms
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, pos2d, inv_freq, layer=layer)
         fresh_k, fresh_v = k[:, 0], v[:, 0]  # [B, Nk, H]
 
         if quantized:
@@ -256,12 +274,15 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                                    fresh_v=fresh_v)
             ys = (fresh_k.astype(cache.k.dtype),
                   fresh_v.astype(cache.v.dtype))
-        h = h + linear(attn.reshape(b, 1, cfg.q_dim), blk["wo"])
-        xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(blk, xn2)
+        h = h + linear(attn.reshape(b, 1, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
-    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), params["blocks"])
+    (h, _), ys = jax.lax.scan(
+        body, (h, jnp.int32(0)),
+        (blocks["attn_norm"], blocks["mlp_norm"]))
     logits = _unembed(params, cfg, h)[:, 0]  # [B, V]
 
     # write every layer's new row with an UNROLLED chain of per-slot
@@ -335,10 +356,14 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     # chunk's own k/v as a separate full-precision causal block); each
     # layer's new rows collect through ys and land in ONE in-place
     # dynamic-update-slice after the scan.
-    def body(carry, blk):
+    blocks = params["blocks"]
+
+    def body(carry, norms):
         h, layer = carry
-        xn = rms_norm(h, blk["attn_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(cfg, blk, xn, positions[None, :], inv_freq)
+        attn_norm, mlp_norm = norms
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, positions[None, :], inv_freq,
+                       layer=layer)
         kT = jnp.swapaxes(k, 1, 2)  # [1, Nk, T, H] (head-major cache)
         vT = jnp.swapaxes(v, 1, 2)
 
@@ -355,12 +380,15 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                                           fresh_k=kT[0], fresh_v=vT[0],
                                           layer=layer)
             ys = (kT[0].astype(cache.k.dtype), vT[0].astype(cache.v.dtype))
-        h = h + linear(attn.reshape(1, t, cfg.q_dim), blk["wo"])
-        xn2 = rms_norm(h, blk["mlp_norm"], cfg.rms_norm_eps)
-        h = h + _mlp(blk, xn2)
+        h = h + linear(attn.reshape(1, t, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
-    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), params["blocks"])
+    (h, _), ys = jax.lax.scan(
+        body, (h, jnp.int32(0)),
+        (blocks["attn_norm"], blocks["mlp_norm"]))
 
     # unembed only the last valid position (cheap: 1 row, not T)
     h_last = jax.lax.dynamic_slice(

@@ -196,6 +196,144 @@ def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
     return out[:m] if mp != m else out
 
 
+def _stacked_call(kernel, n_x: int, x_args, packed, scale, layer, *,
+                  tiles, grid_mn, mp, n, out_dtype, cost, interpret):
+    """pallas_call plumbing for STACKED [L, kp, n] weights with the layer
+    index scalar-prefetched into the block index maps — the weight tile
+    DMAs straight from the stacked array, with NO per-layer dynamic-slice
+    copy. (Profiling showed that copy costing as much as the matmul
+    itself: the layer scan's xs-streaming materializes each layer's
+    weights before an opaque pallas_call can read them, so the weights
+    streamed HBM twice per step.)"""
+    tile_m, tile_k, tile_n = tiles
+    gi, gj = grid_mn
+    kp = packed.shape[1]
+
+    in_specs = [pl.BlockSpec((tile_m, tile_k),
+                             lambda i, j, kk, sc: (i, kk),
+                             memory_space=pltpu.VMEM)] * n_x
+    in_specs += [
+        pl.BlockSpec((1, tile_k, tile_n),
+                     lambda i, j, kk, sc: (sc[0], kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tile_n), lambda i, j, kk, sc: (sc[0], 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gi, gj, kp // tile_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_m, tile_n),
+                               lambda i, j, kk, sc: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        cost_estimate=cost, interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *x_args, packed,
+      scale.reshape(scale.shape[0], 1, n))
+
+
+def _int8_stacked_kernel(sc_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[0].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
+def _int4_stacked_kernel(sc_ref, xe_ref, xo_ref, w_ref, s_ref, o_ref,
+                         acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # same unpack as _int4_kernel (see there for the bias algebra)
+    p = w_ref[0].astype(jnp.int32)
+    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)
+    lo8 = (p & 15).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(xe_ref[:], lo8,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(xo_ref[:], hi,
+                          preferred_element_type=jnp.float32)
+    rowsum = jnp.sum(xe_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+    acc_ref[:] -= 8.0 * rowsum
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_int8_stacked(x2d, packed, scale, layer, *, interpret=False):
+    m, k = x2d.shape
+    _, _, n = packed.shape
+    tile_m = min(_round_up(m, 16), 256)
+    tile_k, tile_n = _pick_tiles(k, n, tile_m, 8)
+    mp = _round_up(m, tile_m)
+    xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
+    out = _stacked_call(
+        _int8_stacked_kernel, 1, [xp.astype(jnp.bfloat16)], packed, scale,
+        layer, tiles=(tile_m, tile_k, tile_n),
+        grid_mn=(mp // tile_m, n // tile_n), mp=mp, n=n, out_dtype=x2d.dtype,
+        cost=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + k * n + mp * n * 2 + n * 4,
+            transcendentals=0),
+        interpret=interpret)
+    return out[:m] if mp != m else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_int4_stacked(x2d, packed, scale, layer, *, interpret=False):
+    m, k = x2d.shape
+    _, kp, n = packed.shape  # kp == k // 2
+    tile_m = min(_round_up(m, 16), 256)
+    tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
+    mp = _round_up(m, tile_m)
+    xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
+    xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
+    out = _stacked_call(
+        _int4_stacked_kernel, 2, [xs[:, :, 0], xs[:, :, 1]], packed, scale,
+        layer, tiles=(tile_m, tile_kp, tile_n),
+        grid_mn=(mp // tile_m, n // tile_n), mp=mp, n=n, out_dtype=x2d.dtype,
+        cost=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + kp * n + mp * n * 2 + n * 4,
+            transcendentals=0),
+        interpret=interpret)
+    return out[:m] if mp != m else out
+
+
+def qmatmul_stacked(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
+                    layer, bits: int) -> jnp.ndarray:
+    """x: [..., K] @ stacked quantized [L, K(, packed), N] at `layer`
+    (traced) -> [..., N]. The layer index is scalar-prefetched into the
+    weight tile index map: no per-layer slice copy."""
+    *lead, k_in = x.shape
+    n = codes.shape[2]
+    x2d = x.reshape(-1, k_in)
+    interp = pk.interpret_mode()
+    if bits == 8:
+        out = _qmatmul_int8_stacked(x2d, codes, scale, layer,
+                                    interpret=interp)
+    else:
+        out = _qmatmul_int4_stacked(x2d, codes, scale, layer,
+                                    interpret=interp)
+    return out.reshape(*lead, n)
+
+
 def supported(m: int, k: int, n: int, bits: int) -> bool:
     """Does this problem tile onto the kernel grid within VMEM?"""
     kk = k // 2 if bits == 4 else k

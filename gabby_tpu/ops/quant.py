@@ -134,13 +134,19 @@ def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
 
 
-def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
+def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     """x: [..., in_dim] @ QTensor -> [..., out_dim].
 
     Reference path: contract against the int8 codes (MXU-friendly), apply the
     per-channel scale to the f32 accumulator after the matmul — numerically
     identical to dequantize-then-matmul but touches only 1/2 (or 1/4) of the
     HBM bytes for the weight.
+
+    layer: for STACKED [L, in, out] QTensors, the (traced) layer to use.
+    The Pallas kernels consume the stacked codes directly (layer index via
+    scalar prefetch) — slicing the layer first would copy the whole weight
+    to HBM per step, doubling decode's weight traffic (an opaque
+    pallas_call can't fuse the slice the way XLA's own dot can).
     """
     # Dispatch policy (measured on v5e, llama-1B decode): the Pallas kernel
     # wins ONLY for INT4 — XLA materializes the unpacked int8 weight in HBM
@@ -148,12 +154,25 @@ def qlinear(x: jnp.ndarray, qt: QTensor) -> jnp.ndarray:
     # matmul is faster than ours (it overlaps weight streaming with
     # neighboring ops; a custom call is an opaque barrier).
     from gabby_tpu.ops import pallas as pk
-    if (qt.q.ndim == 2 and pk.kernels_enabled()
-            and (qt.bits == 4 or pk.int8_matmul_kernel())):
+    kernel_ok = pk.kernels_enabled() and (qt.bits == 4
+                                          or pk.int8_matmul_kernel())
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if layer is not None and qt.q.ndim == 3:
+        in_dim = qt.q.shape[1] * (2 if qt.bits == 4 else 1)
+        if kernel_ok:
+            from gabby_tpu.ops.pallas import quant_matmul as pqm
+            if pqm.supported(m, in_dim, qt.q.shape[2], qt.bits):
+                return pqm.qmatmul_stacked(x, qt.q, qt.scale, layer, qt.bits)
+        # XLA path: slice the layer and let XLA fuse it into its dot
+        qt = QTensor(
+            q=jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False),
+            scale=jax.lax.dynamic_index_in_dim(qt.scale, layer, 0,
+                                               keepdims=False),
+            bits=qt.bits)
+    if qt.q.ndim == 2 and kernel_ok:
         from gabby_tpu.ops.pallas import quant_matmul as pqm
-        m = 1
-        for d in x.shape[:-1]:
-            m *= d
         if pqm.supported(m, qt.shape[0], qt.shape[1], qt.bits):
             return pqm.qmatmul(x, qt.q, qt.scale, qt.bits)
     q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
