@@ -19,6 +19,7 @@ Design notes (vs. the reference, whose generator is a stub —
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional
 
 import jax
@@ -219,15 +220,20 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-                positions: jnp.ndarray, cache: KVCache
-                ) -> tuple[jnp.ndarray, KVCache]:
+                positions: jnp.ndarray, cache
+                ) -> tuple[jnp.ndarray, "KVCache"]:
     """One decode step for a batch of slots.
 
     tokens: [B] int32 — current token per slot.
     positions: [B] int32 — cache index where this token's k/v land
       (== number of tokens already in the slot).
+    cache: dense KVCache or runtime/paged.PagedKVCache (dispatched here so
+    every caller — decode_loop, tests, the engine — is layout-agnostic).
     Returns (f32 logits [B, V], updated cache).
     """
+    from gabby_tpu.runtime.paged import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        return _decode_step_paged(params, cfg, tokens, positions, cache)
     b = tokens.shape[0]
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     pos2d = positions[:, None]  # [B, 1]
@@ -321,9 +327,86 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     return logits, new_cache
 
 
+def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                       positions: jnp.ndarray, cache):
+    """decode_step against a paged pool: attention reads physical pages via
+    the scalar-prefetched page table; the post-scan write chain resolves
+    each slot's physical page with one device-side table lookup."""
+    from gabby_tpu.ops.attention import paged_cache_attention
+
+    b = tokens.shape[0]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    pos2d = positions[:, None]
+    h = jnp.take(params["embed"], tokens[:, None], axis=0)
+    quantized = cache.quantized
+    blocks = params["blocks"]
+
+    def body(carry, norms):
+        h, layer = carry
+        attn_norm, mlp_norm = norms
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, pos2d, inv_freq, layer=layer)
+        fresh_k, fresh_v = k[:, 0], v[:, 0]
+        attn = paged_cache_attention(
+            q, cache.k, cache.v, cache.page_table, positions,
+            cache.k_scale, cache.v_scale, layer=layer,
+            fresh_k=fresh_k, fresh_v=fresh_v)
+        if quantized:
+            k_codes, k_s = quantize_kv(k)
+            v_codes, v_s = quantize_kv(v)
+            ys = (k_codes[:, 0], v_codes[:, 0], k_s[:, 0], v_s[:, 0])
+        else:
+            ys = (fresh_k.astype(cache.k.dtype),
+                  fresh_v.astype(cache.v.dtype))
+        h = h + linear(attn.reshape(b, 1, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
+        return (h, layer + 1), ys
+
+    (h, _), ys = jax.lax.scan(
+        body, (h, jnp.int32(0)),
+        (blocks["attn_norm"], blocks["mlp_norm"]))
+    logits = _unembed(params, cfg, h)[:, 0]
+
+    # per-slot unrolled write, same as dense, but the row target is
+    # (physical page, row-in-page) resolved through the page table
+    ps = cache.page_size
+    zero = jnp.int32(0)
+
+    def write_all(pool, rows, with_h: bool):
+        for i in range(b):
+            pos_i = positions[i]
+            phys = cache.page_table[i, pos_i // ps]
+            row = pos_i % ps
+            if with_h:
+                upd = rows[:, i][None, :, :, None, :]  # [1, L, Nk, 1, H]
+                pool = jax.lax.dynamic_update_slice(
+                    pool, upd, (phys, zero, zero, row, zero))
+            else:
+                upd = rows[:, i][None, :, :, None]     # [1, L, Nk, 1]
+                pool = jax.lax.dynamic_update_slice(
+                    pool, upd, (phys, zero, zero, row))
+        return pool
+
+    # ys leaves are [L, B, ...]: transpose slot axis out per write
+    if quantized:
+        new_cache = dataclasses.replace(
+            cache,
+            k=write_all(cache.k, ys[0], True),
+            v=write_all(cache.v, ys[1], True),
+            k_scale=write_all(cache.k_scale, ys[2], False),
+            v_scale=write_all(cache.v_scale, ys[3], False))
+    else:
+        new_cache = dataclasses.replace(
+            cache, k=write_all(cache.k, ys[0], True),
+            v=write_all(cache.v, ys[1], True))
+    return logits, new_cache
+
+
 def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                  length: jnp.ndarray, slot: jnp.ndarray, offset: jnp.ndarray,
-                 cache: KVCache) -> tuple[jnp.ndarray, KVCache]:
+                 cache) -> tuple[jnp.ndarray, "KVCache"]:
     """Prefill ONE cache slot with a (padded) chunk of prompt tokens.
 
     The continuous-batching building block: requests arrive at different
@@ -343,6 +426,10 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     it makes quantized-KV behaviour exactly match the decode path (the
     chunk's own k/v are read back through the cache's quantization).
     """
+    from gabby_tpu.runtime.paged import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        return _prefill_slot_paged(params, cfg, tokens, length, slot, offset,
+                                   cache)
     t = tokens.shape[0]
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     positions = offset + jnp.arange(t, dtype=jnp.int32)  # [T]
@@ -416,6 +503,83 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 cache.v, ys[1][:, None], (zero, slot, zero, offset, zero)),
             k_scale=None, v_scale=None,
         )
+    return logits, new_cache
+
+
+def _prefill_slot_paged(params: Params, cfg: ModelConfig,
+                        tokens: jnp.ndarray, length: jnp.ndarray,
+                        slot: jnp.ndarray, offset: jnp.ndarray, cache):
+    """prefill_slot against a paged pool. The slot's pages are gathered
+    into a dense per-slot view ONCE per chunk (a per-admission cost on the
+    order of the rows attention must read anyway — stale table entries
+    beyond the allocation are masked by `offset`), the chunk runs the
+    dense slot-prefill attention over it, and the new rows land with one
+    page-granular write per spanned page. Chunk length and offset must be
+    page-aligned (the engine's paged bucket ladder guarantees it)."""
+    from gabby_tpu.runtime.paged import write_slot_chunk
+
+    t = tokens.shape[0]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    positions = offset + jnp.arange(t, dtype=jnp.int32)
+    h = jnp.take(params["embed"], tokens[None, :], axis=0)
+    quantized = cache.quantized
+    blocks = params["blocks"]
+    zero = jnp.zeros((), jnp.int32)
+
+    phys = cache.page_table[slot]  # [max_pages]
+
+    def densify(pool):
+        g = jnp.take(pool, phys, axis=0)      # [mp, L, Nk, page, ...]
+        g = jnp.moveaxis(g, 0, 2)             # [L, Nk, mp, page, ...]
+        return g.reshape(g.shape[0], g.shape[1], -1, *g.shape[4:])
+
+    gk, gv = densify(cache.k), densify(cache.v)
+    gks = densify(cache.k_scale) if quantized else None
+    gvs = densify(cache.v_scale) if quantized else None
+
+    def body(carry, xs):
+        h, layer = carry
+        if quantized:
+            (attn_norm, mlp_norm), kc, vc, ksc, vsc = xs
+        else:
+            (attn_norm, mlp_norm), kc, vc = xs
+            ksc = vsc = None
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, positions[None, :], inv_freq,
+                       layer=layer)
+        kT = jnp.swapaxes(k, 1, 2)
+        vT = jnp.swapaxes(v, 1, 2)
+        attn = slot_prefill_attention(
+            q, kc[None], vc[None], zero, offset,
+            ksc[None] if quantized else None,
+            vsc[None] if quantized else None,
+            fresh_k=kT[0], fresh_v=vT[0])
+        if quantized:
+            k_codes, k_s = quantize_kv(kT)
+            v_codes, v_s = quantize_kv(vT)
+            ys = (k_codes[0], v_codes[0], k_s[0], v_s[0])
+        else:
+            ys = (kT[0].astype(cache.k.dtype), vT[0].astype(cache.v.dtype))
+        h = h + linear(attn.reshape(1, t, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
+        return (h, layer + 1), ys
+
+    norms = (blocks["attn_norm"], blocks["mlp_norm"])
+    xs = (norms, gk, gv) + ((gks, gvs) if quantized else ())
+    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), xs)
+
+    h_last = jax.lax.dynamic_slice(
+        h, (zero, length - 1, zero), (1, 1, cfg.hidden_size))
+    logits = _unembed(params, cfg, h_last)[0, 0]
+
+    if quantized:
+        new_cache = write_slot_chunk(cache, slot, offset, ys[0], ys[1],
+                                     ys[2], ys[3])
+    else:
+        new_cache = write_slot_chunk(cache, slot, offset, ys[0], ys[1],
+                                     None, None)
     return logits, new_cache
 
 

@@ -20,20 +20,23 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30  # large-but-finite: keeps fully-masked rows NaN-free
 
-# Decode-attention dispatch crossover (measured, BASELINE.md): XLA's fused
-# masked attention wins at small caches, but it streams ALL max_seq rows
-# every step; the Pallas flash kernel's chunk-skip reads only the live
-# context, so it wins once the cache is big (8k: 3.0 vs 4.9 ms/step at
-# ctx 512). max_seq is static, so the policy can key on it.
+# Decode-attention dispatch (measured, BASELINE.md): the Pallas flash
+# kernel ALWAYS wins for a stacked QUANTIZED cache — the XLA path must
+# dynamic-slice each layer's codes+scales out of the stacked cache every
+# step (a full HBM copy the profile showed at ~0.65 ms/step on the 1B
+# bench; the kernel indexes the layer via scalar prefetch instead), and
+# its chunk-skip reads only the live context at long max_seq (8k: 3.0 vs
+# 4.9 ms/step at ctx 512). For a bf16 cache XLA's fused attention still
+# wins at small max_seq. max_seq is static, so the policy keys on it.
 KERNEL_ATTN_MIN_SEQ = 4096
 
 
-def _want_attn_kernel(s_max: int) -> bool:
+def _want_attn_kernel(s_max: int, quantized: bool = False) -> bool:
     import os
     forced = os.environ.get("GABBY_ATTN_KERNEL")
     if forced is not None:
         return forced == "1"
-    return s_max >= KERNEL_ATTN_MIN_SEQ
+    return quantized or s_max >= KERNEL_ATTN_MIN_SEQ
 
 
 def _split_groups(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
@@ -219,7 +222,8 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
     s_max = k_codes.shape[3 if layer is not None else 2]
     from gabby_tpu.ops import pallas as pk
     if (q.shape[1] == 1 and q.shape[2] % nk == 0
-            and _want_attn_kernel(s_max) and pk.kernels_enabled()):
+            and _want_attn_kernel(s_max, quantized=True)
+            and pk.kernels_enabled()):
         from gabby_tpu.ops.pallas import attention as pattn
         return pattn.decode_attention(q, k_codes, v_codes, positions,
                                       k_scale, v_scale, layer=layer,
@@ -235,3 +239,48 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
     vv = dequantize_kv(v_codes, v_scale, q.dtype)
     return cache_attention(q, kk, vv, positions, scale=scale,
                            fresh_k=fresh_k, fresh_v=fresh_v)
+
+
+def paged_cache_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
+                          v_pool: jnp.ndarray, page_table: jnp.ndarray,
+                          positions: jnp.ndarray, k_scale=None, v_scale=None,
+                          *, layer, fresh_k, fresh_v,
+                          scale: Optional[float] = None) -> jnp.ndarray:
+    """Decode attention against a PAGED pool (runtime/paged.PagedKVCache).
+
+    q: [B, 1, Nq, H]; k/v_pool: [P, L, Nk, page, H] (+ scale pools
+    [P, L, Nk, page] when quantized); page_table: [B, max_pages] i32.
+    Contract matches the fresh-row form of cache_attention: pool rows
+    j < positions[b] are attended plus the current token's unquantized
+    fresh_k/v as a virtual extra row.
+
+    Dispatches to the paged Pallas kernel (physical page indices ride in
+    via scalar prefetch; nothing gathers the pool) when kernels are on;
+    this jnp body — gather pages into a dense view, then reuse the dense
+    reference — is the contract it is tested against.
+    """
+    b, t, nq, h = q.shape
+    nk = k_pool.shape[2]
+    quantized = k_scale is not None
+    from gabby_tpu.ops import pallas as pk
+    if t == 1 and nq % nk == 0 and pk.kernels_enabled():
+        from gabby_tpu.ops.pallas import attention as pattn
+        return pattn.paged_decode_attention(
+            q, k_pool, v_pool, page_table, positions, k_scale, v_scale,
+            layer=layer, fresh_k=fresh_k, fresh_v=fresh_v, scale=scale)
+
+    def dense(pool):
+        # [P, L, Nk, page, *] -> this layer, gathered: [B, Nk, S, *]
+        plane = jax.lax.dynamic_index_in_dim(pool, layer, 1, False)
+        g = jnp.take(plane, page_table, axis=0)  # [B, mp, Nk, page, *]
+        g = jnp.moveaxis(g, 1, 2)                # [B, Nk, mp, page, *]
+        return g.reshape(g.shape[0], nk, -1, *g.shape[4:])
+
+    kk, vv = dense(k_pool), dense(v_pool)
+    if quantized:
+        from gabby_tpu.runtime.kv_cache import dequantize_kv
+        kk = dequantize_kv(kk, dense(k_scale), q.dtype)
+        vv = dequantize_kv(vv, dense(v_scale), q.dtype)
+    return cache_attention(q, kk.astype(q.dtype), vv.astype(q.dtype),
+                           positions, scale=scale, fresh_k=fresh_k,
+                           fresh_v=fresh_v)

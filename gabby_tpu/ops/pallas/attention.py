@@ -253,3 +253,124 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
 
 def supported(nq: int, nk: int, h: int) -> bool:
     return nq % nk == 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "out_dtype", "interpret"))
+def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
+                       fresh_v, scal, *, sm_scale: float, out_dtype,
+                       interpret: bool):
+    """Paged variant of _decode_call. q4: [B, Nk, G, H]; k/v_pool:
+    [P, L, Nk, page, H]; k/v_scale: [P, L, Nk, 1, page] or None;
+    scal: [B + 1 + B*max_pages] i32 = positions ++ [layer] ++
+    page_table.flatten(). Grid = (B, max_pages): each step DMAs the
+    slot's next PHYSICAL page plane straight from the pool — the page
+    table is consulted only inside the scalar-prefetched index maps, so
+    paging costs no gathers and no extra HBM traffic."""
+    b, nk, g, h = q4.shape
+    page = k_pool.shape[3]
+    max_pages = (scal.shape[0] - b - 1) // b
+    quant = k_scale is not None
+    fresh = fresh_k is not None
+
+    def last_page(scal_ref, bb):
+        p = scal_ref[bb] - 1 if fresh else scal_ref[bb]
+        return jnp.maximum(p, 0) // page
+
+    def phys(scal_ref, bb, cc):
+        # clamp to the last VALID logical page: consecutive identical
+        # physical indices skip the HBM fetch (dead pages cost nothing)
+        lp = jnp.minimum(cc, last_page(scal_ref, bb))
+        return scal_ref[b + 1 + bb * max_pages + lp]
+
+    def kv_map(bb, cc, scal_ref):
+        return (phys(scal_ref, bb, cc), scal_ref[b], 0, 0, 0)
+
+    def sc_map(bb, cc, scal_ref):
+        return (phys(scal_ref, bb, cc), scal_ref[b], 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, nk, g, h), lambda bb, cc, sc: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk, page, h), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nk, page, h), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q4, k_pool, v_pool]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, nk, 1, page), sc_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, 1, page), sc_map,
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+    if fresh:
+        in_specs += [
+            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [fresh_k, fresh_v]
+
+    def kernel(scal_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = rest.pop(0) if quant else None
+        vs_ref = rest.pop(0) if quant else None
+        fk_ref = rest.pop(0) if fresh else None
+        fv_ref = rest.pop(0) if fresh else None
+        o_ref, m_ref, l_ref, acc_ref = rest
+        _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), page, nk,
+                    q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
+                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, max_pages),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nk, g, h),
+                               lambda bb, cc, sc: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nk * g, 1), jnp.float32),
+            pltpu.VMEM((nk * g, 1), jnp.float32),
+            pltpu.VMEM((nk * g, h), jnp.float32),
+        ],
+    )
+    kv_bytes = 2 * b * nk * max_pages * page * h * k_pool.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nk, g, h), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nk * g * max_pages * page * h,
+            bytes_accessed=kv_bytes + b * nk * g * h * 4,
+            transcendentals=b * nk * g * max_pages * page),
+        interpret=interpret,
+    )(scal, *args)
+
+
+def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
+                           v_pool: jnp.ndarray, page_table: jnp.ndarray,
+                           positions: jnp.ndarray, k_scale=None, v_scale=None,
+                           *, layer, fresh_k, fresh_v,
+                           scale=None) -> jnp.ndarray:
+    """q: [B, 1, Nq, H]; pools [P, L, Nk, page, H] (+ scales
+    [P, L, Nk, page]); page_table [B, max_pages]. Same contract as
+    ops/attention.paged_cache_attention (fresh-row form)."""
+    b, t, nq, h = q.shape
+    assert t == 1
+    nk = k_pool.shape[2]
+    sm_scale = float(scale) if scale is not None else h ** -0.5
+    q4 = q[:, 0].reshape(b, nk, nq // nk, h)
+    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
+    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    scal = jnp.concatenate([
+        positions.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        page_table.astype(jnp.int32).reshape(-1),
+    ])
+    out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fresh_k, fresh_v,
+                             scal, sm_scale=sm_scale, out_dtype=q.dtype,
+                             interpret=pk.interpret_mode())
+    return out.reshape(b, 1, nq, h)

@@ -154,11 +154,14 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     # matmul is faster than ours (it overlaps weight streaming with
     # neighboring ops; a custom call is an opaque barrier).
     from gabby_tpu.ops import pallas as pk
-    kernel_ok = pk.kernels_enabled() and (qt.bits == 4
-                                          or pk.int8_matmul_kernel())
     m = 1
     for d in x.shape[:-1]:
         m *= d
+    # kernels only at decode-sized M: at prefill M (hundreds+) the matmul
+    # is compute-bound and XLA's dequant+dot wins (its unpack amortizes
+    # over M; measured 53k vs 31k prefill tok/s on the 1B int4 bench)
+    kernel_ok = (pk.kernels_enabled() and m <= 64
+                 and (qt.bits == 4 or pk.int8_matmul_kernel()))
     if layer is not None and qt.q.ndim == 3:
         in_dim = qt.q.shape[1] * (2 if qt.bits == 4 else 1)
         if kernel_ok:

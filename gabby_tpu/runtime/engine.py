@@ -72,6 +72,12 @@ class EngineConfig:
     default_top_p: float = 1.0
     kv_quantized: bool = False
     cache_dtype: str = "bfloat16"
+    # Paged KV cache (runtime/paged.py): > 0 switches the cache to a
+    # shared pool of this many pages. Capacity then scales with tokens in
+    # use instead of slots x max_seq, and prefix reuse becomes zero-copy
+    # page sharing. 0 = dense per-slot cache.
+    paged_pages: int = 0
+    page_size: int = 256
 
 
 @dataclasses.dataclass
@@ -151,11 +157,38 @@ class Engine:
                 f"max_seq={econfig.max_seq} must be a multiple of "
                 f"{PREFILL_BUCKETS[0]} (the prefill bucket grid)")
 
-        cache = create_cache(cfg, b, econfig.max_seq,
-                             dtype=jnp.dtype(econfig.cache_dtype),
-                             quantized=econfig.kv_quantized)
-        if cache_shardings is not None:
-            cache = jax.device_put(cache, cache_shardings)
+        self._paged = econfig.paged_pages > 0
+        if self._paged:
+            from gabby_tpu.runtime.paged import (PageAllocator,
+                                                 create_paged_cache)
+            if cache_shardings is not None:
+                raise NotImplementedError(
+                    "paged cache + explicit cache shardings")
+            ps = econfig.page_size
+            if econfig.max_seq % ps != 0:
+                raise ValueError(f"max_seq must be a multiple of "
+                                 f"page_size={ps} in paged mode")
+            cache = create_paged_cache(
+                cfg, b, econfig.max_seq, econfig.paged_pages,
+                dtype=jnp.dtype(econfig.cache_dtype),
+                quantized=econfig.kv_quantized, page_size=ps)
+            self._alloc = PageAllocator(econfig.paged_pages)
+            # physical page 0 is the permanent SCRATCH page: stale page-
+            # table entries point at it, so parked-position writes and
+            # dead-entry reads can never touch a live page
+            assert self._alloc.alloc(1) == [0]
+            self._slot_pages: list[list[int]] = [[] for _ in range(b)]
+            self._pt_host = np.zeros((b, econfig.max_seq // ps), np.int32)
+            # paged chunk writes are page-granular: buckets sit on the
+            # page grid
+            self._buckets = tuple(sorted({ps, max(ps, 512)}))
+        else:
+            cache = create_cache(cfg, b, econfig.max_seq,
+                                 dtype=jnp.dtype(econfig.cache_dtype),
+                                 quantized=econfig.kv_quantized)
+            if cache_shardings is not None:
+                cache = jax.device_put(cache, cache_shardings)
+            self._buckets = PREFILL_BUCKETS
         self._cache = cache
 
         stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
@@ -306,12 +339,14 @@ class Engine:
         max_seq; when none covers `remaining`, the largest that fits (the
         prompt continues in later chunks). Never lets a bucket-sized write
         cross the cache end — with max_seq on the bucket grid a fitting
-        bucket always exists (offsets advance in bucket multiples)."""
+        bucket always exists (offsets advance in bucket multiples). Paged
+        mode uses a page-aligned ladder so chunk writes stay
+        page-granular."""
         room = self.ec.max_seq - offset
-        for bkt in PREFILL_BUCKETS:
+        for bkt in self._buckets:
             if bkt >= remaining and bkt <= room:
                 return bkt
-        return max(b for b in PREFILL_BUCKETS if b <= room)
+        return max(b for b in self._buckets if b <= room)
 
     def _chunk_schedule(self, n: int) -> tuple:
         """The static (offset, bucket) chunk sequence a prompt of n tokens
@@ -337,6 +372,47 @@ class Engine:
         fields, but its out queue has no reader (deltas are dropped)."""
         return Request(prompt_ids=list(ids), **meta)
 
+    # ---- paged-pool bookkeeping (self._paged only) ----
+
+    def _push_page_table(self) -> None:
+        self._cache = dataclasses.replace(
+            self._cache, page_table=jnp.asarray(self._pt_host))
+
+    def _release_slot_pages(self, slot_ix: int) -> None:
+        """Drop this slot's page references (shared pages survive via
+        other holders' refcounts) and clear its prefix-registry entry."""
+        if self._slot_pages[slot_ix]:
+            self._alloc.release(self._slot_pages[slot_ix])
+            self._slot_pages[slot_ix] = []
+        self._pt_host[slot_ix, :] = 0  # stale entries -> scratch page
+        self._slot_prompts[slot_ix] = None
+
+    def _evict_idle_pages(self, keep: int = -1) -> None:
+        """Pool pressure relief: free the resident (prefix-donor) pages of
+        FREE slots. Live slots are never touched."""
+        for i, s in enumerate(self._slots):
+            if s is None and i != keep and self._slot_pages[i]:
+                self._release_slot_pages(i)
+
+    def _ensure_pages(self, slot_ix: int, upto_row: int) -> bool:
+        """Back rows [0, upto_row) of the slot with physical pages."""
+        ps = self.ec.page_size
+        need = (min(upto_row, self.ec.max_seq) + ps - 1) // ps
+        cur = len(self._slot_pages[slot_ix])
+        if need <= cur:
+            return True
+        got = self._alloc.alloc(need - cur)
+        if got is None:
+            self._evict_idle_pages(keep=slot_ix)
+            got = self._alloc.alloc(need - cur)
+            if got is None:
+                return False
+        self._slot_pages[slot_ix].extend(got)
+        for lp in range(cur, need):
+            self._pt_host[slot_ix, lp] = self._slot_pages[slot_ix][lp]
+        self._push_page_table()
+        return True
+
     def _find_donor(self, ids: list[int]) -> tuple[int, int]:
         """Longest-common-prefix match of `ids` against resident slot
         prompts. Returns (donor_slot, common_len) with common_len rounded
@@ -344,7 +420,7 @@ class Engine:
         capped to leave at least one token to prefill (the admission needs
         last-token logits) and one bucket of cache room. (-1, 0) if no
         match clears the worthwhile threshold."""
-        grid = PREFILL_BUCKETS[0]
+        grid = self._buckets[0]
         n = len(ids)
         best, best_common = -1, 0
         for slot_ix, resident in enumerate(self._slot_prompts):
@@ -477,6 +553,9 @@ class Engine:
         remaining = len(adm.ids) - adm.offset
         bucket = self._next_bucket(remaining, adm.offset)
         take = min(bucket, remaining)
+        if self._paged and not self._ensure_pages(adm.slot_ix,
+                                                  adm.offset + bucket):
+            raise RuntimeError("kv page pool exhausted")
         chunk = np.zeros((bucket,), np.int32)
         chunk[:take] = adm.ids[adm.offset:adm.offset + take]
         adm.last_logits, self._cache = generate.prefill_slot(
@@ -602,7 +681,10 @@ class Engine:
         plan: dict = {}
         if admitting is None:
             try:
-                burst = self._select_burst()
+                # batched burst prefill writes all lanes at once — not yet
+                # implemented for page-granular writes; paged mode admits
+                # singly (zero-copy prefix sharing covers the common case)
+                burst = None if self._paged else self._select_burst()
             except Exception:
                 import traceback
                 traceback.print_exc()  # fall through to the single path
@@ -665,20 +747,37 @@ class Engine:
                 req = self._pending_admit
                 self._pending_admit = None
             dst = plan["admit"]["slot"]
-            # the slot's old resident prompt is about to be overwritten
-            self._slot_prompts[dst] = None
             admitting = _Admission(
                 slot_ix=dst, req=req,
                 ids=np.asarray(plan["admit"]["ids"], np.int32))
             donor, common = plan["admit"].get("donor", -1), \
                 plan["admit"].get("common", 0)
-            if donor >= 0 and common > 0:
-                # prefix reuse: clone the donor's rows, prefill only the
-                # suffix (the donor's prefix rows are frozen — decode
-                # writes land at positions >= its prompt length)
-                if donor != dst:
+            if self._paged:
+                # paged prefix reuse is ZERO-COPY: adopt the donor's
+                # whole-page prefix by reference (refcounted). The slot's
+                # own old pages are dropped first unless it IS the donor.
+                if donor == dst and common > 0:
+                    self._slot_prompts[dst] = None  # rows stay resident
+                else:
+                    self._release_slot_pages(dst)
+                    if donor >= 0 and common > 0:
+                        ps = self.ec.page_size
+                        shared = self._alloc.share(
+                            self._slot_pages[donor][:common // ps])
+                        self._slot_pages[dst] = shared
+                        for lp, pg in enumerate(shared):
+                            self._pt_host[dst, lp] = pg
+                        self._push_page_table()
+            else:
+                # the slot's old resident prompt is about to be overwritten
+                self._slot_prompts[dst] = None
+                if donor >= 0 and common > 0 and donor != dst:
+                    # dense prefix reuse: clone the donor's rows (the
+                    # donor's prefix rows are frozen — decode writes land
+                    # at positions >= its prompt length)
                     self._cache = generate.copy_slot_prefix(
                         self._cache, jnp.int32(donor), jnp.int32(dst))
+            if donor >= 0 and common > 0:
                 admitting.offset = common
                 with self._lock:
                     self.stats["prefix_hits"] += 1
@@ -700,6 +799,18 @@ class Engine:
             return admitting
 
         steps = plan["steps"]
+        if self._paged:
+            # provision every live slot's pages past this call's furthest
+            # possible write; a slot the pool cannot back finishes now
+            # (its generated text so far is delivered)
+            for i, s in enumerate(self._slots):
+                if s is None:
+                    continue
+                horizon = s.prompt_len + len(s.emitted_ids) + steps + 2
+                if not self._ensure_pages(i, horizon):
+                    self._finish(i, "length")
+            if not any(s is not None for s in self._slots):
+                return admitting
         pre_tokens = self._tokens  # holds just-admitted first tokens
         (out_tokens, out_active, self._tokens, self._positions,
          self._active, self._cache, self._sstate) = generate.decode_loop(

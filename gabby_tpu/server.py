@@ -88,6 +88,8 @@ def _build_engine(args, sync=None):
 
     econfig = EngineConfig(
         batch_slots=args.slots,
+        paged_pages=args.paged_pages,
+        page_size=args.page_size,
         max_seq=args.max_seq,
         steps_per_call=args.steps_per_call,
         steps_per_call_busy=args.steps_per_call_busy,
@@ -178,6 +180,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--slots", type=int, default=8,
                    help="continuous-batching decode slots")
     p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--paged-pages", type=int, default=0,
+                   help="KV cache page pool size (> 0 switches to the "
+                        "paged cache: capacity scales with tokens in use, "
+                        "prefix reuse shares pages zero-copy; 0 = dense)")
+    p.add_argument("--page-size", type=int, default=256,
+                   help="rows per KV page in paged mode")
     p.add_argument("--max-tokens", type=int, default=512,
                    help="default completion cap")
     p.add_argument("--steps-per-call", type=int, default=8)

@@ -1,0 +1,234 @@
+"""Paged KV cache: allocator, device ops, decode/prefill parity with the
+dense cache, engine end-to-end, capacity beyond slots x max_seq at fixed
+HBM, and zero-copy prefix page sharing (VERDICT r1 item 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gabby_tpu import config as cfglib
+from gabby_tpu.models import llama
+from gabby_tpu.runtime import generate
+from gabby_tpu.runtime.engine import Engine, EngineConfig
+from gabby_tpu.runtime.kv_cache import create_cache
+from gabby_tpu.runtime.paged import (PageAllocator, create_paged_cache,
+                                     gather_slot_rows)
+from gabby_tpu.tokenizer import Tokenizer
+
+PS = 16  # small page size: tests exercise multi-page paths cheaply
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = cfglib.tiny(max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    tok = Tokenizer.byte_fallback(cfg.vocab_size)
+    return cfg, params, tok
+
+
+def test_allocator_share_release_deterministic():
+    a = PageAllocator(8)
+    assert a.alloc(1) == [0]          # scratch convention
+    p1 = a.alloc(3)
+    assert p1 == [1, 2, 3]
+    shared = a.share(p1[:2])
+    a.release(p1)                     # refs: 1,1,0 -> page 3 free
+    assert a.available() == 5
+    a.release(shared)                 # all of 1,2 free now
+    assert a.available() == 7
+    b = PageAllocator(8)
+    b.alloc(1)
+    assert b.alloc(3) == [1, 2, 3]    # same sequence -> same pages
+
+
+def _paged_prefill(params, cfg, cache, slot, ids, page):
+    """Prefill `ids` into a paged cache slot with page-aligned chunks."""
+    n = len(ids)
+    offset = 0
+    logits = None
+    while offset < n:
+        bucket = page * max(1, -(-min(n - offset, 4 * page) // page))
+        bucket = min(bucket, 4 * page)
+        take = min(bucket, n - offset)
+        chunk = np.zeros((bucket,), np.int32)
+        chunk[:take] = ids[offset:offset + take]
+        logits, cache = generate.prefill_slot(
+            params, cfg, jnp.asarray(chunk), jnp.int32(take),
+            jnp.int32(slot), jnp.int32(offset), cache)
+        offset += take
+    return logits, cache
+
+
+def test_paged_matches_dense_decode(setup):
+    """Same prompt through the dense and the paged cache must produce
+    identical logits and identical greedy continuations."""
+    cfg, params, tok = setup
+    ids = list(range(2, 2 + 40))  # spans 3 pages of 16
+
+    dense = create_cache(cfg, 2, 128, dtype=jnp.float32)
+    dl, dense = llama.prefill_slot(
+        params, cfg, jnp.asarray(ids + [0] * (64 - len(ids)), jnp.int32),
+        jnp.int32(len(ids)), jnp.int32(1), jnp.int32(0), dense)
+
+    paged = create_paged_cache(cfg, 2, 128, num_pages=12,
+                               dtype=jnp.float32, page_size=PS)
+    # slot 1 pages: hand-build a page table (pages 3.. for realism)
+    pt = np.zeros((2, 128 // PS), np.int32)
+    pt[1, :4] = [3, 5, 4, 6]
+    import dataclasses
+    paged = dataclasses.replace(paged, page_table=jnp.asarray(pt))
+    pl_, paged = _paged_prefill(params, cfg, paged, 1, ids, PS)
+
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(pl_),
+                               rtol=2e-5, atol=2e-5)
+
+    # a few decode steps in lockstep
+    t_d = jnp.asarray([0, int(jnp.argmax(dl))], jnp.int32)
+    t_p = jnp.asarray([0, int(jnp.argmax(pl_))], jnp.int32)
+    pos = jnp.asarray([127, len(ids)], jnp.int32)
+    for step in range(18):  # crosses a page boundary (40 -> 58)
+        ld, dense = llama.decode_step(params, cfg, t_d, pos, dense)
+        lp, paged = llama.decode_step(params, cfg, t_p, pos, paged)
+        np.testing.assert_allclose(np.asarray(ld[1]), np.asarray(lp[1]),
+                                   rtol=2e-5, atol=2e-5)
+        t_d = jnp.argmax(ld, -1).astype(jnp.int32)
+        t_p = jnp.argmax(lp, -1).astype(jnp.int32)
+        assert int(t_d[1]) == int(t_p[1]), f"diverged at step {step}"
+        pos = pos + jnp.asarray([0, 1], jnp.int32)
+
+
+def test_gather_matches_written(setup):
+    cfg, params, _ = setup
+    paged = create_paged_cache(cfg, 1, 64, num_pages=6, dtype=jnp.float32,
+                               page_size=PS)
+    pt = np.zeros((1, 4), np.int32)
+    pt[0] = [2, 1, 4, 3]
+    import dataclasses
+    paged = dataclasses.replace(paged, page_table=jnp.asarray(pt))
+    ids = list(range(5, 37))
+    _, paged = _paged_prefill(params, cfg, paged, 0, ids, PS)
+    k, v, _, _ = gather_slot_rows(paged, jnp.int32(0), 32)
+    assert k.shape == (cfg.num_layers, cfg.num_kv_heads, 32, cfg.head_dim)
+    # gathered rows equal a dense prefill's cache rows
+    dense = create_cache(cfg, 1, 64, dtype=jnp.float32)
+    _, dense = llama.prefill_slot(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.int32(32),
+        jnp.int32(0), jnp.int32(0), dense)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(dense.k[:, 0, :, :32]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def _paged_engine(cfg, params, tok, pages, slots=4, max_seq=128):
+    return Engine(cfg, params, tok,
+                  EngineConfig(batch_slots=slots, max_seq=max_seq,
+                               steps_per_call=4, default_max_tokens=8,
+                               cache_dtype="float32", paged_pages=pages,
+                               page_size=PS))
+
+
+def test_paged_engine_end_to_end(setup):
+    from test_engine import MSGS, reference_generation
+    cfg, params, tok = setup
+    eng = _paged_engine(cfg, params, tok, pages=1 + 4 * (128 // PS))
+    try:
+        text, fin, _, n = eng.generate_sync(MSGS, max_tokens=6)
+        ref = tok.decode(reference_generation(cfg, params, tok, MSGS, 6))
+        assert text == ref
+    finally:
+        eng.shutdown()
+
+
+def test_paged_capacity_exceeds_dense_at_fixed_hbm(setup):
+    """4 slots x max_seq 128 would need 32 pages dense-equivalent; a pool
+    of 9 (1 scratch + 8) serves 4 CONCURRENT short requests — more live
+    slots than the same HBM could hold densely (128*2=2 slots' worth)."""
+    import threading
+    from test_engine import reference_generation
+    cfg, params, tok = setup
+    eng = _paged_engine(cfg, params, tok, pages=9)
+    try:
+        prompts = [[{"role": "user", "content": f"q{i}"}] for i in range(4)]
+        results = [None] * 4
+        ts = [threading.Thread(
+            target=lambda i=i: results.__setitem__(
+                i, eng.generate_sync(prompts[i], max_tokens=5)[0]))
+            for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        for i in range(4):
+            ref = tok.decode(reference_generation(cfg, params, tok,
+                                                  prompts[i], 5))
+            assert results[i] == ref, f"request {i} diverged under paging"
+        # peak pool usage stayed within the small pool
+        assert eng._alloc.available() >= 0
+        assert eng.stats_snapshot()["active_slots"] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_paged_prefix_sharing_is_zero_copy(setup):
+    """Second request with a shared >= 1-page prefix must ADOPT the donor's
+    pages (refcount > 1 during its lifetime) and match the reference."""
+    import threading
+    from test_engine import reference_generation_long
+    cfg, params, tok = setup
+    eng = _paged_engine(cfg, params, tok, pages=1 + 24, slots=2,
+                        max_seq=256)
+    try:
+        shared = " ".join(f"tok{i}" for i in range(30))  # > 1 page of 16
+        m1 = [{"role": "system", "content": shared},
+              {"role": "user", "content": "alpha"}]
+        m2 = [{"role": "system", "content": shared},
+              {"role": "user", "content": "beta and different"}]
+        # keep request 1 decoding in its slot so request 2 lands in the
+        # OTHER slot and must adopt the donor's pages by reference
+        res = {}
+
+        def run1():
+            res["out1"] = eng.generate_sync(m1, max_tokens=24)[0]
+
+        t1 = threading.Thread(target=run1)
+        t1.start()
+        import time as _time
+        for _ in range(600):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        out2 = eng.generate_sync(m2, max_tokens=4)[0]
+        peak_refs = max(eng._alloc.refs)
+        t1.join(timeout=180)
+        out1 = res["out1"]
+        assert eng.stats["prefix_hits"] >= 1, eng.stats
+        # shared pages are referenced by both slots (refcount 2 somewhere)
+        assert peak_refs >= 2, eng._alloc.refs
+        def ref(m, n):
+            return tok.decode(reference_generation_long(
+                cfg, params, tok, m, n))
+
+        assert out1 == ref(m1, 24)
+        assert out2 == ref(m2, 4), "prefix-shared request diverged"
+    finally:
+        eng.shutdown()
+
+
+def test_paged_pool_exhaustion_fails_gracefully(setup):
+    """A prompt the pool cannot back gets an error finish, not a hang."""
+    cfg, params, tok = setup
+    eng = _paged_engine(cfg, params, tok, pages=3, slots=2)  # 2 usable
+    try:
+        req = eng.submit_ids(list(range(2, 2 + 60)), max_tokens=4)  # 4 pages
+        fin = None
+        while fin is None:
+            _, fin = req.out.get(timeout=120)
+        assert fin.startswith("error"), fin
+        # engine still serves requests that fit
+        ok = eng.submit_ids(list(range(2, 18)), max_tokens=2)
+        fin = None
+        while fin is None:
+            _, fin = ok.out.get(timeout=120)
+        assert fin in ("stop", "length"), fin
+    finally:
+        eng.shutdown()
