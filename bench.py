@@ -109,16 +109,22 @@ def run_serving(args, spec, cfg, log) -> int:
     msgs = [{"role": "user", "content": prompt_text}]
     n_requests = args.requests or 3 * args.batch
 
-    # warm ALL compile paths end-to-end: a lone request (single-slot
-    # prefill + decode) and a same-schedule burst (batched prefill + admit)
+    # warm-up = a DRESS REHEARSAL of the measured workload (same prompts,
+    # same gen length, 2x oversubscription): the serving loop's compiled-
+    # program set depends on runtime shapes that only appear under real
+    # churn — burst vs single vs prefix-donor admissions, and the
+    # decode-burst step ladder at wave tails. A token-count-4 warm-up
+    # left those to compile INSIDE the timed run (measured as tens of
+    # seconds of fake TTFT on the tunnel-attached chip).
     import threading as _t
     engine.generate_sync(msgs, max_tokens=4)
-    warm = [_t.Thread(target=lambda: engine.generate_sync(msgs, max_tokens=4))
-            for _ in range(3)]
+    warm = [_t.Thread(target=lambda: engine.generate_sync(
+        msgs, max_tokens=args.gen_tokens)) for _ in range(2 * args.batch)]
     for t in warm:
         t.start()
     for t in warm:
         t.join()
+    engine.reset_stats()  # warm-up TTFTs (compile-laden) must not count
     log(f"serving: {n_requests} requests x {args.gen_tokens} tokens, "
         f"{args.batch} slots")
 

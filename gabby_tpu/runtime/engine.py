@@ -311,6 +311,14 @@ class Engine:
                 return ("".join(parts), fin, len(req.prompt_ids),
                         req.completion_tokens)
 
+    def reset_stats(self) -> None:
+        """Zero the serving counters/TTFTs (e.g. after a warm-up phase, so
+        p50 TTFT reflects only the measured workload)."""
+        with self._lock:
+            for k in self.stats:
+                self.stats[k] = 0
+            self._ttfts.clear()
+
     def stats_snapshot(self) -> dict:
         """Engine-side serving metrics (TTFT is admit -> first token).
         Called from HTTP worker threads; `_lock` guards stats/_ttfts against
