@@ -506,6 +506,121 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     return logits, new_cache
 
 
+def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
+                positions0: jnp.ndarray, cache: KVCache
+                ) -> tuple[jnp.ndarray, KVCache]:
+    """Speculative-decoding verify pass: score T candidate tokens per slot
+    in ONE forward (the whole point: the weights stream once for T
+    positions instead of once per token).
+
+    tokens_bt: [B, T] — tokens_bt[:, 0] is each slot's CURRENT token (at
+    cache position positions0[b]); columns 1.. are draft tokens for the
+    following positions. Returns (f32 logits [B, T, V], cache with ALL T
+    rows written at positions0[b]..positions0[b]+T-1).
+
+    No rollback is ever needed: rows written for rejected drafts sit at
+    positions the slot has not reached — by the engine's positions
+    invariant they are overwritten (by the next verify at that position)
+    before anything can read them. Rejection = simply not advancing.
+
+    Queries attend cache rows j < positions0[b] plus the T-token block
+    itself causally at full precision (the batched, per-slot-offset
+    generalization of the fresh-row decode contract).
+    """
+    b, t = tokens_bt.shape
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    positions = positions0[:, None] + jnp.arange(t, dtype=jnp.int32)  # [B,T]
+    h = jnp.take(params["embed"], tokens_bt, axis=0)  # [B, T, D]
+    quantized = cache.quantized
+    blocks = params["blocks"]
+    s_max = cache.max_seq
+    # a [T]-row write at the slot's position: clamp so the block can never
+    # shift-corrupt earlier rows (parked slots sit at max_seq-1; the
+    # clamped tail rows are garbage that is written-before-read like any
+    # other not-yet-reached position)
+    write_pos = jnp.minimum(positions0, s_max - t)  # [B]
+
+    def body(carry, norms):
+        h, layer = carry
+        attn_norm, mlp_norm = norms
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, positions, inv_freq, layer=layer)
+
+        # dense attention: [B, S] cache rows masked j < positions0, plus
+        # the block itself with a causal mask
+        kc = jax.lax.dynamic_index_in_dim(cache.k, layer, 0, False)
+        vc = jax.lax.dynamic_index_in_dim(cache.v, layer, 0, False)
+        if quantized:
+            ksc = jax.lax.dynamic_index_in_dim(cache.k_scale, layer, 0, False)
+            vsc = jax.lax.dynamic_index_in_dim(cache.v_scale, layer, 0, False)
+            kk = dequantize_kv(kc, ksc, q.dtype)
+            vv = dequantize_kv(vc, vsc, q.dtype)
+        else:
+            kk, vv = kc.astype(q.dtype), vc.astype(q.dtype)
+        kk = jnp.swapaxes(kk, 1, 2)  # [B, S, Nk, H]
+        vv = jnp.swapaxes(vv, 1, 2)
+        kk = jnp.concatenate([kk, k.astype(q.dtype)], axis=1)  # [B, S+T,...]
+        vv = jnp.concatenate([vv, v.astype(q.dtype)], axis=1)
+        s = s_max
+        cache_mask = (jnp.arange(s)[None, None, :]
+                      < positions0[:, None, None])          # [B, 1, S]
+        cache_mask = jnp.broadcast_to(cache_mask, (b, t, s))
+        self_mask = (jnp.arange(t)[None, :, None]
+                     >= jnp.arange(t)[None, None, :])       # [1, T, T]
+        self_mask = jnp.broadcast_to(self_mask, (b, t, t))
+        mask = jnp.concatenate([cache_mask, self_mask], axis=2)
+        from gabby_tpu.ops.attention import _gqa_core, _split_groups
+        attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv, mask,
+                         cfg.head_dim ** -0.5).astype(q.dtype)
+
+        kT = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, H]
+        vT = jnp.swapaxes(v, 1, 2)
+        if quantized:
+            k_codes, k_s = quantize_kv(kT)
+            v_codes, v_s = quantize_kv(vT)
+            ys = (k_codes, v_codes, k_s, v_s)
+        else:
+            ys = (kT.astype(cache.k.dtype), vT.astype(cache.v.dtype))
+        h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
+        return (h, layer + 1), ys
+
+    (h, _), ys = jax.lax.scan(
+        body, (h, jnp.int32(0)),
+        (blocks["attn_norm"], blocks["mlp_norm"]))
+    logits = _unembed(params, cfg, h)  # [B, T, V]
+
+    # one contiguous [L, 1, Nk, T, H] write per slot (unrolled; B static)
+    zero = jnp.int32(0)
+
+    def write_all(arr, rows, with_h: bool):
+        for i in range(b):
+            w = write_pos[i]
+            if with_h:
+                upd = rows[:, i][:, None]          # [L, 1, Nk, T, H]
+                arr = jax.lax.dynamic_update_slice(
+                    arr, upd, (zero, jnp.int32(i), zero, w, zero))
+            else:
+                upd = rows[:, i][:, None]          # [L, 1, Nk, T]
+                arr = jax.lax.dynamic_update_slice(
+                    arr, upd, (zero, jnp.int32(i), zero, w))
+        return arr
+
+    if quantized:
+        new_cache = KVCache(
+            k=write_all(cache.k, ys[0], True),
+            v=write_all(cache.v, ys[1], True),
+            k_scale=write_all(cache.k_scale, ys[2], False),
+            v_scale=write_all(cache.v_scale, ys[3], False))
+    else:
+        new_cache = KVCache(k=write_all(cache.k, ys[0], True),
+                            v=write_all(cache.v, ys[1], True),
+                            k_scale=None, v_scale=None)
+    return logits, new_cache
+
+
 def _prefill_slot_paged(params: Params, cfg: ModelConfig,
                         tokens: jnp.ndarray, length: jnp.ndarray,
                         slot: jnp.ndarray, offset: jnp.ndarray, cache):

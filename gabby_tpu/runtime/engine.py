@@ -78,6 +78,12 @@ class EngineConfig:
     # page sharing. 0 = dense per-slot cache.
     paged_pages: int = 0
     page_size: int = 256
+    # Speculative decoding (generate.spec_decode_loop): > 0 verifies up to
+    # this many n-gram prompt-lookup drafts per forward pass for GREEDY
+    # slots — bit-identical output, several tokens per weight stream when
+    # text is self-similar. Auto-disables if measured acceptance is too
+    # low to pay for the wider verify. Dense cache only. 0 = off.
+    speculate_tokens: int = 0
 
 
 @dataclasses.dataclass
@@ -194,6 +200,18 @@ class Engine:
         stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
         self._eos_ids = jnp.asarray(sorted(stop), jnp.int32)
 
+        if econfig.speculate_tokens > 0 and self._paged:
+            raise NotImplementedError("speculative decoding on the paged "
+                                      "cache is not implemented yet")
+        if not 0 <= econfig.speculate_tokens <= 15:
+            # the verify block is draft+1 rows; <= 16 keeps its clamped
+            # tail inside the last bucket-grid margin (see verify_step)
+            raise ValueError("speculate_tokens must be in [0, 15]")
+        self._spec_enabled = econfig.speculate_tokens > 0
+        # per-slot token history: the n-gram speculation corpus (prompt
+        # placed at admission, generated tokens appended on device)
+        self._history = jnp.zeros((b, econfig.max_seq), jnp.int32)
+
         # on-device slot state. Free slots' positions are PARKED at
         # max_seq-1: decode_step writes every slot's fresh k/v row at
         # positions[i] with no active gating, and decode interleaves with
@@ -236,7 +254,8 @@ class Engine:
         self.stats = {"requests": 0, "completion_tokens": 0,
                       "prompt_tokens": 0, "decode_steps": 0,
                       "burst_admissions": 0, "prefix_hits": 0,
-                      "prefix_tokens_reused": 0}
+                      "prefix_tokens_reused": 0, "spec_macro_steps": 0,
+                      "spec_tokens": 0}
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
         self._admit_key = jax.random.PRNGKey(0x6ABB)
 
@@ -528,14 +547,20 @@ class Engine:
         temp = np.full((b,), ec.default_temperature, np.float32)
         topk = np.full((b,), ec.default_top_k, np.int32)
         topp = np.full((b,), ec.default_top_p, np.float32)
-        for slot_ix, r in zip(slots, group):
+        for slot_ix, r, p in zip(slots, group, prompts):
             temp[slot_ix], topk[slot_ix], topp[slot_ix] = (
                 r.temperature, r.top_k, r.top_p)
-        (self._tokens, self._positions, self._active,
-         self._sstate) = generate.admit_slots(
+            padded = np.zeros((ec.max_seq,), np.int32)
+            padded[:len(p)] = p
+            self._history = generate.write_history(
+                self._history, jnp.int32(slot_ix), jnp.asarray(padded),
+                jnp.int32(len(p)))
+        (self._tokens, self._positions, self._active, self._sstate,
+         self._history) = generate.admit_slots(
             logits, jnp.asarray(lengths), jnp.asarray(temp),
             jnp.asarray(topk), jnp.asarray(topp), sub, lane_mask,
-            self._tokens, self._positions, self._active, self._sstate)
+            self._tokens, self._positions, self._active, self._sstate,
+            self._history)
 
         now = time.monotonic()
         with self._lock:
@@ -577,12 +602,18 @@ class Engine:
         """Activate the fully-prefilled slot ON DEVICE (first token sampled
         there too; it reaches the host in the next packed fetch)."""
         slot_ix, req, n = adm.slot_ix, adm.req, len(adm.ids)
+        padded = np.zeros((self.ec.max_seq,), np.int32)
+        padded[:n] = adm.ids
+        self._history = generate.write_history(
+            self._history, jnp.int32(slot_ix), jnp.asarray(padded),
+            jnp.int32(n))
         self._admit_key, sub = jax.random.split(self._admit_key)
-        (self._tokens, self._positions, self._active,
-         self._sstate) = generate.admit_slot(
+        (self._tokens, self._positions, self._active, self._sstate,
+         self._history) = generate.admit_slot(
             adm.last_logits, jnp.int32(slot_ix), jnp.int32(n),
             req.temperature, req.top_k, req.top_p, sub,
-            self._tokens, self._positions, self._active, self._sstate)
+            self._tokens, self._positions, self._active, self._sstate,
+            self._history)
 
         slot = _Slot(request=req, prompt_len=n, first_pending=True)
         self._slots[slot_ix] = slot
@@ -820,36 +851,74 @@ class Engine:
             if not any(s is not None for s in self._slots):
                 return admitting
         pre_tokens = self._tokens  # holds just-admitted first tokens
-        (out_tokens, out_active, self._tokens, self._positions,
-         self._active, self._cache, self._sstate) = generate.decode_loop(
-            self.params, self.cfg, self._tokens, self._positions,
-            self._active, self._cache, self._sstate, steps,
-            eos_ids=self._eos_ids)
-        with self._lock:
-            self.stats["decode_steps"] += steps
-
-        # ONE host transfer for everything this iteration needs (arrays
-        # are replicated across controllers, so in multi-host mode every
-        # process fetches identical values and decides identically)
         b = len(self._slots)
-        kb = steps * b
-        packed = np.asarray(jax.device_get(generate.pack_host_view(
-            out_tokens, out_active, self._active, pre_tokens)))
-        toks = packed[:kb].reshape(steps, -1)               # [K, B]
-        emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
-        active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
-        first_toks = packed[2 * kb + b:]                     # [B]
+        if self._spec_enabled:
+            dl = self.ec.speculate_tokens
+            (out_em, out_n, self._tokens, self._positions, self._active,
+             self._cache, self._sstate,
+             self._history) = generate.spec_decode_loop(
+                self.params, self.cfg, self._tokens, self._positions,
+                self._active, self._cache, self._sstate, self._history,
+                steps, dl, self._eos_ids)
+            packed = np.asarray(jax.device_get(jnp.concatenate([
+                out_em.reshape(-1).astype(jnp.int32),
+                out_n.reshape(-1).astype(jnp.int32),
+                self._active.astype(jnp.int32),
+                pre_tokens.astype(jnp.int32)])))
+            kbt = steps * b * (dl + 1)
+            em = packed[:kbt].reshape(steps, b, dl + 1)
+            counts = packed[kbt:kbt + steps * b].reshape(steps, b)
+            active_host = packed[kbt + steps * b:kbt + steps * b + b] != 0
+            first_toks = packed[kbt + steps * b + b:]
+            with self._lock:
+                self.stats["decode_steps"] += steps
+                self.stats["spec_macro_steps"] += int(
+                    np.sum(counts > 0))
+                self.stats["spec_tokens"] += int(np.sum(counts))
+            for slot_ix, slot in enumerate(self._slots):
+                if slot is not None and slot.first_pending:
+                    slot.first_pending = False
+                    self._emit_token(slot_ix, int(first_toks[slot_ix]))
+            for step in range(steps):
+                for slot_ix in range(b):
+                    if self._slots[slot_ix] is None:
+                        continue
+                    for t in range(int(counts[step, slot_ix])):
+                        if self._slots[slot_ix] is None:
+                            break
+                        self._emit_token(slot_ix, int(em[step, slot_ix, t]))
+            self._maybe_disable_spec()
+        else:
+            (out_tokens, out_active, self._tokens, self._positions,
+             self._active, self._cache, self._sstate) = generate.decode_loop(
+                self.params, self.cfg, self._tokens, self._positions,
+                self._active, self._cache, self._sstate, steps,
+                eos_ids=self._eos_ids)
+            with self._lock:
+                self.stats["decode_steps"] += steps
 
-        # deliver on-device-sampled first tokens of fresh admissions
-        # BEFORE this call's decode outputs (generation order)
-        for slot_ix, slot in enumerate(self._slots):
-            if slot is not None and slot.first_pending:
-                slot.first_pending = False
-                self._emit_token(slot_ix, int(first_toks[slot_ix]))
-        for step in range(toks.shape[0]):
-            for slot_ix in range(toks.shape[1]):
-                if emitted[step, slot_ix] and self._slots[slot_ix]:
-                    self._emit_token(slot_ix, int(toks[step, slot_ix]))
+            # ONE host transfer for everything this iteration needs
+            # (arrays are replicated across controllers, so in multi-host
+            # mode every process fetches identical values and decides
+            # identically)
+            kb = steps * b
+            packed = np.asarray(jax.device_get(generate.pack_host_view(
+                out_tokens, out_active, self._active, pre_tokens)))
+            toks = packed[:kb].reshape(steps, -1)               # [K, B]
+            emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
+            active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
+            first_toks = packed[2 * kb + b:]                     # [B]
+
+            # deliver on-device-sampled first tokens of fresh admissions
+            # BEFORE this call's decode outputs (generation order)
+            for slot_ix, slot in enumerate(self._slots):
+                if slot is not None and slot.first_pending:
+                    slot.first_pending = False
+                    self._emit_token(slot_ix, int(first_toks[slot_ix]))
+            for step in range(toks.shape[0]):
+                for slot_ix in range(toks.shape[1]):
+                    if emitted[step, slot_ix] and self._slots[slot_ix]:
+                        self._emit_token(slot_ix, int(toks[step, slot_ix]))
 
         # a slot the DEVICE deactivated without an EOS hit its cache
         # capacity (decode_loop's new_pos < max_seq guard): finish it
@@ -858,6 +927,22 @@ class Engine:
             if slot is not None and not active_host[slot_ix]:
                 self._finish(slot_ix, "length")
         return admitting
+
+    def _maybe_disable_spec(self) -> None:
+        """Speculation must PAY for its wider verify pass: if the measured
+        tokens-per-macro-step stays near 1 after a fair sample, fall back
+        to the plain decode loop (sticky for this engine's lifetime —
+        deterministic across multi-host controllers since it derives from
+        replicated counters)."""
+        with self._lock:
+            ms = self.stats["spec_macro_steps"]
+            tk = self.stats["spec_tokens"]
+        if ms >= 128 and tk < 1.15 * ms:
+            self._spec_enabled = False
+            import sys
+            print(f"[engine] speculation disabled: acceptance "
+                  f"{tk / max(ms, 1):.2f} tokens/verify over {ms} steps",
+                  file=sys.stderr, flush=True)
 
     def _loop(self) -> None:
         admitting: Optional[_Admission] = None

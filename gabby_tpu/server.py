@@ -95,6 +95,7 @@ def _build_engine(args, sync=None):
         steps_per_call_busy=args.steps_per_call_busy,
         default_max_tokens=args.max_tokens,
         kv_quantized=args.kv_quant,
+        speculate_tokens=args.speculate,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
     )
@@ -186,6 +187,11 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "prefix reuse shares pages zero-copy; 0 = dense)")
     p.add_argument("--page-size", type=int, default=256,
                    help="rows per KV page in paged mode")
+    p.add_argument("--speculate", type=int, default=0,
+                   help="speculative decoding: verify up to N n-gram "
+                        "prompt-lookup drafts per forward for greedy "
+                        "requests (bit-identical output; auto-disables "
+                        "when acceptance is too low)")
     p.add_argument("--max-tokens", type=int, default=512,
                    help="default completion cap")
     p.add_argument("--steps-per-call", type=int, default=8)

@@ -1,0 +1,179 @@
+"""Speculative decoding (n-gram prompt-lookup + one-forward verify).
+
+The contract is LOSSLESSNESS: a greedy stream through the speculative
+engine must be bit-identical to the plain engine, whatever the acceptance
+rate — speculation may only change how many forward passes it took."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gabby_tpu import config as cfglib
+from gabby_tpu.models import llama
+from gabby_tpu.runtime import generate
+from gabby_tpu.runtime.engine import Engine, EngineConfig
+from gabby_tpu.runtime.kv_cache import create_cache
+from gabby_tpu.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = cfglib.tiny(max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    tok = Tokenizer.byte_fallback(cfg.vocab_size)
+    return cfg, params, tok
+
+
+def test_verify_step_matches_sequential_decode(setup):
+    """verify_step on [current, d1, d2] must produce the same logits a
+    token-by-token decode would when the drafts ARE the greedy tokens."""
+    cfg, params, _ = setup
+    ids = list(range(2, 22))
+    n = len(ids)
+
+    cache_a = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    logits, cache_a = llama.prefill_slot(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.int32(n),
+        jnp.int32(0), jnp.int32(0), cache_a)
+    t0 = int(jnp.argmax(logits))
+
+    # sequential ground truth: 3 decode steps
+    cache_b = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    _, cache_b = llama.prefill_slot(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.int32(n),
+        jnp.int32(0), jnp.int32(0), cache_b)
+    seq_logits = []
+    t = jnp.asarray([t0], jnp.int32)
+    pos = jnp.asarray([n], jnp.int32)
+    for _ in range(3):
+        lg, cache_b = llama.decode_step(params, cfg, t, pos, cache_b)
+        seq_logits.append(np.asarray(lg[0]))
+        t = jnp.argmax(lg, -1).astype(jnp.int32)
+        pos = pos + 1
+    drafts = [int(np.argmax(seq_logits[0])), int(np.argmax(seq_logits[1]))]
+
+    # one verify pass scoring [t0, draft1, draft2]
+    vb = jnp.asarray([[t0] + drafts], jnp.int32)
+    vlogits, cache_a = llama.verify_step(params, cfg, vb,
+                                         jnp.asarray([n], jnp.int32),
+                                         cache_a)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(vlogits[0, i]), seq_logits[i],
+                                   rtol=2e-5, atol=2e-5)
+    # and the cache rows written by verify equal the sequential ones
+    np.testing.assert_allclose(np.asarray(cache_a.k[:, 0, :, :n + 3]),
+                               np.asarray(cache_b.k[:, 0, :, :n + 3]),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("prompt", [
+    "ab ab ab ab ab ab ab ab ab ab",      # self-similar: drafts accept
+    "the quick brown fox jumps over it",  # little self-similarity
+])
+def test_spec_engine_is_bit_identical(setup, prompt):
+    cfg, params, tok = setup
+    msgs = [{"role": "user", "content": prompt}]
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                                default_max_tokens=24,
+                                cache_dtype="float32"))
+    try:
+        want = plain.generate_sync(msgs, max_tokens=24)
+    finally:
+        plain.shutdown()
+
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                               default_max_tokens=24, cache_dtype="float32",
+                               speculate_tokens=4))
+    try:
+        got = spec.generate_sync(msgs, max_tokens=24)
+        stats = dict(spec.stats)
+    finally:
+        spec.shutdown()
+    assert got[0] == want[0], (
+        f"speculative output diverged\n got: {got[0]!r}\nwant: {want[0]!r}")
+    assert got[1] == want[1] and got[3] == want[3]
+    assert stats["spec_macro_steps"] >= 1
+
+
+def test_spec_engine_concurrent_mixed_sampling(setup):
+    """Greedy + sampled requests share the speculative loop; each greedy
+    stream must still match its lone-request reference."""
+    import threading
+    from test_engine import reference_generation
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=3, max_seq=128, steps_per_call=2,
+                              default_max_tokens=8, cache_dtype="float32",
+                              speculate_tokens=3))
+    try:
+        greedy_msgs = [[{"role": "user", "content": "xy xy xy xy xy"}],
+                       [{"role": "user", "content": "something else"}]]
+        results = {}
+
+        def g(i):
+            results[i] = eng.generate_sync(greedy_msgs[i], max_tokens=8)[0]
+
+        def s():
+            results["sampled"] = eng.generate_sync(
+                [{"role": "user", "content": "hot"}], max_tokens=6,
+                temperature=0.9, top_k=20)[0]
+
+        ts = [threading.Thread(target=g, args=(0,)),
+              threading.Thread(target=g, args=(1,)),
+              threading.Thread(target=s)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        for i in range(2):
+            ref = tok.decode(reference_generation(cfg, params, tok,
+                                                  greedy_msgs[i], 8))
+            assert results[i] == ref, f"greedy request {i} diverged"
+        assert isinstance(results["sampled"], str)
+    finally:
+        eng.shutdown()
+
+
+def test_spec_eos_mid_draft(setup):
+    """An EOS inside an accepted draft run must stop the stream exactly at
+    the EOS — tokens after it are never emitted."""
+    cfg, params, tok = setup
+    # discover the greedy stream, then make its 3rd token an EOS via a
+    # custom stop set
+    probe = Engine(cfg, params, tok,
+                   EngineConfig(batch_slots=1, max_seq=128, steps_per_call=4,
+                                default_max_tokens=10, cache_dtype="float32"))
+    msgs = [{"role": "user", "content": "qq qq qq qq qq"}]
+    try:
+        req = probe.submit(msgs, max_tokens=10)
+        idsq = []
+        while True:
+            d, f = req.out.get(timeout=120)
+            if f is not None:
+                break
+        # recover emitted ids via the slot bookkeeping is gone; redo via
+        # reference
+    finally:
+        probe.shutdown()
+    from test_engine import reference_generation
+    stream = reference_generation(cfg, params, tok, msgs, 10)
+    if len(stream) < 4:
+        pytest.skip("stream too short")
+    eos = stream[3]
+    kw = dict(batch_slots=1, max_seq=128, steps_per_call=4,
+              default_max_tokens=10, cache_dtype="float32")
+    a = Engine(cfg, params, tok, EngineConfig(**kw), stop_ids={eos})
+    try:
+        want = a.generate_sync(msgs, max_tokens=10)
+    finally:
+        a.shutdown()
+    b = Engine(cfg, params, tok, EngineConfig(**kw, speculate_tokens=5),
+               stop_ids={eos})
+    try:
+        got = b.generate_sync(msgs, max_tokens=10)
+    finally:
+        b.shutdown()
+    assert got[0] == want[0] and got[1] == want[1]
