@@ -103,7 +103,8 @@ def run_serving(args, spec, cfg, log) -> int:
         batch_slots=args.batch, max_seq=args.max_seq,
         steps_per_call=args.steps, steps_per_call_busy=args.busy_steps,
         default_max_tokens=args.gen_tokens,
-        kv_quantized=spec["kv_quant"]))
+        kv_quantized=spec["kv_quant"],
+        speculate_tokens=args.speculate))
 
     prompt_text = ("benchmark " * 200)[:args.prefill_len]
     msgs = [{"role": "user", "content": prompt_text}]
@@ -195,6 +196,11 @@ def main() -> int:
     p.add_argument("--busy-steps", type=int, default=8,
                    help="serving mode: decode steps per call while requests "
                         "are queued/prefilling")
+    p.add_argument("--speculate", type=int, default=0,
+                   help="serving mode: n-gram speculative drafts per "
+                        "forward (NOTE: random weights + a repetitive "
+                        "bench prompt make acceptance unrealistically "
+                        "high; treat results as a mechanism check)")
     args = p.parse_args()
 
     spec = CONFIGS[args.config]
