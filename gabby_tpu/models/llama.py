@@ -540,41 +540,57 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
     # other not-yet-reached position)
     write_pos = jnp.minimum(positions0, s_max - t)  # [B]
 
+    from gabby_tpu.ops import pallas as pk
+    use_kernel = pk.kernels_enabled() and cfg.num_heads % cfg.num_kv_heads == 0
+
     def body(carry, norms):
         h, layer = carry
         attn_norm, mlp_norm = norms
         xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, blocks, xn, positions, inv_freq, layer=layer)
-
-        # dense attention: [B, S] cache rows masked j < positions0, plus
-        # the block itself with a causal mask
-        kc = jax.lax.dynamic_index_in_dim(cache.k, layer, 0, False)
-        vc = jax.lax.dynamic_index_in_dim(cache.v, layer, 0, False)
-        if quantized:
-            ksc = jax.lax.dynamic_index_in_dim(cache.k_scale, layer, 0, False)
-            vsc = jax.lax.dynamic_index_in_dim(cache.v_scale, layer, 0, False)
-            kk = dequantize_kv(kc, ksc, q.dtype)
-            vv = dequantize_kv(vc, vsc, q.dtype)
-        else:
-            kk, vv = kc.astype(q.dtype), vc.astype(q.dtype)
-        kk = jnp.swapaxes(kk, 1, 2)  # [B, S, Nk, H]
-        vv = jnp.swapaxes(vv, 1, 2)
-        kk = jnp.concatenate([kk, k.astype(q.dtype)], axis=1)  # [B, S+T,...]
-        vv = jnp.concatenate([vv, v.astype(q.dtype)], axis=1)
-        s = s_max
-        cache_mask = (jnp.arange(s)[None, None, :]
-                      < positions0[:, None, None])          # [B, 1, S]
-        cache_mask = jnp.broadcast_to(cache_mask, (b, t, s))
-        self_mask = (jnp.arange(t)[None, :, None]
-                     >= jnp.arange(t)[None, None, :])       # [1, T, T]
-        self_mask = jnp.broadcast_to(self_mask, (b, t, t))
-        mask = jnp.concatenate([cache_mask, self_mask], axis=2)
-        from gabby_tpu.ops.attention import _gqa_core, _split_groups
-        attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv, mask,
-                         cfg.head_dim ** -0.5).astype(q.dtype)
-
         kT = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, H]
         vT = jnp.swapaxes(v, 1, 2)
+
+        if use_kernel:
+            # flash verify: one kernel pass over the stacked cache (layer
+            # via scalar prefetch — no slice copy, no dense concat) serves
+            # all T candidate queries
+            from gabby_tpu.ops.pallas import attention as pattn
+            attn = pattn.verify_attention(
+                q, cache.k, cache.v, positions0,
+                cache.k_scale if quantized else None,
+                cache.v_scale if quantized else None,
+                layer=layer, fresh_k=kT.astype(q.dtype),
+                fresh_v=vT.astype(q.dtype))
+        else:
+            # reference path: [B, S] cache rows masked j < positions0,
+            # plus the block itself with a causal mask
+            kc = jax.lax.dynamic_index_in_dim(cache.k, layer, 0, False)
+            vc = jax.lax.dynamic_index_in_dim(cache.v, layer, 0, False)
+            if quantized:
+                ksc = jax.lax.dynamic_index_in_dim(cache.k_scale, layer,
+                                                   0, False)
+                vsc = jax.lax.dynamic_index_in_dim(cache.v_scale, layer,
+                                                   0, False)
+                kk = dequantize_kv(kc, ksc, q.dtype)
+                vv = dequantize_kv(vc, vsc, q.dtype)
+            else:
+                kk, vv = kc.astype(q.dtype), vc.astype(q.dtype)
+            kk = jnp.swapaxes(kk, 1, 2)  # [B, S, Nk, H]
+            vv = jnp.swapaxes(vv, 1, 2)
+            kk = jnp.concatenate([kk, k.astype(q.dtype)], axis=1)
+            vv = jnp.concatenate([vv, v.astype(q.dtype)], axis=1)
+            s = s_max
+            cache_mask = (jnp.arange(s)[None, None, :]
+                          < positions0[:, None, None])      # [B, 1, S]
+            cache_mask = jnp.broadcast_to(cache_mask, (b, t, s))
+            self_mask = (jnp.arange(t)[None, :, None]
+                         >= jnp.arange(t)[None, None, :])   # [1, T, T]
+            self_mask = jnp.broadcast_to(self_mask, (b, t, t))
+            mask = jnp.concatenate([cache_mask, self_mask], axis=2)
+            from gabby_tpu.ops.attention import _gqa_core, _split_groups
+            attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv,
+                             mask, cfg.head_dim ** -0.5).astype(q.dtype)
         if quantized:
             k_codes, k_s = quantize_kv(kT)
             v_codes, v_s = quantize_kv(vT)

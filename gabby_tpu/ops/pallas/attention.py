@@ -46,18 +46,22 @@ CHUNK = 1024  # cache rows per grid step per head
 
 
 def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                fk_ref, fv_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale):
+                fk_ref, fv_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
+                tq: int = 1):
     """One (slot, chunk) grid step over all kv heads.
 
-    q: [1, Nk, G, H]; k/v: [1, 1, Nk, C, H]; ks/vs: [1, 1, Nk, 1, C] or
-    None (scales carry S on the LANE axis — an [., C, 1] block would be
-    lane-padded 1 -> 128, a 128x VMEM blowup); fk/fv: [1, Nk, H] — the
-    CURRENT token's unquantized k/v, attended as a virtual extra row so the
-    kernel only ever reads the PRE-update cache (mask j < pos; this is what
-    lets the cache scatter happen once, in place, outside the layer scan);
-    or None for the plain j <= pos contract. scratch: m,l [Nk*G, 1] f32,
-    acc [Nk*G, H] f32."""
-    g = q_ref.shape[2]
+    q: [1, Nk, TQ*G, H] — TQ query positions x G group heads per kv head
+    (TQ=1 is plain decode; TQ>1 is the speculative VERIFY block, whose
+    queries all share the same cache bound); k/v: [1, 1, Nk, C, H];
+    ks/vs: [1, 1, Nk, 1, C] or None (scales carry S on the LANE axis — an
+    [., C, 1] block would be lane-padded 1 -> 128, a 128x VMEM blowup);
+    fk/fv: [1, Nk, TQ, H] — the block's own unquantized k/v, attended as
+    virtual extra rows with a causal mask among themselves, so the kernel
+    only ever reads the PRE-update cache (mask j < pos; this is what lets
+    the cache scatter happen once, in place, outside the layer scan); or
+    None for the plain j <= pos contract (TQ must be 1 then). scratch:
+    m,l [Nk*TQ*G, 1] f32, acc [Nk*TQ*G, H] f32."""
+    g = q_ref.shape[2]  # = TQ * G rows per kv head
 
     @pl.when(c == 0)
     def _():
@@ -107,32 +111,48 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
         if fk_ref is not None:
-            # fold the current token's k/v (full precision) as one extra row
+            # fold the block's own k/v (full precision) as TQ extra rows
+            # with a causal mask among themselves (TQ=1: one always-
+            # attended row, the plain decode fresh-row fold)
+            g0 = g // tq
             for h in range(nk):
                 rows = slice(h * g, (h + 1) * g)
-                qg = q_ref[0, h].astype(jnp.float32)       # [G, H]
-                kf = fk_ref[0, h].astype(jnp.float32)      # [H]
-                vf = fv_ref[0, h].astype(jnp.float32)      # [H]
-                sf = jnp.sum(qg * kf[None, :], axis=-1,
-                             keepdims=True) * sm_scale     # [G, 1]
+                qg = q_ref[0, h].astype(jnp.float32)       # [TQ*G0, H]
+                kf = fk_ref[0, h].astype(jnp.float32)      # [TQ, H]
+                vf = fv_ref[0, h].astype(jnp.float32)      # [TQ, H]
+                sf = jax.lax.dot_general(
+                    qg, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                if tq > 1:
+                    row_t = jax.lax.broadcasted_iota(
+                        jnp.int32, sf.shape, 0) // g0
+                    col_t = jax.lax.broadcasted_iota(
+                        jnp.int32, sf.shape, 1)
+                    sf = jnp.where(col_t <= row_t, sf, NEG_INF)
                 m_old = m_ref[rows]
-                m_new = jnp.maximum(m_old, sf)
+                m_new = jnp.maximum(
+                    m_old, jnp.max(sf, axis=-1, keepdims=True))
                 alpha = jnp.exp(m_old - m_new)
-                pf = jnp.exp(sf - m_new)
+                pf = jnp.exp(sf - m_new)                   # [TQ*G0, TQ]
                 m_ref[rows] = m_new
-                l_ref[rows] = l_ref[rows] * alpha + pf
-                acc_ref[rows] = acc_ref[rows] * alpha + pf * vf[None, :]
-        out = acc_ref[:] / l_ref[:]                       # [Nk*G, H]
+                l_ref[rows] = l_ref[rows] * alpha + jnp.sum(
+                    pf, axis=-1, keepdims=True)
+                acc_ref[rows] = acc_ref[rows] * alpha + jnp.dot(
+                    pf, vf, preferred_element_type=jnp.float32)
+        out = acc_ref[:] / l_ref[:]                       # [Nk*TQ*G0, H]
         o_ref[0] = out.reshape(nk, g, out.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "out_dtype", "interpret"))
+                   static_argnames=("sm_scale", "out_dtype", "interpret",
+                                    "tq"))
 def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
-                 scal, *, sm_scale: float, out_dtype, interpret: bool):
-    """q4: [B, Nk, G, H]; k/v_cache: [L, B, Nk, S, H];
-    k/v_scale: [L, B, Nk, 1, S] or None; fresh_k/v: [B, Nk, H] or None;
-    scal: [B+1] i32 = positions ++ [layer]."""
+                 scal, *, sm_scale: float, out_dtype, interpret: bool,
+                 tq: int = 1):
+    """q4: [B, Nk, TQ*G, H]; k/v_cache: [L, B, Nk, S, H];
+    k/v_scale: [L, B, Nk, 1, S] or None; fresh_k/v: [B, Nk, TQ, H] or
+    None; scal: [B+1] i32 = positions ++ [layer]. tq > 1 = the
+    speculative verify block (see _flash_step)."""
     b, nk, g, h = q4.shape
     s = k_cache.shape[3]
     chunk = min(CHUNK, s)
@@ -172,9 +192,9 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
         args += [k_scale, v_scale]
     if fresh:
         in_specs += [
-            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+            pl.BlockSpec((1, nk, tq, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+            pl.BlockSpec((1, nk, tq, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args += [fresh_k, fresh_v]
@@ -188,7 +208,7 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
         o_ref, m_ref, l_ref, acc_ref = rest
         _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), chunk, nk,
                     q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
-                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale)
+                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -245,10 +265,40 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     vs = v_scale[:, :, :, None, :] if v_scale is not None else None
     scal = jnp.concatenate([positions.astype(jnp.int32),
                             jnp.asarray(layer, jnp.int32).reshape(1)])
-    out = _decode_call(q4, k_cache, v_cache, ks, vs, fresh_k, fresh_v, scal,
+    fk = fresh_k[:, :, None, :] if fresh_k is not None else None
+    fv = fresh_v[:, :, None, :] if fresh_v is not None else None
+    out = _decode_call(q4, k_cache, v_cache, ks, vs, fk, fv, scal,
                        sm_scale=sm_scale, out_dtype=q.dtype,
                        interpret=pk.interpret_mode())
     return out.reshape(b, 1, nq, h)
+
+
+def verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                     v_cache: jnp.ndarray, positions: jnp.ndarray,
+                     k_scale=None, v_scale=None, *, layer,
+                     fresh_k: jnp.ndarray, fresh_v: jnp.ndarray,
+                     scale=None) -> jnp.ndarray:
+    """Speculative-verify attention: q [B, T, Nq, H] — T candidate
+    positions per slot — against cache rows j < positions[b] plus the
+    block's own unquantized k/v (fresh_k/v: [B, Nk, T, H]) with a causal
+    mask among themselves. One kernel pass over the cache serves all T
+    queries (the whole point of verification). Returns [B, T, Nq, H]."""
+    b, t, nq, h = q.shape
+    nk = k_cache.shape[2]
+    g = nq // nk
+    sm_scale = float(scale) if scale is not None else h ** -0.5
+    # rows ordered (t, g) within each kv head: row // g == t
+    q4 = (q.reshape(b, t, nk, g, h).transpose(0, 2, 1, 3, 4)
+          .reshape(b, nk, t * g, h))
+    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
+    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    scal = jnp.concatenate([positions.astype(jnp.int32),
+                            jnp.asarray(layer, jnp.int32).reshape(1)])
+    out = _decode_call(q4, k_cache, v_cache, ks, vs, fresh_k, fresh_v, scal,
+                       sm_scale=sm_scale, out_dtype=q.dtype,
+                       interpret=pk.interpret_mode(), tq=t)
+    return (out.reshape(b, nk, t, g, h).transpose(0, 2, 1, 3, 4)
+            .reshape(b, t, nq, h))
 
 
 def supported(nq: int, nk: int, h: int) -> bool:

@@ -937,9 +937,10 @@ class Engine:
         with self._lock:
             ms = self.stats["spec_macro_steps"]
             tk = self.stats["spec_tokens"]
-        # measured on v5e (1B int4, D=4): a verify macro-step costs ~1.54x
-        # a plain step, so ~1.6 tokens/verify is the break-even
-        if ms >= 128 and tk < 1.6 * ms:
+        # measured on v5e (1B int4, D=4, flash verify kernel): a verify
+        # macro-step costs ~1.14x a plain step, so ~1.2 tokens/verify is
+        # the break-even
+        if ms >= 128 and tk < 1.2 * ms:
             self._spec_enabled = False
             import sys
             print(f"[engine] speculation disabled: acceptance "

@@ -231,3 +231,51 @@ def test_prefill_slot_end_to_end_with_kernels():
     pk.set_kernels(False)
     np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_ref),
                                rtol=5e-2, atol=5e-1)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("t", [2, 5])
+def test_verify_attention_matches_reference(quantized, t):
+    """The TQ>1 verify kernel (speculative decoding) must match the dense
+    reference: cache rows j < pos for every query, plus the block itself
+    causally at full precision."""
+    L, b, nk, g, s, h = 3, 2, 2, 3, 64, 8
+    nq = nk * g
+    q = _rand(0, b, t, nq, h)
+    kc = _rand(1, L, b, nk, s, h)
+    vc = _rand(2, L, b, nk, s, h)
+    fk = _rand(3, b, nk, t, h)
+    fv = _rand(4, b, nk, t, h)
+    positions = jnp.asarray([11, 37], jnp.int32)
+    layer = jnp.int32(1)
+
+    if quantized:
+        kq, ks = quantize_kv(kc)
+        vq, vs = quantize_kv(vc)
+        got = pattn.verify_attention(q, kq, vq, positions, ks, vs,
+                                     layer=layer, fresh_k=fk, fresh_v=fv)
+        from gabby_tpu.runtime.kv_cache import dequantize_kv
+        kd = dequantize_kv(kq[1], ks[1], q.dtype)
+        vd = dequantize_kv(vq[1], vs[1], q.dtype)
+    else:
+        got = pattn.verify_attention(q, kc, vc, positions,
+                                     layer=layer, fresh_k=fk, fresh_v=fv)
+        kd, vd = kc[1], vc[1]
+
+    # dense reference: concat cache rows + block, masked
+    kk = jnp.concatenate([jnp.swapaxes(kd, 1, 2),
+                          jnp.swapaxes(fk, 1, 2)], axis=1)  # [B, S+T, Nk, H]
+    vv = jnp.concatenate([jnp.swapaxes(vd, 1, 2),
+                          jnp.swapaxes(fv, 1, 2)], axis=1)
+    cache_mask = jnp.broadcast_to(
+        jnp.arange(s)[None, None, :] < positions[:, None, None], (b, t, s))
+    self_mask = jnp.broadcast_to(
+        jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :],
+        (b, t, t))
+    mask = jnp.concatenate([cache_mask, self_mask], axis=2)
+    want = attn_ref._gqa_core(attn_ref._split_groups(q, nk), kk, vv, mask,
+                              h ** -0.5)
+    # the kernel's big operands ride the MXU in bf16 (like every other
+    # attention kernel here); tolerances match the decode-attention tests
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
