@@ -356,9 +356,9 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
         args += [k_scale, v_scale]
     if fresh:
         in_specs += [
-            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+            pl.BlockSpec((1, nk, 1, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, h), lambda bb, cc, sc: (bb, 0, 0),
+            pl.BlockSpec((1, nk, 1, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args += [fresh_k, fresh_v]
@@ -420,7 +420,9 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
         jnp.asarray(layer, jnp.int32).reshape(1),
         page_table.astype(jnp.int32).reshape(-1),
     ])
-    out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fresh_k, fresh_v,
+    fk = fresh_k[:, :, None, :] if fresh_k is not None else None
+    fv = fresh_v[:, :, None, :] if fresh_v is not None else None
+    out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fk, fv,
                              scal, sm_scale=sm_scale, out_dtype=q.dtype,
                              interpret=pk.interpret_mode())
     return out.reshape(b, 1, nq, h)

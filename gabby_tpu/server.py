@@ -134,7 +134,12 @@ def make_handler(engine):
             if delta:
                 if streaming:
                     if not emit({"delta": delta}):
-                        return  # client went away; tokens keep draining
+                        # client went away: free the slot instead of
+                        # generating the rest for nobody, then drain
+                        engine.cancel(req)
+                        while fin is None:
+                            _, fin = req.out.get()
+                        return
                 else:
                     parts.append(delta)
             if fin is not None:
@@ -185,8 +190,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="KV cache page pool size (> 0 switches to the "
                         "paged cache: capacity scales with tokens in use, "
                         "prefix reuse shares pages zero-copy; 0 = dense)")
-    p.add_argument("--page-size", type=int, default=256,
-                   help="rows per KV page in paged mode")
+    p.add_argument("--page-size", type=int, default=512,
+                   help="rows per KV page in paged mode (512 measured "
+                        "fastest; smaller pages = finer capacity "
+                        "granularity)")
     p.add_argument("--speculate", type=int, default=0,
                    help="speculative decoding: verify up to N n-gram "
                         "prompt-lookup drafts per forward for greedy "

@@ -348,6 +348,58 @@ def test_prefix_reuse_across_requests(setup):
         eng.shutdown()
 
 
+def test_cancellation_frees_slot_promptly(setup):
+    """Cancelling a live request must finish it with 'cancelled' within a
+    loop iteration, free its slot, and leave concurrent requests exact.
+    Queued cancellations never admit at all."""
+    import threading
+    import time as _time
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=2,
+                              default_max_tokens=64, cache_dtype="float32"))
+    try:
+        victim = eng.submit(MSGS, max_tokens=64)
+        for _ in range(600):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        survivor_msgs = [{"role": "user", "content": "other request"}]
+        res = {}
+        t = threading.Thread(target=lambda: res.update(
+            out=eng.generate_sync(survivor_msgs, max_tokens=5)))
+        t.start()
+        eng.cancel(victim)
+        fin = None
+        t0 = _time.monotonic()
+        while fin is None:
+            _, fin = victim.out.get(timeout=60)
+        assert fin == "cancelled"
+        t.join(timeout=120)
+        ref = tok.decode(reference_generation(cfg, params, tok,
+                                              survivor_msgs, 5))
+        assert res["out"][0] == ref, "survivor corrupted by cancellation"
+        for _ in range(600):
+            if eng.stats_snapshot()["active_slots"] == 0:
+                break
+            _time.sleep(0.01)
+        assert eng.stats_snapshot()["active_slots"] == 0
+
+        # queued cancel: fill both slots, queue one, cancel it while queued
+        blockers = [eng.submit(MSGS, max_tokens=32) for _ in range(2)]
+        _time.sleep(0.1)
+        queued = eng.submit(MSGS, max_tokens=4)
+        eng.cancel(queued)
+        fin = None
+        while fin is None:
+            _, fin = queued.out.get(timeout=120)
+        assert fin == "cancelled"
+        for b_ in blockers:
+            eng.cancel(b_)
+    finally:
+        eng.shutdown()
+
+
 def test_overlong_prompt_rejected(setup):
     """Prompts past the context window get a 400-style rejection, not
     silent truncation (VERDICT round-1 weak #5)."""

@@ -279,3 +279,48 @@ def test_verify_attention_matches_reference(quantized, t):
     # attention kernel here); tolerances match the decode-attention tests
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_decode_attention_matches_reference(quantized):
+    """The paged decode kernel (physical pages via scalar-prefetched page
+    table) must match gathering the pages densely and running the plain
+    decode reference."""
+    L, b, nk, g, h = 3, 2, 2, 4, 16
+    page, mp, npages = 16, 4, 10
+    nq = nk * g
+    s = page * mp
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kp = _rand(1, npages, L, nk, page, h) * 0.5
+    vp = _rand(2, npages, L, nk, page, h) * 0.5
+    fk = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    pt = jnp.asarray([[3, 5, 1, 7], [2, 8, 9, 4]], jnp.int32)
+    positions = jnp.asarray([19, 55], jnp.int32)
+    layer = jnp.int32(2)
+
+    def dense(pool):
+        gth = jnp.take(pool[:, 2], pt, axis=0)        # [B, mp, nk, page, .]
+        gth = jnp.moveaxis(gth, 1, 2)
+        return gth.reshape(b, nk, s, *gth.shape[4:])
+
+    if quantized:
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        got = pattn.paged_decode_attention(q, kq, vq, pt, positions, ks, vs,
+                                           layer=layer, fresh_k=fk,
+                                           fresh_v=fv)
+        ref = attn_ref.cache_attention_quantized(
+            q, dense(kq), dense(vq), dense(ks), dense(vs), positions,
+            fresh_k=fk, fresh_v=fv)
+    else:
+        kpb = kp.astype(jnp.bfloat16)
+        vpb = vp.astype(jnp.bfloat16)
+        got = pattn.paged_decode_attention(q, kpb, vpb, pt, positions,
+                                           layer=layer, fresh_k=fk,
+                                           fresh_v=fv)
+        ref = attn_ref.cache_attention(q, dense(kpb), dense(vpb), positions,
+                                       fresh_k=fk, fresh_v=fv)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
