@@ -255,7 +255,7 @@ def main() -> int:
     active = jnp.ones((b,), bool)
 
     def run(cache, sstate):
-        out, _, _, _, _, cache, sstate = generate.decode_loop(
+        out, _, _, _, _, _, cache, sstate = generate.decode_loop(
             params, cfg, tokens, positions, active, cache, sstate, args.steps)
         return out, cache, sstate
 

@@ -78,6 +78,18 @@ class CallbackGenerator : public gabby::Generator {
                     if (auto it = obj.find("finish_reason"); it != obj.end()) {
                         chunk.finish_reason = it->second->as_string();
                     }
+                    if (auto it = obj.find("token_logprobs");
+                        it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
+                        for (const auto& v : it->second->as_array()) {
+                            chunk.token_logprobs.push_back(v->as_number());
+                        }
+                    }
+                    if (auto it = obj.find("tokens");
+                        it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
+                        for (const auto& v : it->second->as_array()) {
+                            chunk.tokens.push_back(v->as_string());
+                        }
+                    }
                     if (auto it = obj.find("prompt_tokens"); it != obj.end()) {
                         chunk.prompt_tokens =
                             static_cast<int>(it->second->as_number());
@@ -132,6 +144,7 @@ class CallbackGenerator : public gabby::Generator {
             {"top_k", Value::number(req.top_k)},
             {"max_tokens", Value::number(req.max_tokens)},
             {"stream", Value::boolean(req.stream)},
+            {"logprobs", Value::boolean(req.logprobs)},
             {"stop", Value::array(std::move(stop))},
         });
         return gabby::json::to_string(*v);

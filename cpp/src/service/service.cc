@@ -21,10 +21,25 @@ int64_t NowEpochSecs() {
         .count();
 }
 
+// OpenAI chat logprobs block: {"content": [{token, logprob}...]} built
+// from the engine's parallel token/logprob arrays; nil when absent.
+ValuePtr LogprobsValue(const GenChunk& last) {
+    if (last.token_logprobs.empty()) return Value::nil();
+    std::vector<ValuePtr> entries;
+    for (size_t i = 0; i < last.token_logprobs.size(); i++) {
+        entries.push_back(Value::object({
+            {"token", Value::string(i < last.tokens.size() ? last.tokens[i]
+                                                           : "")},
+            {"logprob", Value::number(last.token_logprobs[i])},
+        }));
+    }
+    return Value::object({{"content", Value::array(std::move(entries))}});
+}
+
 ValuePtr MakeResponse(const std::string& id, const std::string& model,
                       const std::string& content,
                       const std::string& finish_reason, int prompt_tokens,
-                      int completion_tokens) {
+                      int completion_tokens, const GenChunk& last) {
     auto message = Value::object({
         {"role", Value::string("assistant")},
         {"content", Value::string(content)},
@@ -32,7 +47,7 @@ ValuePtr MakeResponse(const std::string& id, const std::string& model,
     auto choice = Value::object({
         {"index", Value::number(0)},
         {"message", message},
-        {"logprobs", Value::nil()},
+        {"logprobs", LogprobsValue(last)},
         {"finish_reason", Value::string(finish_reason)},
     });
     auto usage = Value::object({
@@ -54,11 +69,12 @@ ValuePtr MakeCompletionResponse(const std::string& id,
                                 const std::string& model,
                                 const std::string& text,
                                 const std::string& finish_reason,
-                                int prompt_tokens, int completion_tokens) {
+                                int prompt_tokens, int completion_tokens,
+                                const GenChunk& last) {
     auto choice = Value::object({
         {"index", Value::number(0)},
         {"text", Value::string(text)},
-        {"logprobs", Value::nil()},
+        {"logprobs", LogprobsValue(last)},
         {"finish_reason", Value::string(finish_reason)},
     });
     auto usage = Value::object({
@@ -140,6 +156,10 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
     out.top_p = num("top_p", 0.0, 1.0);
     out.top_k = static_cast<int>(num("top_k", 0, 1e9));
     out.max_tokens = static_cast<int>(num("max_tokens", 1, 1e9));
+    if (auto it = obj.find("logprobs");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        out.logprobs = it->second->as_boolean();
+    }
     if (auto it = obj.find("stream"); it != obj.end()) {
         out.stream = it->second->as_boolean();
     }
@@ -343,7 +363,7 @@ void InferenceService::Completions(http::Request& req,
             auto out = MakeCompletionResponse(id, model, text,
                                               last.finish_reason,
                                               last.prompt_tokens,
-                                              last.completion_tokens);
+                                              last.completion_tokens, last);
             resp.WriteStatus(http::StatusCode::OK);
             resp.WriteHeader("Content-Type", "application/json");
             resp.WriteData(json::to_string(*out));
@@ -407,7 +427,8 @@ void InferenceService::ChatCompletions(http::Request& req,
             });
             record(last);
             auto out = MakeResponse(id, model, content, last.finish_reason,
-                                    last.prompt_tokens, last.completion_tokens);
+                                    last.prompt_tokens,
+                                    last.completion_tokens, last);
             resp.WriteStatus(http::StatusCode::OK);
             resp.WriteHeader("Content-Type", "application/json");
             resp.WriteData(json::to_string(*out));

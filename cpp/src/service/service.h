@@ -37,6 +37,7 @@ struct GenRequest {
     int top_k = -1;
     int max_tokens = -1;
     bool stream = false;
+    bool logprobs = false;          // return per-token logprobs (OpenAI)
     std::vector<std::string> stop;  // stop sequences (OpenAI "stop")
 };
 
@@ -48,6 +49,10 @@ struct GenChunk {
     std::string finish_reason = "stop";  // valid when done
     int prompt_tokens = 0;               // valid when done
     int completion_tokens = 0;           // valid when done
+    // valid when done and the request asked for logprobs: one entry per
+    // generated token (parallel arrays)
+    std::vector<std::string> tokens;
+    std::vector<double> token_logprobs;
 };
 
 // THE engine seam (reference: Generator at

@@ -105,12 +105,18 @@ class Request:
     # set via Engine.cancel(); the engine frees the slot at the next loop
     # iteration instead of generating to max_tokens for a vanished client
     cancelled: bool = False
+    # filled at finish: every generated token id and its log-probability
+    # under the full softmax (parallel lists; includes tokens a stop-
+    # sequence cut suppressed from the text)
+    token_ids: list[int] = dataclasses.field(default_factory=list)
+    token_logprobs: list[float] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
 class _Slot:
     request: Request
     emitted_ids: list[int] = dataclasses.field(default_factory=list)
+    logprobs: list[float] = dataclasses.field(default_factory=list)
     emitted_text_len: int = 0
     prompt_len: int = 0
     # first token was sampled on device at admission; emit it from the
@@ -227,6 +233,7 @@ class Engine:
         self._tokens = jnp.zeros((b,), jnp.int32)
         self._positions = jnp.full((b,), self._park, jnp.int32)
         self._active = jnp.zeros((b,), bool)
+        self._first_lp = jnp.zeros((b,), jnp.float32)
         self._sstate = generate.SamplingState(
             temperature=jnp.zeros((b,), jnp.float32),
             top_k=jnp.zeros((b,), jnp.int32),
@@ -567,11 +574,11 @@ class Engine:
                 self._history, jnp.int32(slot_ix), jnp.asarray(padded),
                 jnp.int32(len(p)))
         (self._tokens, self._positions, self._active, self._sstate,
-         self._history) = generate.admit_slots(
+         self._history, self._first_lp) = generate.admit_slots(
             logits, jnp.asarray(lengths), jnp.asarray(temp),
             jnp.asarray(topk), jnp.asarray(topp), sub, lane_mask,
             self._tokens, self._positions, self._active, self._sstate,
-            self._history)
+            self._history, self._first_lp)
 
         now = time.monotonic()
         with self._lock:
@@ -620,11 +627,11 @@ class Engine:
             jnp.int32(n))
         self._admit_key, sub = jax.random.split(self._admit_key)
         (self._tokens, self._positions, self._active, self._sstate,
-         self._history) = generate.admit_slot(
+         self._history, self._first_lp) = generate.admit_slot(
             adm.last_logits, jnp.int32(slot_ix), jnp.int32(n),
             req.temperature, req.top_k, req.top_p, sub,
             self._tokens, self._positions, self._active, self._sstate,
-            self._history)
+            self._history, self._first_lp)
 
         slot = _Slot(request=req, prompt_len=n, first_pending=True)
         self._slots[slot_ix] = slot
@@ -639,7 +646,8 @@ class Engine:
             if len(self._ttfts) > 1024:
                 del self._ttfts[:512]
 
-    def _emit_token(self, slot_ix: int, token_id: int) -> None:
+    def _emit_token(self, slot_ix: int, token_id: int,
+                    logprob: float = 0.0) -> None:
         """Append a token to the slot's request; stream decoded delta."""
         slot = self._slots[slot_ix]
         if slot is None:
@@ -649,6 +657,7 @@ class Engine:
             self._finish(slot_ix, "stop")
             return
         slot.emitted_ids.append(token_id)
+        slot.logprobs.append(logprob)
         req.completion_tokens = len(slot.emitted_ids)
         text = self.tokenizer.decode(slot.emitted_ids)
 
@@ -684,6 +693,8 @@ class Engine:
         # flush any held-back tail
         text = self.tokenizer.decode(slot.emitted_ids)
         tail = text[slot.emitted_text_len:]
+        slot.request.token_ids = list(slot.emitted_ids)
+        slot.request.token_logprobs = list(slot.logprobs)
         with self._lock:
             self.stats["completion_tokens"] += len(slot.emitted_ids)
         self._slots[slot_ix] = None
@@ -883,8 +894,8 @@ class Engine:
         b = len(self._slots)
         if self._spec_enabled:
             dl = self.ec.speculate_tokens
-            (out_em, out_n, self._tokens, self._positions, self._active,
-             self._cache, self._sstate,
+            (out_em, out_n, out_lp, self._tokens, self._positions,
+             self._active, self._cache, self._sstate,
              self._history) = generate.spec_decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, self._history,
@@ -893,12 +904,17 @@ class Engine:
                 out_em.reshape(-1).astype(jnp.int32),
                 out_n.reshape(-1).astype(jnp.int32),
                 self._active.astype(jnp.int32),
-                pre_tokens.astype(jnp.int32)])))
+                pre_tokens.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(out_lp.reshape(-1), jnp.int32),
+                jax.lax.bitcast_convert_type(self._first_lp, jnp.int32)])))
             kbt = steps * b * (dl + 1)
             em = packed[:kbt].reshape(steps, b, dl + 1)
             counts = packed[kbt:kbt + steps * b].reshape(steps, b)
             active_host = packed[kbt + steps * b:kbt + steps * b + b] != 0
-            first_toks = packed[kbt + steps * b + b:]
+            first_toks = packed[kbt + steps * b + b:kbt + steps * b + 2 * b]
+            lp_flat = packed[kbt + steps * b + 2 * b:].view(np.float32)
+            lps = lp_flat[:kbt].reshape(steps, b, dl + 1)
+            first_lps = lp_flat[kbt:]
             with self._lock:
                 self.stats["decode_steps"] += steps
                 self.stats["spec_macro_steps"] += int(
@@ -907,7 +923,8 @@ class Engine:
             for slot_ix, slot in enumerate(self._slots):
                 if slot is not None and slot.first_pending:
                     slot.first_pending = False
-                    self._emit_token(slot_ix, int(first_toks[slot_ix]))
+                    self._emit_token(slot_ix, int(first_toks[slot_ix]),
+                                     float(first_lps[slot_ix]))
             for step in range(steps):
                 for slot_ix in range(b):
                     if self._slots[slot_ix] is None:
@@ -915,11 +932,13 @@ class Engine:
                     for t in range(int(counts[step, slot_ix])):
                         if self._slots[slot_ix] is None:
                             break
-                        self._emit_token(slot_ix, int(em[step, slot_ix, t]))
+                        self._emit_token(slot_ix, int(em[step, slot_ix, t]),
+                                         float(lps[step, slot_ix, t]))
             self._maybe_disable_spec()
         else:
-            (out_tokens, out_active, self._tokens, self._positions,
-             self._active, self._cache, self._sstate) = generate.decode_loop(
+            (out_tokens, out_active, out_lp, self._tokens,
+             self._positions, self._active, self._cache,
+             self._sstate) = generate.decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, steps,
                 eos_ids=self._eos_ids)
@@ -932,22 +951,28 @@ class Engine:
             # identically)
             kb = steps * b
             packed = np.asarray(jax.device_get(generate.pack_host_view(
-                out_tokens, out_active, self._active, pre_tokens)))
+                out_tokens, out_active, self._active, pre_tokens,
+                out_lp, self._first_lp)))
             toks = packed[:kb].reshape(steps, -1)               # [K, B]
             emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
             active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
-            first_toks = packed[2 * kb + b:]                     # [B]
+            first_toks = packed[2 * kb + b:2 * kb + 2 * b]       # [B]
+            lp_flat = packed[2 * kb + 2 * b:].view(np.float32)
+            lps = lp_flat[:kb].reshape(steps, -1)                # [K, B]
+            first_lps = lp_flat[kb:]                             # [B]
 
             # deliver on-device-sampled first tokens of fresh admissions
             # BEFORE this call's decode outputs (generation order)
             for slot_ix, slot in enumerate(self._slots):
                 if slot is not None and slot.first_pending:
                     slot.first_pending = False
-                    self._emit_token(slot_ix, int(first_toks[slot_ix]))
+                    self._emit_token(slot_ix, int(first_toks[slot_ix]),
+                                     float(first_lps[slot_ix]))
             for step in range(toks.shape[0]):
                 for slot_ix in range(toks.shape[1]):
                     if emitted[step, slot_ix] and self._slots[slot_ix]:
-                        self._emit_token(slot_ix, int(toks[step, slot_ix]))
+                        self._emit_token(slot_ix, int(toks[step, slot_ix]),
+                                         float(lps[step, slot_ix]))
 
         # a slot the DEVICE deactivated without an EOS hit its cache
         # capacity (decode_loop's new_pos < max_seq guard): finish it

@@ -146,13 +146,21 @@ def make_handler(engine):
                 if fin.startswith("error"):
                     emit({"error": fin, "done": True})
                     return
-                emit({
+                final = {
                     "delta": "" if streaming else "".join(parts),
                     "done": True,
                     "finish_reason": "stop" if fin == "stop" else "length",
                     "prompt_tokens": len(req.prompt_ids),
                     "completion_tokens": req.completion_tokens,
-                })
+                }
+                if request.get("logprobs") and req.token_logprobs:
+                    # per generated token: its string form and log-prob
+                    # under the full softmax (non-streaming responses)
+                    final["token_logprobs"] = [round(x, 6)
+                                               for x in req.token_logprobs]
+                    final["tokens"] = [engine.tokenizer.decode([i])
+                                       for i in req.token_ids]
+                emit(final)
                 return
 
     return handler

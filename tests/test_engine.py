@@ -287,7 +287,7 @@ def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
     tokens = jnp.asarray([7, 0], jnp.int32)
     positions = jnp.asarray([40, max_seq - 1], jnp.int32)
     active = jnp.asarray([True, False])
-    _, _, _, _, _, cache, _ = generate.decode_loop(
+    _, _, _, _, _, _, cache, _ = generate.decode_loop(
         params, cfg, tokens, positions, active, cache, sstate, 4)
     assert np.array_equal(np.asarray(cache.k[:, 1, :, :16]), before_k)
     assert np.array_equal(np.asarray(cache.v[:, 1, :, :16]), before_v)
@@ -298,7 +298,7 @@ def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
     _, cache2 = llama.prefill_slot(params, cfg, toks, jnp.int32(16),
                                    jnp.int32(1), jnp.int32(0), cache2)
     ref_k = np.asarray(cache2.k[:, 1, :, :16])
-    _, _, _, _, _, cache2, _ = generate.decode_loop(
+    _, _, _, _, _, _, cache2, _ = generate.decode_loop(
         params, cfg, tokens, jnp.asarray([40, 3], jnp.int32), active,
         cache2, generate.SamplingState.greedy(2), 4)
     assert not np.array_equal(np.asarray(cache2.k[:, 1, :, :16]), ref_k), \
@@ -344,6 +344,43 @@ def test_prefix_reuse_across_requests(setup):
         assert (eng.generate_sync(m3, max_tokens=4)[0]
                 == tok.decode(reference_generation_long(cfg, params, tok,
                                                         m3, 4)))
+    finally:
+        eng.shutdown()
+
+
+def test_token_logprobs_exact(setup):
+    """Request.token_logprobs must equal log-softmax of the reference
+    forward's logits at each greedily chosen token."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                              default_max_tokens=5, cache_dtype="float32"))
+    try:
+        req = eng.submit(MSGS, max_tokens=5)
+        fin = None
+        while fin is None:
+            _, fin = req.out.get(timeout=120)
+        assert len(req.token_logprobs) == len(req.token_ids) >= 1
+
+        # reference: replay the stream and compute log-softmax manually
+        from gabby_tpu.tokenizer import ChatFormat
+        import jax.scipy.special as jsp
+        chat = ChatFormat(tok)
+        ids = chat.prompt_ids(MSGS)
+        cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+        logits, cache = llama.prefill(
+            params, cfg, jnp.asarray([ids], jnp.int32), cache)
+        cur = logits[0, -1]
+        pos = len(ids)
+        for want_id, want_lp in zip(req.token_ids, req.token_logprobs):
+            assert int(jnp.argmax(cur)) == want_id
+            ref_lp = float(cur[want_id] - jsp.logsumexp(cur))
+            assert abs(ref_lp - want_lp) < 1e-3, (ref_lp, want_lp)
+            logits, cache = llama.decode_step(
+                params, cfg, jnp.asarray([want_id], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache)
+            cur = logits[0]
+            pos += 1
     finally:
         eng.shutdown()
 

@@ -116,10 +116,12 @@ def rec_finish(self, slot_ix, reason):
 Engine._finish = rec_finish
 
 STOP = 1  # arbitrary stop id for the random model
+# speculate_tokens exercises the spec_decode_loop under plan broadcast:
+# drafting/verification must stay deterministic across controllers
 eng = Engine(cfg, params, tok,
              EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
                           steps_per_call_busy=2, default_max_tokens=5,
-                          cache_dtype="float32"),
+                          cache_dtype="float32", speculate_tokens=3),
              cache_shardings=cache_shardings(mesh, quantized=False),
              stop_ids={STOP}, sync=sync)
 

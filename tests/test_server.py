@@ -136,6 +136,28 @@ def test_protocol_errors(server):
     assert status == 404
 
 
+def test_logprobs_in_response(server):
+    """OpenAI logprobs: per generated token, its string and log-prob (the
+    reference hard-codes logprobs: null)."""
+    status, body = _post(server, "/v1/chat/completions",
+                         {**CHAT, "logprobs": True})
+    assert status == 200, body
+    out = json.loads(body)
+    lp = out["choices"][0]["logprobs"]
+    assert lp is not None and "content" in lp
+    entries = lp["content"]
+    assert len(entries) == out["usage"]["completion_tokens"]
+    for e in entries:
+        # token strings are the PER-TOKEN decodes (multi-byte UTF-8 split
+        # across tokens shows replacement chars here; the message content
+        # is the joint decode); logprobs are true log-probabilities
+        assert isinstance(e["token"], str)
+        assert e["logprob"] <= 1e-6
+    # without the flag the field stays null
+    status, body = _post(server, "/v1/chat/completions", CHAT)
+    assert json.loads(body)["choices"][0]["logprobs"] is None
+
+
 def test_overlong_prompt_gets_400(server):
     """Context-length overflow is the client's error: 400 with a clear
     message, never a silently truncated completion (VERDICT r1 weak #5)."""
