@@ -46,6 +46,14 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def w4a8() -> bool:
+    """W4A8 mode: INT4 weights with INT8-quantized activations, so the
+    fused matmul kernel's dots run on the MXU's 2x-rate s8 path. Changes
+    numerics (per-token activation quantization) — opt-in, quality-gated
+    by the ppl harness. GABBY_W4A8=1 (read at trace time)."""
+    return os.environ.get("GABBY_W4A8") == "1"
+
+
 def int8_matmul_kernel() -> bool:
     """Whether the fused matmul kernel also takes INT8 (not just INT4).
     Default off: XLA's int8 dequant matmul measured faster in the

@@ -354,3 +354,98 @@ def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
     else:
         out = _qmatmul_int4(x2d, codes, scale, interpret=interp)
     return out.reshape(*lead, n)
+
+
+# ---- W4A8: INT4 weights x INT8 activations on the MXU's s8 path ----------
+
+def _int4_w4a8_stacked_kernel(sc_ref, xe_ref, xo_ref, w_ref, s_ref, xs_ref,
+                              o_ref, acc_ref):
+    """Same nibble algebra as _int4_stacked_kernel, but the activations
+    arrive pre-quantized to int8 (per-row scales in xs_ref) and both dots
+    run int8 x int8 -> int32 — the MXU's 2x-rate mode. The -8 bias folds
+    into an integer rank-1 correction; scales (per-row activation x
+    per-column weight) hit the accumulator once at the end."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[0].astype(jnp.int32)
+    hi = jnp.right_shift(p, 4).astype(jnp.int8)
+    lo8 = (p & 15).astype(jnp.int8)
+    acc_ref[:] += jax.lax.dot_general(
+        xe_ref[:], lo8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot_general(
+        xo_ref[:], hi, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowsum = jnp.sum(xe_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+    acc_ref[:] -= 8 * rowsum
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * xs_ref[:]
+                    * s_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmatmul_int4_w4a8_stacked(x2d, packed, scale, layer, *,
+                               interpret=False):
+    m, k = x2d.shape
+    _, kp, n = packed.shape
+    tile_m = min(_round_up(m, 16), 256)
+    tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
+    mp = _round_up(m, tile_m)
+    xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
+    # per-row symmetric int8 activation quantization (fused by XLA into
+    # whatever produced x)
+    absmax = jnp.max(jnp.abs(xp.astype(jnp.float32)), axis=1, keepdims=True)
+    xs = jnp.maximum(absmax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xp.astype(jnp.float32) / xs),
+                  -127, 127).astype(jnp.int8)
+    xqs = xq.reshape(mp, kp, 2)
+    x_even, x_odd = xqs[:, :, 0], xqs[:, :, 1]
+
+    in_specs = [
+        pl.BlockSpec((tile_m, tile_kp), lambda i, j, kk, sc: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, tile_kp), lambda i, j, kk, sc: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_kp, tile_n),
+                     lambda i, j, kk, sc: (sc[0], kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tile_n), lambda i, j, kk, sc: (sc[0], 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 1), lambda i, j, kk, sc: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // tile_m, n // tile_n, kp // tile_kp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_m, tile_n),
+                               lambda i, j, kk, sc: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        _int4_w4a8_stacked_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k + kp * n + mp * n * 2 + n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x_even, x_odd, packed,
+      scale.reshape(scale.shape[0], 1, n), xs.astype(jnp.float32))
+    return out[:m] if mp != m else out
+
+
+def qmatmul_stacked_w4a8(x, codes, scale, layer):
+    """W4A8 variant of qmatmul_stacked (int4 codes only)."""
+    *lead, k_in = x.shape
+    n = codes.shape[2]
+    out = _qmatmul_int4_w4a8_stacked(x.reshape(-1, k_in), codes, scale,
+                                     layer, interpret=pk.interpret_mode())
+    return out.reshape(*lead, n)

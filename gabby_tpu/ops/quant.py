@@ -167,6 +167,12 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
         if kernel_ok:
             from gabby_tpu.ops.pallas import quant_matmul as pqm
             if pqm.supported(m, in_dim, qt.q.shape[2], qt.bits):
+                if qt.bits == 4 and pk.w4a8():
+                    # opt-in W4A8: int8-quantized activations ride the
+                    # MXU's 2x-rate s8 path (quality-gated; see pallas
+                    # __init__.w4a8)
+                    return pqm.qmatmul_stacked_w4a8(x, qt.q, qt.scale,
+                                                    layer)
                 return pqm.qmatmul_stacked(x, qt.q, qt.scale, layer, qt.bits)
         # XLA path: slice the layer and let XLA fuse it into its dot
         qt = QTensor(

@@ -324,3 +324,29 @@ def test_paged_decode_attention_matches_reference(quantized):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_w4a8_stacked_matches_integer_reference():
+    """W4A8: int8-activation x int4-weight integer dot must match the exact
+    integer-arithmetic reference (bit-exact accumulation in interpret
+    mode), scaled per-row x per-column."""
+    L, k, n = 3, 128, 256
+    w = _rand(0, L * k, n).reshape(L, k, n) * 0.3
+    qts = [quant.quantize(w[i], 4) for i in range(L)]
+    codes = jnp.stack([t.q for t in qts])
+    scales = jnp.stack([t.scale for t in qts])
+    x = _rand(1, 8, k) * 2.0
+    layer = jnp.int32(1)
+
+    got = pqm.qmatmul_stacked_w4a8(x, codes, scales, layer)
+
+    # reference: same per-row int8 quantization, integer matmul, rescale
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    xs = jnp.maximum(absmax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int32)
+    wfull = quant.unpack_int4(codes[1]).astype(jnp.int32)
+    acc = xq @ wfull
+    want = acc.astype(jnp.float32) * xs * scales[1][None, :]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=1e-2)
