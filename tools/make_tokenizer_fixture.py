@@ -86,6 +86,11 @@ GOLDEN_TEXTS = [
     "...",
     "ℝ ℕ ℤ letterlike symbols and № ℮",
     "ʕ•ᴥ•ʔ ascii-art-ish ¯\\_(ツ)_/¯",
+    # 0x1C-0x1F separators: NOT \s for HF's Rust regex (Unicode
+    # White_Space) though Python's `re` thinks so — pins the engines'
+    # agreement (ADVICE r2)
+    "separators a\x1cb\x1dc\x1ed\x1fe end",
+    "controls \x1c\x1d\x1e\x1f run then text",
 ]
 
 
