@@ -74,21 +74,24 @@ class CallbackGenerator : public gabby::Generator {
                 if (auto it = obj.find("done"); it != obj.end()) {
                     chunk.done = it->second->as_boolean();
                 }
+                // per-token logprobs ride on ANY chunk: streamed deltas
+                // carry the tokens they deliver; the final chunk of a
+                // non-streaming request carries the full arrays
+                if (auto it = obj.find("token_logprobs");
+                    it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
+                    for (const auto& v : it->second->as_array()) {
+                        chunk.token_logprobs.push_back(v->as_number());
+                    }
+                }
+                if (auto it = obj.find("tokens");
+                    it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
+                    for (const auto& v : it->second->as_array()) {
+                        chunk.tokens.push_back(v->as_string());
+                    }
+                }
                 if (chunk.done) {
                     if (auto it = obj.find("finish_reason"); it != obj.end()) {
                         chunk.finish_reason = it->second->as_string();
-                    }
-                    if (auto it = obj.find("token_logprobs");
-                        it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
-                        for (const auto& v : it->second->as_array()) {
-                            chunk.token_logprobs.push_back(v->as_number());
-                        }
-                    }
-                    if (auto it = obj.find("tokens");
-                        it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
-                        for (const auto& v : it->second->as_array()) {
-                            chunk.tokens.push_back(v->as_string());
-                        }
                     }
                     if (auto it = obj.find("prompt_tokens"); it != obj.end()) {
                         chunk.prompt_tokens =

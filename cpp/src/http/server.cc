@@ -435,10 +435,23 @@ void HttpServer::HandleConnection(OwnedFd client, const std::string& addr) {
     for (int served = 0; served < kMaxRequestsPerConnection; served++) {
         if (served > 0) {
             // idle reused connection: EOF or timeout while WAITING for the
-            // next request is a quiet close, not a 408 (nothing in flight)
+            // next request is a quiet close, not a 408 (nothing in flight).
+            // The wait runs under the SHORT idle timeout — this blocking
+            // peek pins a pool worker, and at the full read timeout a few
+            // idle keep-alive clients could starve new connections.
+            try {
+                SetTimeout(fd, SO_RCVTIMEO, config_.idle_timeout_millis);
+            } catch (const std::exception&) {
+                break;
+            }
             int c = std::fgetc(f);
             if (c == EOF) break;
             std::ungetc(c, f);
+            try {
+                SetTimeout(fd, SO_RCVTIMEO, config_.read_timeout_millis);
+            } catch (const std::exception&) {
+                break;
+            }
         }
         std::string method = "?", path = "?";
         SocketWriter writer(fd);

@@ -26,6 +26,11 @@ struct ServerConfig {
     int port = 8080;             // 0 = ephemeral (tests)
     int read_timeout_millis = 5000;
     int write_timeout_millis = 10000;
+    // Between keep-alive requests an idle connection pins a pool worker
+    // while it waits for the next request line, so the idle wait must be
+    // much shorter than the in-request read timeout or a handful of idle
+    // clients starves new connections on a fixed-size pool.
+    int idle_timeout_millis = 1000;
     int workers = 4;
     int max_queue = 0;           // 0 = 2 * workers
     size_t max_body_bytes = 32 << 20;  // 413 above this

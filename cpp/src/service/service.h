@@ -39,6 +39,14 @@ struct GenRequest {
     bool stream = false;
     bool logprobs = false;          // return per-token logprobs (OpenAI)
     std::vector<std::string> stop;  // stop sequences (OpenAI "stop")
+    // OpenAI `n`: number of choices. Each choice is its OWN generator
+    // call run concurrently — the engine's continuous batching lands them
+    // in separate slots whose decode shares one weight stream, so n
+    // choices cost ~one choice of wall-clock when slots are free. (The
+    // alternative — fanning one slot out on-device — would need per-choice
+    // KV forks and a variable-width sampler; rejected as a poor trade
+    // against slots the engine already has.)
+    int n = 1;
 };
 
 // One unit of generator output. Non-streaming engines emit a single chunk
@@ -100,6 +108,21 @@ class InferenceService {
     void Models(http::Request& req, http::ResponseWriter& resp);
 
    private:
+    // Shared n-way request runner: fans the request out over `n` generator
+    // calls (concurrent threads for n > 1 — each choice rides its own
+    // engine slot), streaming indexed SSE chunks or building the n-choice
+    // response envelope.
+    void RunNWay(const GenRequest& gen_req, http::ResponseWriter& resp,
+                 const std::string& id, const std::string& model,
+                 const char* object,
+                 json::ValuePtr (*make_choice)(int, const std::string&,
+                                               const GenChunk&),
+                 json::ValuePtr (*make_chunk)(const std::string&,
+                                              const std::string&, int,
+                                              const GenChunk&, bool,
+                                              const std::string&),
+                 const std::function<void(const GenChunk&)>& record);
+
     http::HttpServer server_;
     std::shared_ptr<Generator> generator_;
     ServiceMetrics metrics_;

@@ -19,9 +19,14 @@ class SimpleGenerator : public Generator {
                   const std::function<void(const GenChunk&)>& emit) override {
         last_request = req;
         if (req.stream) {
-            for (const std::string& word : {"hello ", "from ", "fake"}) {
+            for (const std::string word : {"hello ", "from ", "fake"}) {
                 GenChunk c;
                 c.delta = word;
+                if (req.logprobs) {
+                    // one token per delta, like the engine's emit path
+                    c.tokens.push_back(word);
+                    c.token_logprobs.push_back(-0.25);
+                }
                 emit(c);
             }
         } else {
@@ -213,6 +218,79 @@ TEST(Service, ExtractRequestDefaults) {
     EXPECT_FLOAT_EQ(req.top_p, -1, 1e-9);
     EXPECT_EQ(req.max_tokens, -1);
     EXPECT_FALSE(req.stream);
+}
+
+
+TEST(Service, MultipleChoices) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "n": 3})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         body);
+    EXPECT_EQ(status, 200);
+    const auto& obj = resp->as_object();
+    const auto& choices = obj.at("choices")->as_array();
+    EXPECT_EQ(choices.size(), size_t{3});
+    for (size_t i = 0; i < 3; i++) {
+        const auto& c = choices.at(i)->as_object();
+        EXPECT_EQ(c.at("index")->as_number(), static_cast<double>(i));
+        EXPECT_EQ(c.at("message")->as_object().at("content")->as_string(),
+                  "hello from fake");
+        EXPECT_EQ(c.at("finish_reason")->as_string(), "stop");
+    }
+    // usage: prompt charged once, completions summed across choices
+    const auto& usage = obj.at("usage")->as_object();
+    EXPECT_EQ(usage.at("prompt_tokens")->as_number(), 7.0);
+    EXPECT_EQ(usage.at("completion_tokens")->as_number(), 9.0);
+}
+
+TEST(Service, MultipleChoicesStreaming) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "n": 2, "stream": true})";
+    auto resp = http::Call(svc.port(), "POST", "/v1/chat/completions", body,
+                           {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    // both choice indices appear in the SSE stream, one [DONE] at the end
+    EXPECT_SUBSTR(resp.body, "\"index\":0");
+    EXPECT_SUBSTR(resp.body, "\"index\":1");
+    EXPECT_SUBSTR(resp.body, "data: [DONE]");
+    size_t done_count = 0;
+    for (size_t p = resp.body.find("[DONE]"); p != std::string::npos;
+         p = resp.body.find("[DONE]", p + 1)) {
+        done_count++;
+    }
+    EXPECT_EQ(done_count, size_t{1});
+    // two finish_reason chunks (one per choice)
+    size_t fin_count = 0;
+    for (size_t p = resp.body.find("\"finish_reason\":\"stop\"");
+         p != std::string::npos;
+         p = resp.body.find("\"finish_reason\":\"stop\"", p + 1)) {
+        fin_count++;
+    }
+    EXPECT_EQ(fin_count, size_t{2});
+}
+
+TEST(Service, BadNRejected) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "n": 99})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         body);
+    EXPECT_EQ(status, 400);
+}
+
+TEST(Service, StreamedLogprobs) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "stream": true, "logprobs": true})";
+    auto resp = http::Call(svc.port(), "POST", "/v1/chat/completions", body,
+                           {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    // each delta chunk carries the logprobs of the tokens it delivered
+    EXPECT_SUBSTR(resp.body, "\"logprobs\":{\"content\":[{");
+    EXPECT_SUBSTR(resp.body, "\"logprob\":-0.25");
+    EXPECT_SUBSTR(resp.body, "\"token\":\"hello \"");
 }
 
 }  // namespace
