@@ -98,7 +98,9 @@ def run_serving(args, spec, cfg, log) -> int:
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if spec["bits"]:
         params = quant.quantize_tree(params, spec["bits"])
-        params = jax.tree.map(jax.device_put, params)
+    if not args.no_fuse:
+        params = llama.fuse_projections(params)
+    params = jax.tree.map(jax.device_put, params)
     tok = Tokenizer.byte_fallback(cfg.vocab_size)
     engine = Engine(cfg, params, tok, EngineConfig(
         batch_slots=args.batch, max_seq=args.max_seq,
@@ -151,23 +153,37 @@ def run_serving(args, spec, cfg, log) -> int:
     engine.shutdown()
 
     tok_per_s = total_tokens / dt
+    # honest denominator: decode speed-of-light at the workload's mean live
+    # context (prompt + half the completion), full slots — serving can never
+    # beat the decode stream it schedules
+    mean_ctx = args.prefill_len + args.gen_tokens // 2
+    kv_bpt = 2 * cfg.num_kv_heads * cfg.head_dim * (
+        1 if spec["kv_quant"] else 2) + (8 if spec["kv_quant"] else 0)
+    wbytes = _tree_bytes(params)
+    if isinstance(params, dict) and params.get("lm_head") is not None:
+        wbytes -= params["embed"].nbytes
+    sol_step = (wbytes + args.batch * mean_ctx * cfg.num_layers * kv_bpt) / (
+        _device_hbm_gbps() * 1e9)
+    sol_tok_s = args.batch / sol_step
     print(json.dumps({
         "metric": f"serving throughput {args.config} "
                   f"(slots={args.batch}, prompt~{args.prefill_len}, "
                   f"gen={args.gen_tokens})",
         "value": round(tok_per_s, 1),
         "unit": "tok/s/chip",
-        "vs_baseline": round(stats.get("p50_ttft_ms", 0.0), 1),
+        "vs_baseline": round(tok_per_s / sol_tok_s, 3),
         "detail": {
             "requests": n_requests,
             "wall_s": round(dt, 2),
             "p50_ttft_ms": stats.get("p50_ttft_ms"),
             "completion_tokens": total_tokens,
+            "sol_tok_s": round(sol_tok_s, 0),
             "device": jax.devices()[0].device_kind,
-            "note": "vs_baseline field carries p50 TTFT ms (reference "
-                    "publishes no numbers, see BASELINE.md); weights are "
-                    "random and the tokenizer is byte-fallback — valid for "
-                    "throughput/latency, not output quality",
+            "note": "vs_baseline = fraction of decode HBM speed-of-light "
+                    "at the mean live context (reference publishes no "
+                    "numbers, see BASELINE.md); weights are random and the "
+                    "tokenizer is byte-fallback — valid for throughput/"
+                    "latency, not output quality",
         },
     }))
     return 0
@@ -188,6 +204,9 @@ def main() -> int:
                    help="seconds each timed region must cover")
     p.add_argument("--prefill-len", type=int, default=512)
     p.add_argument("--json-only", action="store_true")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="keep qkv/gate-up projections UNFUSED (A/B the "
+                        "fused-group kernel calls)")
     p.add_argument("--serving", action="store_true",
                    help="benchmark through the continuous-batching engine "
                         "(concurrent requests, p50 TTFT) instead of raw "
@@ -219,7 +238,9 @@ def main() -> int:
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if spec["bits"]:
         params = quant.quantize_tree(params, spec["bits"])
-        params = jax.tree.map(jax.device_put, params)
+    if not args.no_fuse:
+        params = llama.fuse_projections(params)
+    params = jax.tree.map(jax.device_put, params)
     cache = create_cache(cfg, args.batch, args.max_seq,
                          dtype=jnp.bfloat16, quantized=spec["kv_quant"])
     weight_bytes = _tree_bytes(params)
@@ -254,9 +275,18 @@ def main() -> int:
     positions = jnp.full((b,), args.context, jnp.int32)
     active = jnp.ones((b,), bool)
 
+    # live-context window bucket, exactly as the engine picks it (power-of-
+    # two ladder from the flash kernel's chunk): long provisioned windows
+    # price at the live context
+    window = 1024
+    while window < args.context + args.steps + 2:
+        window *= 2
+    window = min(window, args.max_seq)
+
     def run(cache, sstate):
         out, _, _, _, _, _, cache, sstate = generate.decode_loop(
-            params, cfg, tokens, positions, active, cache, sstate, args.steps)
+            params, cfg, tokens, positions, active, cache, sstate, args.steps,
+            window=window)
         return out, cache, sstate
 
     out, cache, sstate = run(cache, sstate)

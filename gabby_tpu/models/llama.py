@@ -66,22 +66,75 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     return params
 
 
+def fuse_projections(params: Params) -> Params:
+    """Concatenate same-activation projections along the OUTPUT axis:
+    wq|wk|wv -> wqkv and w_gate|w_up -> w_gup. The forward pass then runs
+    ONE matmul per group — for quantized decode that means one stacked
+    Pallas call streaming all three weights against a single activation
+    slab instead of three opaque calls re-fetching it (fewer kernel-call
+    barriers, more DMA for the unpack work to hide behind; the VERDICT-r2
+    lever for the INT4 MFU gap).
+
+    Valid on QTensor leaves (codes and per-channel scales concat along the
+    output axis) and dense [L, in, out] leaves. SINGLE-SHARD layouts only:
+    column-sharding a concatenated weight would deal each device a mix of
+    q/k/v columns, so callers fuse only when the mesh has no model axis
+    (engine/server guard). Returns a NEW params dict; the unfused leaves
+    are dropped."""
+    from gabby_tpu.ops.quant import QTensor
+
+    def cat(leaves):
+        if isinstance(leaves[0], QTensor):
+            bits = {l.bits for l in leaves}
+            assert len(bits) == 1, "cannot fuse mixed-precision projections"
+            return QTensor(
+                q=jnp.concatenate([l.q for l in leaves], axis=-1),
+                scale=jnp.concatenate([l.scale for l in leaves], axis=-1),
+                bits=leaves[0].bits)
+        return jnp.concatenate(leaves, axis=-1)
+
+    blocks = dict(params["blocks"])
+    if "wq" in blocks:
+        blocks["wqkv"] = cat([blocks.pop("wq"), blocks.pop("wk"),
+                              blocks.pop("wv")])
+    if "w_gate" in blocks:
+        blocks["w_gup"] = cat([blocks.pop("w_gate"), blocks.pop("w_up")])
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 def _qkv(cfg: ModelConfig, blk: Params, x: jnp.ndarray, positions: jnp.ndarray,
          inv_freq, layer=None) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, t, _ = x.shape
-    q = linear(x, blk["wq"], layer).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = linear(x, blk["wk"], layer).reshape(b, t, cfg.num_kv_heads,
-                                            cfg.head_dim)
-    v = linear(x, blk["wv"], layer).reshape(b, t, cfg.num_kv_heads,
-                                            cfg.head_dim)
+    if "wqkv" in blk:
+        qkv = linear(x, blk["wqkv"], layer)
+        q = qkv[..., :cfg.q_dim]
+        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = linear(x, blk["wq"], layer).reshape(b, t, cfg.num_heads,
+                                                cfg.head_dim)
+        k = linear(x, blk["wk"], layer).reshape(b, t, cfg.num_kv_heads,
+                                                cfg.head_dim)
+        v = linear(x, blk["wv"], layer).reshape(b, t, cfg.num_kv_heads,
+                                                cfg.head_dim)
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
     return q, k, v
 
 
 def _mlp(blk: Params, x: jnp.ndarray, layer=None) -> jnp.ndarray:
-    gate = jax.nn.silu(linear(x, blk["w_gate"], layer).astype(jnp.float32))
-    up = linear(x, blk["w_up"], layer).astype(jnp.float32)
+    if "w_gup" in blk:
+        gu = linear(x, blk["w_gup"], layer).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        gate = jax.nn.silu(gate)
+    else:
+        gate = jax.nn.silu(linear(x, blk["w_gate"], layer).astype(jnp.float32))
+        up = linear(x, blk["w_up"], layer).astype(jnp.float32)
     return linear((gate * up).astype(x.dtype), blk["w_down"], layer)
 
 
@@ -220,7 +273,9 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-                positions: jnp.ndarray, cache
+                positions: jnp.ndarray, cache, *,
+                window: Optional[int] = None,
+                attn_positions: Optional[jnp.ndarray] = None
                 ) -> tuple[jnp.ndarray, "KVCache"]:
     """One decode step for a batch of slots.
 
@@ -229,11 +284,22 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
       (== number of tokens already in the slot).
     cache: dense KVCache or runtime/paged.PagedKVCache (dispatched here so
     every caller — decode_loop, tests, the engine — is layout-agnostic).
+    window: STATIC upper bound on every slot's live context (attention
+      reads only the first `window` cache rows; the flash kernel's grid
+      shrinks to match — an 8k-provisioned cache serving 512-token contexts
+      prices like a 512-row cache). Caller guarantees positions whose
+      output matters are < window.
+    attn_positions: [B] i32 — attention read bound per slot when it should
+      differ from `positions` (the engine pins PARKED slots to 1 so a dead
+      lane streams one chunk, not the whole window; writes still land at
+      `positions`, preserving the park-row invariant).
     Returns (f32 logits [B, V], updated cache).
     """
     from gabby_tpu.runtime.paged import PagedKVCache
     if isinstance(cache, PagedKVCache):
-        return _decode_step_paged(params, cfg, tokens, positions, cache)
+        return _decode_step_paged(params, cfg, tokens, positions, cache,
+                                  attn_positions=attn_positions)
+    read_pos = positions if attn_positions is None else attn_positions
     b = tokens.shape[0]
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     pos2d = positions[:, None]  # [B, 1]
@@ -270,14 +336,15 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if quantized:
             attn = cache_attention_quantized(
                 q, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                positions, layer=layer, fresh_k=fresh_k, fresh_v=fresh_v)
+                read_pos, layer=layer, fresh_k=fresh_k, fresh_v=fresh_v,
+                window=window)
             k_codes, k_s = quantize_kv(k)  # [B, 1, Nk, H], [B, 1, Nk]
             v_codes, v_s = quantize_kv(v)
             ys = (k_codes[:, 0], v_codes[:, 0], k_s[:, 0], v_s[:, 0])
         else:
-            attn = cache_attention(q, cache.k, cache.v, positions,
+            attn = cache_attention(q, cache.k, cache.v, read_pos,
                                    layer=layer, fresh_k=fresh_k,
-                                   fresh_v=fresh_v)
+                                   fresh_v=fresh_v, window=window)
             ys = (fresh_k.astype(cache.k.dtype),
                   fresh_v.astype(cache.v.dtype))
         h = h + linear(attn.reshape(b, 1, cfg.q_dim), blocks["wo"],
@@ -328,12 +395,14 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-                       positions: jnp.ndarray, cache):
+                       positions: jnp.ndarray, cache, *,
+                       attn_positions: Optional[jnp.ndarray] = None):
     """decode_step against a paged pool: attention reads physical pages via
     the scalar-prefetched page table; the post-scan write chain resolves
     each slot's physical page with one device-side table lookup."""
     from gabby_tpu.ops.attention import paged_cache_attention
 
+    read_pos = positions if attn_positions is None else attn_positions
     b = tokens.shape[0]
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     pos2d = positions[:, None]
@@ -348,7 +417,7 @@ def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = _qkv(cfg, blocks, xn, pos2d, inv_freq, layer=layer)
         fresh_k, fresh_v = k[:, 0], v[:, 0]
         attn = paged_cache_attention(
-            q, cache.k, cache.v, cache.page_table, positions,
+            q, cache.k, cache.v, cache.page_table, read_pos,
             cache.k_scale, cache.v_scale, layer=layer,
             fresh_k=fresh_k, fresh_v=fresh_v)
         if quantized:
@@ -507,7 +576,9 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
-                positions0: jnp.ndarray, cache: KVCache
+                positions0: jnp.ndarray, cache: KVCache, *,
+                window: Optional[int] = None,
+                attn_positions: Optional[jnp.ndarray] = None
                 ) -> tuple[jnp.ndarray, KVCache]:
     """Speculative-decoding verify pass: score T candidate tokens per slot
     in ONE forward (the whole point: the weights stream once for T
@@ -528,6 +599,7 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
     generalization of the fresh-row decode contract).
     """
     b, t = tokens_bt.shape
+    read_pos = positions0 if attn_positions is None else attn_positions
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     positions = positions0[:, None] + jnp.arange(t, dtype=jnp.int32)  # [B,T]
     h = jnp.take(params["embed"], tokens_bt, axis=0)  # [B, T, D]
@@ -557,11 +629,11 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
             # all T candidate queries
             from gabby_tpu.ops.pallas import attention as pattn
             attn = pattn.verify_attention(
-                q, cache.k, cache.v, positions0,
+                q, cache.k, cache.v, read_pos,
                 cache.k_scale if quantized else None,
                 cache.v_scale if quantized else None,
                 layer=layer, fresh_k=kT.astype(q.dtype),
-                fresh_v=vT.astype(q.dtype))
+                fresh_v=vT.astype(q.dtype), window=window)
         else:
             # reference path: [B, S] cache rows masked j < positions0,
             # plus the block itself with a causal mask
@@ -582,7 +654,7 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
             vv = jnp.concatenate([vv, v.astype(q.dtype)], axis=1)
             s = s_max
             cache_mask = (jnp.arange(s)[None, None, :]
-                          < positions0[:, None, None])      # [B, 1, S]
+                          < read_pos[:, None, None])        # [B, 1, S]
             cache_mask = jnp.broadcast_to(cache_mask, (b, t, s))
             self_mask = (jnp.arange(t)[None, :, None]
                          >= jnp.arange(t)[None, None, :])   # [1, T, T]

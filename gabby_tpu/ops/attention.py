@@ -103,6 +103,7 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     layer = kw.pop("layer", None)
     fresh_k = kw.pop("fresh_k", None)
     fresh_v = kw.pop("fresh_v", None)
+    window = kw.pop("window", None)
     assert not kw, f"unknown kwargs {kw}"
     nk = k_cache.shape[2 if layer is not None else 1]
     s_max = k_cache.shape[3 if layer is not None else 2]
@@ -112,7 +113,8 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             from gabby_tpu.ops.pallas import attention as pattn
             return pattn.decode_attention(q, k_cache, v_cache, positions,
                                           layer=layer, fresh_k=fresh_k,
-                                          fresh_v=fresh_v, scale=scale)
+                                          fresh_v=fresh_v, scale=scale,
+                                          window=window)
     if layer is not None:  # slice this layer out of the stacked cache
         k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, False)
@@ -217,6 +219,7 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
     layer = kw.pop("layer", None)
     fresh_k = kw.pop("fresh_k", None)
     fresh_v = kw.pop("fresh_v", None)
+    window = kw.pop("window", None)
     assert not kw, f"unknown kwargs {kw}"
     nk = k_codes.shape[2 if layer is not None else 1]
     s_max = k_codes.shape[3 if layer is not None else 2]
@@ -228,7 +231,7 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
         return pattn.decode_attention(q, k_codes, v_codes, positions,
                                       k_scale, v_scale, layer=layer,
                                       fresh_k=fresh_k, fresh_v=fresh_v,
-                                      scale=scale)
+                                      scale=scale, window=window)
     if layer is not None:
         k_codes = jax.lax.dynamic_index_in_dim(k_codes, layer, 0, False)
         v_codes = jax.lax.dynamic_index_in_dim(v_codes, layer, 0, False)

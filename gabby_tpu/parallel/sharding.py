@@ -40,6 +40,12 @@ PARAM_RULES: dict[str, P] = {
     "blocks/wq": _COL,
     "blocks/wk": _COL,
     "blocks/wv": _COL,
+    # fused projections (llama.fuse_projections): only valid when the mesh
+    # has no real model axis (size 1) — column-sharding a concatenated
+    # weight would deal each device a mix of q/k/v (or gate/up) columns.
+    # The specs exist so dp-only meshes can place fused trees.
+    "blocks/wqkv": _COL,
+    "blocks/w_gup": _COL,
     "blocks/wo": _ROW,
     "blocks/w_gate": _COL,
     "blocks/w_up": _COL,
@@ -79,6 +85,13 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
 
 
 def param_shardings(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
+    blocks = params.get("blocks") if isinstance(params, dict) else None
+    if (mesh.shape.get("model", 1) > 1 and isinstance(blocks, dict)
+            and ("wqkv" in blocks or "w_gup" in blocks)):
+        raise ValueError(
+            "fused projection weights (wqkv/w_gup) cannot be sharded over a "
+            "model axis > 1 — each shard would mix q/k/v (or gate/up) "
+            "columns; keep the tree unfused for tensor parallelism")
     return jax.tree.map(lambda spec: NamedSharding(mesh, spec), param_specs(params),
                         is_leaf=lambda x: isinstance(x, P))
 

@@ -79,10 +79,18 @@ def _build_engine(args, sync=None):
 
     # tensor-parallel placement over local devices when asked
     cache_shardings = None
+    fused = mesh is None or mesh.shape.get("model", 1) == 1
+    if fused:
+        # no model-axis sharding: fuse qkv and gate/up into single matmuls
+        # (one kernel call streams the whole group; see llama.fuse_projections
+        # for why a model-sharded tree must stay unfused)
+        params = llama.fuse_projections(params)
     if mesh is not None:
         from gabby_tpu.parallel import (cache_shardings as mk_cache_sh,
                                         shard_params)
-        if not args.model_dir:  # random weights were built replicated
+        if not args.model_dir or fused:
+            # random weights were built replicated; fused leaves are fresh
+            # concatenations that must be (re-)pinned to the mesh
             params = shard_params(params, mesh)
         cache_shardings = mk_cache_sh(mesh, quantized=args.kv_quant)
 
@@ -128,12 +136,27 @@ def make_handler(engine):
             emit({"error": str(e), "status": 400, "done": True})
             return
         streaming = bool(request.get("stream"))
+        want_lp = bool(request.get("logprobs"))
+        lp_seen = 0  # tokens already attached to streamed chunks
         parts: list[str] = []
         while True:
             delta, fin = req.out.get()
             if delta:
                 if streaming:
-                    if not emit({"delta": delta}):
+                    chunk = {"delta": delta}
+                    if want_lp:
+                        # logprobs of tokens delivered since the last
+                        # chunk (engine appends before each queue push,
+                        # so the prefix read here is complete)
+                        upto = len(req.token_logprobs)
+                        chunk["token_logprobs"] = [
+                            round(x, 6)
+                            for x in req.token_logprobs[lp_seen:upto]]
+                        chunk["tokens"] = [
+                            engine.tokenizer.decode([i])
+                            for i in req.token_ids[lp_seen:upto]]
+                        lp_seen = upto
+                    if not emit(chunk):
                         # client went away: free the slot instead of
                         # generating the rest for nobody, then drain
                         engine.cancel(req)

@@ -73,6 +73,7 @@ class Tokenizer:
         self._b2u = _byte_to_unicode()
         self._u2b = _unicode_to_byte()
         self._bpe_cache: dict[str, tuple[int, ...]] = {}
+        self._raw_cache: dict[int, bytes] = {}
 
     # ---- construction ----
 
@@ -175,6 +176,26 @@ class Tokenizer:
         return ids
 
     # ---- decode ----
+
+    def token_raw(self, i: int) -> Optional[tuple[bool, object]]:
+        """One token's decode payload: (True, literal_text) for added
+        specials, (False, raw_bytes) for regular tokens, None for
+        out-of-vocab ids (dropped, matching decode()). The building block
+        for INCREMENTAL detokenization — streaming callers decode only the
+        newly emitted token's bytes through a codecs incremental UTF-8
+        decoder instead of re-decoding the whole id list per token (the
+        whole-list form made serving's emit path O(n^2) in max_tokens)."""
+        added = self.id_to_added.get(i)
+        if added is not None:
+            return True, added
+        tok = self.id_to_token.get(i)
+        if tok is None:
+            return None
+        cached = self._raw_cache.get(i)
+        if cached is None:
+            cached = bytes(self._u2b[c] for c in tok)
+            self._raw_cache[i] = cached
+        return False, cached
 
     def decode(self, ids: Iterable[int]) -> str:
         out: list[str] = []

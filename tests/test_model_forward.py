@@ -157,3 +157,57 @@ def test_int8_kv_cache_close_to_fp(tiny_setup):
     err = np.max(np.abs(np.asarray(fp_logits) - np.asarray(q_logits)))
     scale = np.max(np.abs(np.asarray(fp_logits)))
     assert err < 0.1 * scale + 0.1
+
+
+# ---- fused qkv / gate-up projections (VERDICT r2 item 1) -------------------
+
+
+@pytest.mark.parametrize("bits", [None, 8, 4])
+def test_fused_projections_match_unfused(bits):
+    """llama.fuse_projections must be a pure layout change: prefill logits
+    and a few decode steps agree with the unfused tree for dense, INT8 and
+    INT4 (packed) weights."""
+    import numpy as np
+    from gabby_tpu.ops import quant
+    from gabby_tpu.runtime.kv_cache import create_cache
+
+    cfg = cfglib.tiny(max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(11),
+                               dtype=jnp.float32)
+    if bits:
+        params = quant.quantize_tree(params, bits)
+    fused = llama.fuse_projections(params)
+    assert "wqkv" in fused["blocks"] and "wq" not in fused["blocks"]
+    assert "w_gup" in fused["blocks"] and "w_gate" not in fused["blocks"]
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 2, 200,
+                              jnp.int32)
+    ref = llama.forward(params, cfg, toks)
+    got = llama.forward(fused, cfg, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # decode steps through both trees stay in lockstep
+    c_ref = create_cache(cfg, 2, 64, dtype=jnp.float32)
+    c_f = create_cache(cfg, 2, 64, dtype=jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    pos = jnp.asarray([0, 0], jnp.int32)
+    for _ in range(3):
+        lr, c_ref = llama.decode_step(params, cfg, t, pos, c_ref)
+        lf, c_f = llama.decode_step(fused, cfg, t, pos, c_f)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                                   rtol=2e-5, atol=2e-5)
+        t = jnp.argmax(lr, -1).astype(jnp.int32)
+        pos = pos + 1
+
+
+def test_fused_projections_rejected_under_model_sharding():
+    from gabby_tpu.parallel import make_mesh, shard_params
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = cfglib.tiny(max_seq_len=32, num_kv_heads=2, num_heads=4)
+    params = llama.fuse_projections(
+        llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32))
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="unfused"):
+        shard_params(params, mesh)

@@ -214,6 +214,82 @@ def test_paged_prefix_sharing_is_zero_copy(setup):
         eng.shutdown()
 
 
+def _reference_ids(cfg, params, tok, prompt_ids, max_tokens):
+    """Greedy continuation of raw prompt ids via the primitives, stopping
+    at the same chat-special stop set the engine uses (submit_ids path)."""
+    from gabby_tpu.tokenizer import ChatFormat
+    stop = ChatFormat(tok).stop_ids()
+    cache = create_cache(cfg, 1, 1024, dtype=jnp.float32)
+    logits, cache = llama.prefill(
+        params, cfg, jnp.asarray([prompt_ids], jnp.int32), cache)
+    out = []
+    t = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    pos = len(prompt_ids)
+    while len(out) < max_tokens:
+        if int(t[0]) in stop:
+            break
+        out.append(int(t[0]))
+        logits, cache = llama.decode_step(
+            params, cfg, t, jnp.asarray([pos], jnp.int32), cache)
+        t = jnp.argmax(logits, -1).astype(jnp.int32)
+        pos += 1
+    return out
+
+
+def test_paged_donor_is_dst_must_not_corrupt_shared_pages(setup):
+    """ADVICE r2 (high): when a new request reuses the prefix RESIDENT IN
+    ITS OWN SLOT (donor == dst), the slot's pages past the common prefix
+    may still be refcount-shared with a live slot that adopted them
+    earlier; suffix-prefilling through the page table in place would write
+    into that slot's KV. Scenario: A live in slot 0 -> B adopts A's prefix
+    pages into slot 1 -> A is cancelled (rows stay resident) -> C lands in
+    slot 0 with a prompt diverging INSIDE the region B shares. B's stream
+    must be byte-identical to the lone-request reference."""
+    import threading
+    import time as _time
+    cfg, params, tok = setup
+    eng = _paged_engine(cfg, params, tok, pages=1 + 30, slots=2,
+                        max_seq=256)
+    try:
+        P = [2 + (i % 200) for i in range(96)]      # shared prefix, 6 pages
+        ids_a = P + [210 + (i % 40) for i in range(16)]   # 112 tokens
+        ids_b = P + [150 + (i % 40) for i in range(16)]   # common(A,B) = 96
+        # C shares only 64 tokens of P, divergence INSIDE B's shared pages
+        ids_c = P[:64] + [100 + (i % 40) for i in range(32)]
+
+        req_a = eng.submit_ids(ids_a, max_tokens=64)
+        for _ in range(2000):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        req_b = eng.submit_ids(ids_b, max_tokens=64)
+        for _ in range(6000):
+            if eng.stats_snapshot()["prefix_hits"] >= 1:
+                break
+            _time.sleep(0.01)
+        assert eng.stats["prefix_hits"] >= 1, "B never adopted A's pages"
+        eng.cancel(req_a)   # slot 0 frees; A's rows stay resident
+        req_c = eng.submit_ids(ids_c, max_tokens=4)
+
+        def drain(req):
+            parts, fin = [], None
+            while fin is None:
+                d, fin = req.out.get(timeout=300)
+                if d:
+                    parts.append(d)
+            return "".join(parts), fin
+
+        out_c, _ = drain(req_c)
+        out_b, fin_b = drain(req_b)
+        drain(req_a)
+        assert fin_b in ("stop", "length"), fin_b
+        ref_b = tok.decode(_reference_ids(cfg, params, tok, ids_b, 64))
+        assert out_b == ref_b, "slot B's KV was corrupted by C's admission"
+        assert out_c == tok.decode(_reference_ids(cfg, params, tok, ids_c, 4))
+    finally:
+        eng.shutdown()
+
+
 def test_paged_pool_exhaustion_fails_gracefully(setup):
     """A prompt the pool cannot back gets an error finish, not a hang."""
     cfg, params, tok = setup

