@@ -16,31 +16,46 @@ Payloads are arbitrary pickled objects, moved with a two-phase broadcast
 from __future__ import annotations
 
 import pickle
-from typing import Any
+import threading
+from typing import Any, Optional
 
 import jax
 import numpy as np
 
 
-class HostSync:
-    """Process-0 -> all broadcast of small host-side control payloads."""
+class HostSyncTimeout(RuntimeError):
+    """A collective did not complete in time: a peer controller is dead or
+    unreachable. The cluster cannot make progress — the caller must fail
+    its in-flight work and stop issuing collectives (the distributed
+    runtime is not recoverable past an abandoned collective)."""
 
-    def __init__(self):
+
+class HostSync:
+    """Process-0 -> all broadcast of small host-side control payloads.
+
+    timeout: seconds a broadcast may block before declaring a peer dead
+    (HostSyncTimeout). The engine's leader heartbeats a no-op plan every
+    <= 2 s when idle, so any wait near the timeout means a process is
+    gone, not merely idle — this is the cluster-level analogue of the
+    request-level socket timeouts (SURVEY §5 "multi-host health
+    checking"): a crashed follower fails the leader's in-flight requests
+    within a bounded time instead of deadlocking it (and vice versa),
+    mirroring the reference's request-level fault discipline
+    (/root/reference/src/http/server.cc:371-378) at the layer it never
+    had."""
+
+    def __init__(self, timeout: Optional[float] = 60.0):
         self.process_index = jax.process_index()
         self.num_processes = jax.process_count()
+        self.timeout = timeout
 
     @property
     def is_leader(self) -> bool:
         return self.process_index == 0
 
-    def broadcast(self, payload: Any = None) -> Any:
-        """Leader passes the payload; followers pass anything (ignored).
-        Returns the leader's payload on every host. Collective: every
-        process must call this at the same point in its loop."""
+    def _broadcast_impl(self, payload: Any) -> Any:
         from jax.experimental import multihost_utils
 
-        if self.num_processes == 1:
-            return payload
         data = pickle.dumps(payload if self.is_leader else None)
         length = multihost_utils.broadcast_one_to_all(
             np.asarray([len(data)], np.int32),
@@ -52,6 +67,41 @@ class HostSync:
         buf = multihost_utils.broadcast_one_to_all(
             buf, is_source=self.is_leader)
         return pickle.loads(buf.tobytes())
+
+    def broadcast(self, payload: Any = None,
+                  timeout: Optional[float] = None) -> Any:
+        """Leader passes the payload; followers pass anything (ignored).
+        Returns the leader's payload on every host. Collective: every
+        process must call this at the same point in its loop. Raises
+        HostSyncTimeout after `timeout` (default: the instance timeout;
+        None = wait forever) — the collective itself cannot be cancelled,
+        so its daemon worker thread is abandoned and no further
+        collectives may be issued."""
+        if self.num_processes == 1:
+            return payload
+        timeout = self.timeout if timeout is None else timeout
+        if timeout is None:
+            return self._broadcast_impl(payload)
+        result: dict = {}
+
+        def work():
+            try:
+                result["value"] = self._broadcast_impl(payload)
+            except BaseException as e:  # noqa: BLE001 — relayed below
+                result["error"] = e
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="hostsync-broadcast")
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            raise HostSyncTimeout(
+                f"plan broadcast did not complete within {timeout:.0f}s "
+                f"(process {self.process_index}/{self.num_processes}): a "
+                f"peer controller is dead or partitioned")
+        if "error" in result:
+            raise result["error"]
+        return result["value"]
 
     def barrier(self, name: str = "gabby") -> None:
         from jax.experimental import multihost_utils

@@ -85,6 +85,13 @@ class EngineConfig:
     # text is self-similar. Auto-disables if measured acceptance is too
     # low to pay for the wider verify. Dense cache only. 0 = off.
     speculate_tokens: int = 0
+    # Admission ordering when requests wait for a slot: "spf" = shortest
+    # prompt first (a short prompt stuck behind a long one otherwise pays
+    # that prompt's whole prefill in TTFT; classic SJF mean-latency win),
+    # "fifo" = arrival order. The starvation guard promotes the OLDEST
+    # waiter once it has aged past spf_age_limit seconds.
+    admission_policy: str = "spf"
+    spf_age_limit: float = 5.0
 
 
 @dataclasses.dataclass
@@ -268,6 +275,10 @@ class Engine:
         # instead of a full prefill.
         self._slot_prompts: list[Optional[list[int]]] = [None] * b
         self._queue: "queue.Queue[Request]" = queue.Queue()
+        # engine-thread-side waiting room: the ingress queue drains here so
+        # admission ORDER is a policy (shortest-prompt-first by default),
+        # not the queue's FIFO
+        self._backlog: list[Request] = []
         self._wake = threading.Event()
         self._shutdown = False
         self._lock = threading.Lock()
@@ -378,7 +389,7 @@ class Engine:
         if ttfts:
             s["p50_ttft_ms"] = round(float(np.median(ttfts)) * 1e3, 2)
         s["active_slots"] = sum(1 for x in self._slots if x is not None)
-        s["queued"] = self._queue.qsize()
+        s["queued"] = self._queue.qsize() + len(self._backlog)
         return s
 
     def shutdown(self) -> None:
@@ -516,6 +527,44 @@ class Engine:
             return -1, 0
         return best, best_common
 
+    def _drain_ingress(self) -> None:
+        """Move ingress-queue arrivals into the backlog, dropping entries
+        cancelled before admission."""
+        while True:
+            try:
+                self._backlog.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        kept = []
+        for r in self._backlog:
+            if r.cancelled:
+                r.out.put((None, "cancelled"))
+            else:
+                kept.append(r)
+        self._backlog = kept
+
+    def _pop_next_admission(self) -> Optional[Request]:
+        """Admission policy: shortest prompt first (minimizes mean TTFT —
+        a short request behind a long one otherwise waits that prompt's
+        whole prefill), except the OLDEST waiter goes first once it has
+        aged past spf_age_limit (starvation guard). Leader-only decision;
+        followers see the result through the plan."""
+        self._drain_ingress()
+        if not self._backlog:
+            return None
+        if self.ec.admission_policy == "spf":
+            oldest = min(range(len(self._backlog)),
+                         key=lambda i: self._backlog[i].submit_ts)
+            if (time.monotonic() - self._backlog[oldest].submit_ts
+                    > self.ec.spf_age_limit):
+                ix = oldest
+            else:
+                ix = min(range(len(self._backlog)),
+                         key=lambda i: (len(self._backlog[i].prompt_ids), i))
+        else:
+            ix = 0
+        return self._backlog.pop(ix)
+
     def _select_burst(self) -> Optional[dict]:
         """Leader-side burst selection: when >= 2 slots are free and
         several requests with the same chunk schedule are queued, group
@@ -526,35 +575,32 @@ class Engine:
         Restricted to prompts <= 2 chunks so the static-offset schedule
         stays a handful of compiles. Returns the broadcastable spec."""
         free = self._free_slots()
-        if len(free) < 2 or self._queue.qsize() < 2:
+        if len(free) < 2:
             return None
-        drained: list[Request] = []
-        while len(drained) < 4 * len(self._slots):
-            try:
-                drained.append(self._queue.get_nowait())
-            except queue.Empty:
+        self._drain_ingress()
+        if len(self._backlog) < 2:
+            return None
+        # anchor the group's schedule on the admission policy's next pick
+        anchor = (min(self._backlog, key=lambda r: len(r.prompt_ids))
+                  if self.ec.admission_policy == "spf" else self._backlog[0])
+        key0 = self._chunk_schedule(len(anchor.prompt_ids))
+        group = []
+        for r in self._backlog:
+            if len(group) >= len(free):
                 break
-        key0 = self._chunk_schedule(len(drained[0].prompt_ids))
-        group, rest = [], []
-        for r in drained:
             sched = self._chunk_schedule(len(r.prompt_ids))
             # a request with a strong resident-prefix match admits far
             # cheaper through the single path (row copy + tiny suffix
             # prefill) than through a full batched prefill
             _, common = self._find_donor(r.prompt_ids)
             if common * 2 >= len(r.prompt_ids):
-                rest.append(r)
-            elif (sched == key0 and len(sched) <= 2
-                    and len(group) < len(free)):
+                continue
+            if sched == key0 and len(sched) <= 2:
                 group.append(r)
-            else:
-                rest.append(r)
-        for r in rest:
-            self._queue.put(r)
         if len(group) < 2:
-            for r in group:
-                self._queue.put(r)
             return None
+        for r in group:
+            self._backlog.remove(r)
         self._burst_reqs = group
         return {"sched": key0,
                 "slots": free[:len(group)],
@@ -777,6 +823,9 @@ class Engine:
                 if slot is not None:
                     slot.request.out.put((None, f"error: engine died: {e}"))
                     self._slots[slot_ix] = None
+            for req in self._backlog:
+                req.out.put((None, f"error: engine died: {e}"))
+            self._backlog.clear()
             while True:
                 try:
                     self._queue.get_nowait().out.put(
@@ -814,21 +863,14 @@ class Engine:
             else:
                 free = self._free_slots()
                 if free:
-                    try:
-                        while True:
-                            req = self._queue.get_nowait()
-                            if not req.cancelled:
-                                break
-                            # cancelled while queued: never admitted
-                            req.out.put((None, "cancelled"))
+                    req = self._pop_next_admission()
+                    if req is not None:
                         self._pending_admit = req
                         donor, common = self._find_donor(req.prompt_ids)
                         plan["admit"] = {"slot": free[0],
                                          "ids": list(req.prompt_ids),
                                          "meta": self._req_meta(req),
                                          "donor": donor, "common": common}
-                    except queue.Empty:
-                        pass
         if (admitting is None and "burst" not in plan and "admit" not in plan
                 and not any(s is not None for s in self._slots)):
             return None
@@ -841,7 +883,7 @@ class Engine:
         busy = admitting is not None or "admit" in plan
         steps = (self.ec.steps_per_call_busy if busy
                  else self.ec.steps_per_call)
-        if not busy and not self._queue.empty():
+        if not busy and (self._backlog or not self._queue.empty()):
             # requests are waiting on a slot: don't decode past the
             # nearest PREDICTABLE free-up (a slot hitting max_tokens), so
             # the admission starts the very next iteration
@@ -1113,6 +1155,9 @@ class Engine:
         for slot_ix in range(len(self._slots)):
             if self._slots[slot_ix] is not None:
                 self._finish(slot_ix, "abort")
+        for req in self._backlog:
+            req.out.put((None, "abort"))
+        self._backlog.clear()
         while True:
             try:
                 req = self._queue.get_nowait()

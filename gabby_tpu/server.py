@@ -247,6 +247,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--model-id", default="")
     p.add_argument("--log-level", type=int, default=3,
                    help="front-end log level (0 off .. 4 debug)")
+    p.add_argument("--sync-timeout", type=float, default=60.0,
+                   help="multi-host: seconds a plan broadcast may block "
+                        "before the peer is declared dead and in-flight "
+                        "requests fail (0 = wait forever)")
     p.add_argument("--profiler-port", type=int, default=0,
                    help="start a jax.profiler trace server on this port")
     args = p.parse_args(argv)
@@ -261,7 +265,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         initialize_multihost(args.coordinator,
                              args.num_processes or None,
                              args.process_id if args.process_id >= 0 else None)
-        sync = HostSync()
+        sync = HostSync(timeout=args.sync_timeout or None)
 
     from gabby_tpu.bridge import NativeServer
 

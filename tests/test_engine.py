@@ -646,3 +646,50 @@ def test_incremental_detok_is_o1_per_token():
     deltas, _ = _drive_emit(tok, [ord("a")] * 500)
     assert "".join(deltas) == "a" * 500
     assert calls["decode"] == 0, "emit path re-decoded the full sequence"
+
+
+def test_shortest_prompt_first_admission(setup):
+    """With one slot busy and a long + a short prompt waiting, the short
+    prompt must be admitted (and finish) first — SPF beats FIFO on mean
+    TTFT (VERDICT r2 item 2); the FIFO policy preserves arrival order."""
+    import threading
+    import time as _time
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=1, max_seq=256, steps_per_call=2,
+                              steps_per_call_busy=2, default_max_tokens=8,
+                              cache_dtype="float32",
+                              # compile storms at engine start age every
+                              # waiter past a realistic guard; the test is
+                              # about ORDER, so park the guard far away
+                              spf_age_limit=600.0))
+    try:
+        blocker = eng.submit_ids(list(range(2, 10)), max_tokens=24)
+        for _ in range(2000):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        long_req = eng.submit_ids([2 + (i % 200) for i in range(180)],
+                                  max_tokens=4)
+        _time.sleep(0.05)  # long arrives first
+        short_req = eng.submit_ids(list(range(2, 12)), max_tokens=4)
+
+        done = {}
+
+        def drain(name, req):
+            fin = None
+            while fin is None:
+                _, fin = req.out.get(timeout=300)
+            done[name] = _time.monotonic()
+
+        ts = [threading.Thread(target=drain, args=(n, r))
+              for n, r in [("blocker", blocker), ("long", long_req),
+                           ("short", short_req)]]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert done["short"] < done["long"], (
+            "short prompt did not overtake the earlier long prompt")
+    finally:
+        eng.shutdown()

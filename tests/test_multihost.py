@@ -109,9 +109,9 @@ records = []
 orig_finish = Engine._finish
 def rec_finish(self, slot_ix, reason):
     s = self._slots[slot_ix]
-    if s is not None and s.emitted_ids:
+    if s is not None and s.request.token_ids:
         records.append((tuple(s.request.prompt_ids),
-                        tuple(s.emitted_ids)))
+                        tuple(s.request.token_ids)))
     orig_finish(self, slot_ix, reason)
 Engine._finish = rec_finish
 
@@ -205,6 +205,110 @@ def _run_workers(tmp_path, worker_src, nprocs, timeout=420):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(out)
     return outs
+
+
+KILL_WORKER = r'''
+import os, sys, threading, time
+import numpy as np
+
+port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, os.getcwd())
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+import jax.numpy as jnp
+from gabby_tpu.config import tiny
+from gabby_tpu.models import llama
+from gabby_tpu.ops import quant
+from gabby_tpu.parallel import cache_shardings, make_mesh, shard_params
+from gabby_tpu.parallel.multihost import HostSync
+from gabby_tpu.runtime.engine import Engine, EngineConfig
+from gabby_tpu.tokenizer import Tokenizer
+
+sync = HostSync(timeout=8.0)
+mesh = make_mesh(dp=1, tp=jax.device_count())
+cfg = tiny(num_heads=2 * jax.device_count(), num_kv_heads=jax.device_count(),
+           head_dim=8, hidden_size=32, intermediate_size=64,
+           vocab_size=256, max_seq_len=128)
+params = shard_params(
+    quant.quantize_tree(
+        llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32), 8),
+    mesh)
+tok = Tokenizer.byte_fallback(cfg.vocab_size)
+eng = Engine(cfg, params, tok,
+             EngineConfig(batch_slots=2, max_seq=128, steps_per_call=2,
+                          steps_per_call_busy=2, default_max_tokens=100,
+                          cache_dtype="float32"),
+             cache_shardings=cache_shardings(mesh, quantized=False),
+             stop_ids={1}, sync=sync)
+
+if sync.is_leader:
+    # keep requests flowing; after the follower dies mid-serving, an
+    # in-flight request must FAIL (not hang) within the sync timeout
+    t0 = time.monotonic()
+    detected = None
+    while time.monotonic() - t0 < 120 and detected is None:
+        req = eng.submit_ids(list(range(2, 30)), max_tokens=60)
+        fin = None
+        while fin is None:
+            try:
+                d, fin = req.out.get(timeout=120)
+            except Exception:
+                break
+        if fin is not None and (fin.startswith("error") or fin == "abort"):
+            detected = time.monotonic() - t0
+    print("LEADER_DETECTED", detected, flush=True)
+    os._exit(0 if detected is not None and detected < 60 else 3)
+else:
+    # die abruptly mid-serving a few seconds in
+    threading.Timer(4.0, lambda: os._exit(7)).start()
+    eng._thread.join(timeout=300)
+'''
+
+
+@pytest.mark.parametrize("nprocs", [2])
+def test_follower_death_fails_leader_requests(tmp_path, nprocs):
+    """Multi-host failure semantics (VERDICT r2 item 7): a follower that
+    dies mid-collective must NOT deadlock the leader inside the plan
+    broadcast — in-flight requests error out within the HostSync timeout
+    and the leader exits cleanly."""
+    import socket
+    import time as _time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(KILL_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    t0 = _time.monotonic()
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(port), str(i),
+                          str(nprocs)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+        for i in range(nprocs)
+    ]
+    try:
+        lead_out, lead_err = procs[0].communicate(timeout=240)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        pytest.fail("leader hung after follower death — no timeout fired")
+    procs[1].communicate(timeout=60)
+    assert procs[1].returncode == 7, "follower did not die as scripted"
+    assert procs[0].returncode == 0, (
+        f"leader did not fail requests cleanly:\n{lead_out}\n"
+        f"{lead_err[-3000:]}")
+    assert "LEADER_DETECTED" in lead_out
+    assert _time.monotonic() - t0 < 240
 
 
 @pytest.mark.parametrize("nprocs", [2])

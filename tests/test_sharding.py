@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,3 +98,26 @@ def test_sampling_under_mesh(setup):
         top_p=jnp.ones(4)))(logits)
     np.testing.assert_array_equal(np.asarray(toks),
                                   np.argmax(np.asarray(logits), -1))
+
+
+def test_bench_mesh_mode_runs_end_to_end():
+    """`bench.py --tp/--dp` must run the whole decode bench over a virtual
+    mesh and emit the JSON schema with the mesh shape (VERDICT r2 item 8 —
+    on real hardware this same command IS the scaling-efficiency record)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "bench.py", "--tp", "2", "--dp", "2",
+         "--cpu-devices", "4", "--config", "tiny", "--batch", "4",
+         "--context", "32", "--max-seq", "64", "--steps", "4",
+         "--min-time", "0.1", "--prefill-len", "16", "--json-only"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = _json.loads(line)
+    assert rec["unit"] == "tok/s/chip"
+    assert rec["detail"]["mesh"] == {"dp": 2, "tp": 2}
+    assert rec["value"] > 0
