@@ -173,6 +173,10 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     lane_mask: optional [B] bool — cache rows are written ONLY for masked
     lanes (partial-burst admission: a group of free slots batch-prefills
     while other slots' live decode state stays untouched)."""
+    from gabby_tpu.runtime.paged import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        return _prefill_hidden_paged(params, cfg, tokens, cache,
+                                     offset=offset, lane_mask=lane_mask)
     b, t = tokens.shape
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     positions = jnp.broadcast_to(offset + jnp.arange(t, dtype=jnp.int32), (b, t))
@@ -269,6 +273,88 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         new_cache = KVCache(k=ys[0], v=ys[1], k_scale=ys[2], v_scale=ys[3])
     else:
         new_cache = KVCache(k=ys[0], v=ys[1], k_scale=None, v_scale=None)
+    return h, new_cache
+
+
+def _prefill_hidden_paged(params: Params, cfg: ModelConfig,
+                          tokens: jnp.ndarray, cache, *, offset: int = 0,
+                          lane_mask: Optional[jnp.ndarray] = None):
+    """Batched (burst) chunk prefill against the paged pool: every lane's
+    chunk rows land in its own pages via ONE lane-masked page-granular
+    write per layer stack (paged.write_batch_chunk; masked-out lanes
+    write to the scratch page). Prior rows (chunked prefill, offset > 0)
+    are gathered to a dense [B, ...] view once per chunk — a
+    per-admission cost, never per-step. offset and the chunk length must
+    be page-aligned (the engine's paged bucket ladder guarantees it)."""
+    from gabby_tpu.runtime.paged import write_batch_chunk
+
+    b, t = tokens.shape
+    ps = cache.page_size
+    assert offset % ps == 0 and t % ps == 0, (offset, t, ps)
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    positions = jnp.broadcast_to(offset + jnp.arange(t, dtype=jnp.int32),
+                                 (b, t))
+    h = jnp.take(params["embed"], tokens, axis=0)
+    quantized = cache.quantized
+    blocks = params["blocks"]
+    mask = (jnp.ones((b,), bool) if lane_mask is None else lane_mask)
+
+    xs_prior = ()
+    if offset > 0:
+        phys = cache.page_table[:, :offset // ps]  # [B, np]
+
+        def densify(pool):
+            g = jnp.take(pool, phys, axis=0)   # [B, np, L, Nk, page, ...]
+            g = jnp.moveaxis(g, 1, 3)          # [B, L, Nk, np, page, ...]
+            g = g.reshape(b, g.shape[1], g.shape[2], -1, *g.shape[5:])
+            return jnp.moveaxis(g, 1, 0)       # [L, B, Nk, S', ...]
+
+        xs_prior = (densify(cache.k), densify(cache.v))
+        if quantized:
+            xs_prior += (densify(cache.k_scale), densify(cache.v_scale))
+
+    def body(carry, xs):
+        h, layer = carry
+        (attn_norm, mlp_norm), *prior = xs
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, positions, inv_freq, layer=layer)
+        if offset == 0:
+            kk, vv = k, v  # fresh prompt: the chunk attends itself
+        else:
+            kc, vc = prior[0], prior[1]
+            if quantized:
+                kk = dequantize_kv(kc, prior[2], k.dtype)
+                vv = dequantize_kv(vc, prior[3], v.dtype)
+            else:
+                kk, vv = kc.astype(k.dtype), vc.astype(v.dtype)
+            kk = jnp.swapaxes(kk, 1, 2)  # [B, S', Nk, H]
+            vv = jnp.swapaxes(vv, 1, 2)
+            kk = jnp.concatenate([kk, k], axis=1)
+            vv = jnp.concatenate([vv, v], axis=1)
+        attn = causal_attention(q, kk, vv, q_offset=offset)
+        kT = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, H]
+        vT = jnp.swapaxes(v, 1, 2)
+        if quantized:
+            k_codes, k_s = quantize_kv(kT)
+            v_codes, v_s = quantize_kv(vT)
+            ys = (k_codes, v_codes, k_s, v_s)
+        else:
+            ys = (kT.astype(cache.k.dtype), vT.astype(cache.v.dtype))
+        h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
+        return (h, layer + 1), ys
+
+    norms = (blocks["attn_norm"], blocks["mlp_norm"])
+    (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), (norms,) + xs_prior)
+
+    if quantized:
+        new_cache = write_batch_chunk(cache, offset, ys[0], ys[1], ys[2],
+                                      ys[3], mask)
+    else:
+        new_cache = write_batch_chunk(cache, offset, ys[0], ys[1], None,
+                                      None, mask)
     return h, new_cache
 
 
@@ -598,6 +684,10 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
     itself causally at full precision (the batched, per-slot-offset
     generalization of the fresh-row decode contract).
     """
+    from gabby_tpu.runtime.paged import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        return _verify_step_paged(params, cfg, tokens_bt, positions0, cache,
+                                  attn_positions=attn_positions)
     b, t = tokens_bt.shape
     read_pos = positions0 if attn_positions is None else attn_positions
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
@@ -706,6 +796,128 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
         new_cache = KVCache(k=write_all(cache.k, ys[0], True),
                             v=write_all(cache.v, ys[1], True),
                             k_scale=None, v_scale=None)
+    return logits, new_cache
+
+
+def _verify_step_paged(params: Params, cfg: ModelConfig,
+                       tokens_bt: jnp.ndarray, positions0: jnp.ndarray,
+                       cache, *, attn_positions=None):
+    """verify_step against the paged pool. Attention uses the paged flash
+    verify kernel (one pool pass for all T candidates; physical pages via
+    scalar prefetch); off-kernel (CPU tests) it gathers a dense view and
+    reuses the dense verify math. Writes land ROW-at-a-time through the
+    page table (a [T]-row block may straddle a page boundary; T is small,
+    so T*B tiny in-place writes beat gather/scatter gymnastics). Rows for
+    positions past a slot's current page allocation are routed to the
+    SCRATCH page (stale table entries), so no clamping is needed — the
+    engine provisions pages to the verify horizon before each call."""
+    from gabby_tpu.ops import pallas as pk
+    from gabby_tpu.ops.attention import paged_cache_attention
+
+    b, t = tokens_bt.shape
+    read_pos = positions0 if attn_positions is None else attn_positions
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    positions = positions0[:, None] + jnp.arange(t, dtype=jnp.int32)
+    h = jnp.take(params["embed"], tokens_bt, axis=0)
+    quantized = cache.quantized
+    blocks = params["blocks"]
+    use_kernel = pk.kernels_enabled() and cfg.num_heads % cfg.num_kv_heads == 0
+
+    def body(carry, norms):
+        h, layer = carry
+        attn_norm, mlp_norm = norms
+        xn = rms_norm(h, attn_norm, cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, blocks, xn, positions, inv_freq, layer=layer)
+        kT = jnp.swapaxes(k, 1, 2)  # [B, Nk, T, H]
+        vT = jnp.swapaxes(v, 1, 2)
+        if use_kernel:
+            from gabby_tpu.ops.pallas import attention as pattn
+            attn = pattn.paged_verify_attention(
+                q, cache.k, cache.v, cache.page_table, read_pos,
+                cache.k_scale, cache.v_scale, layer=layer,
+                fresh_k=kT.astype(q.dtype), fresh_v=vT.astype(q.dtype))
+        else:
+            # reference path: gather the pool dense, then the T-query
+            # block attends rows j < read_pos plus itself causally —
+            # expressed as T single-row paged attentions would lose the
+            # causal self-block, so densify and mask directly
+            def dense(pool):
+                plane = jax.lax.dynamic_index_in_dim(pool, layer, 1, False)
+                g = jnp.take(plane, cache.page_table, axis=0)
+                g = jnp.moveaxis(g, 1, 2)
+                return g.reshape(g.shape[0], g.shape[1], -1, *g.shape[4:])
+
+            kk, vv = dense(cache.k), dense(cache.v)
+            if quantized:
+                kk = dequantize_kv(kk, dense(cache.k_scale), q.dtype)
+                vv = dequantize_kv(vv, dense(cache.v_scale), q.dtype)
+            kk = jnp.swapaxes(kk.astype(q.dtype), 1, 2)  # [B, S, Nk, H]
+            vv = jnp.swapaxes(vv.astype(q.dtype), 1, 2)
+            kk = jnp.concatenate([kk, k.astype(q.dtype)], axis=1)
+            vv = jnp.concatenate([vv, v.astype(q.dtype)], axis=1)
+            s = kk.shape[1] - t
+            cache_mask = (jnp.arange(s)[None, None, :]
+                          < read_pos[:, None, None])
+            cache_mask = jnp.broadcast_to(cache_mask, (b, t, s))
+            self_mask = (jnp.arange(t)[None, :, None]
+                         >= jnp.arange(t)[None, None, :])
+            self_mask = jnp.broadcast_to(self_mask, (b, t, t))
+            mask = jnp.concatenate([cache_mask, self_mask], axis=2)
+            from gabby_tpu.ops.attention import _gqa_core, _split_groups
+            attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv,
+                             mask, cfg.head_dim ** -0.5).astype(q.dtype)
+        if quantized:
+            k_codes, k_s = quantize_kv(kT)
+            v_codes, v_s = quantize_kv(vT)
+            ys = (k_codes, v_codes, k_s, v_s)
+        else:
+            ys = (kT.astype(cache.k.dtype), vT.astype(cache.v.dtype))
+        h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
+                       layer=layer)
+        xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
+        h = h + _mlp(blocks, xn2, layer=layer)
+        return (h, layer + 1), ys
+
+    (h, _), ys = jax.lax.scan(
+        body, (h, jnp.int32(0)),
+        (blocks["attn_norm"], blocks["mlp_norm"]))
+    logits = _unembed(params, cfg, h)  # [B, T, V]
+
+    # row-at-a-time page-table writes: ys leaves are [L, B, Nk, T(, H)]
+    ps = cache.page_size
+    zero = jnp.int32(0)
+
+    def write_all(pool, rows, with_h: bool):
+        for i in range(b):
+            for tt in range(t):
+                pos_it = positions0[i] + tt
+                # rows past the window land on whatever the stale table
+                # entry points at — the scratch page by convention
+                lp = jnp.minimum(pos_it // ps,
+                                 cache.page_table.shape[1] - 1)
+                phys = cache.page_table[i, lp]
+                row = pos_it % ps
+                if with_h:
+                    upd = rows[:, i, :, tt][None, :, :, None, :]
+                    pool = jax.lax.dynamic_update_slice(
+                        pool, upd, (phys, zero, zero, row, zero))
+                else:
+                    upd = rows[:, i, :, tt][None, :, :, None]
+                    pool = jax.lax.dynamic_update_slice(
+                        pool, upd, (phys, zero, zero, row))
+        return pool
+
+    if quantized:
+        new_cache = dataclasses.replace(
+            cache,
+            k=write_all(cache.k, ys[0], True),
+            v=write_all(cache.v, ys[1], True),
+            k_scale=write_all(cache.k_scale, ys[2], False),
+            v_scale=write_all(cache.v_scale, ys[3], False))
+    else:
+        new_cache = dataclasses.replace(
+            cache, k=write_all(cache.k, ys[0], True),
+            v=write_all(cache.v, ys[1], True))
     return logits, new_cache
 
 

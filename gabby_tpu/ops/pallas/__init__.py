@@ -54,6 +54,18 @@ def w4a8() -> bool:
     return os.environ.get("GABBY_W4A8") == "1"
 
 
+def int4_prefill_kernel() -> bool:
+    """Whether the INT4 fused matmul kernel also takes PREFILL-sized M
+    (large-tile_m variant, layer sliced out + the 2-D kernel). Default
+    OFF: on this v5e toolchain large-tile_m pallas_calls are UNSTABLE —
+    the identical compiled call swings between ~10 ms and 40+ s across
+    processes (the scalar-prefetch stacked form is reliably pathological
+    at seconds per call) — so the measured-good XLA amortized-unpack path
+    stays the prefill default. GABBY_QMM_PREFILL=1 opts in to re-measure
+    on other toolchains/hardware."""
+    return os.environ.get("GABBY_QMM_PREFILL", "0") == "1"
+
+
 def int8_matmul_kernel() -> bool:
     """Whether the fused matmul kernel also takes INT8 (not just INT4).
     Default off: XLA's int8 dequant matmul measured faster in the

@@ -45,16 +45,26 @@ NEG_INF = -1e30
 CHUNK = 1024  # cache rows per grid step per head
 
 
+def s8_attention() -> bool:
+    """s8 MXU dots inside the quantized-cache decode kernel (see
+    _flash_step's use_s8 branch). Quality-gated like the INT8 KV cache
+    itself (tests/test_ppl.py); GABBY_ATTN_S8=0 reverts to bf16 dots."""
+    import os
+    return os.environ.get("GABBY_ATTN_S8", "1") != "0"
+
+
 def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                 fk_ref, fv_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
-                tq: int = 1):
+                tq: int = 1, use_s8: bool = False):
     """One (slot, chunk) grid step over all kv heads.
 
     q: [1, Nk, TQ*G, H] — TQ query positions x G group heads per kv head
     (TQ=1 is plain decode; TQ>1 is the speculative VERIFY block, whose
     queries all share the same cache bound); k/v: [1, 1, Nk, C, H];
-    ks/vs: [1, 1, Nk, 1, C] or None (scales carry S on the LANE axis — an
-    [., C, 1] block would be lane-padded 1 -> 128, a 128x VMEM blowup);
+    ks/vs: [1, 1, Nk, C] blocks of the raw 4-D scale arrays, or None
+    (scales keep S on the LANE axis; a 5-D [., 1, S] VIEW of the carried
+    arrays copied them whole per layer call, and an [., C, 1] block would
+    lane-pad 1 -> 128);
     fk/fv: [1, Nk, TQ, H] — the block's own unquantized k/v, attended as
     virtual extra rows with a causal mask among themselves, so the kernel
     only ever reads the PRE-update cache (mask j < pos; this is what lets
@@ -80,18 +90,39 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         # operands stay bf16 (int8 codes exact in bf16): the MXU takes
         # bf16 natively with f32 accumulation — casting [C, H] planes to
         # f32 on the VPU was measurable overhead.
+        #
+        # use_s8 (quantized cache only): run both dots on the MXU's
+        # 2x-rate s8 path — the cache codes feed the MXU UNCONVERTED (the
+        # per-chunk [Nk, C, H] int8->bf16 plane converts were real VPU
+        # time) and the activations quantize per-row (q once per step, the
+        # probability rows per chunk). Decode attention is MXU-throughput-
+        # bound (ceil(C/128) passes per head regardless of the tiny G
+        # rows), so the 2x rate is the one structural lever. Changes
+        # numerics ~like the INT8 KV quantization itself; NLL-gated.
         hd = v_ref.shape[-1]
-        qg = q_ref[0].astype(jnp.bfloat16)            # [Nk, G, H]
-        k = k_ref[0, 0].astype(jnp.bfloat16)          # [Nk, C, H]
-        v = v_ref[0, 0].astype(jnp.bfloat16)          # [Nk, C, H]
-        scores = jax.lax.dot_general(
-            qg, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # [Nk, G, C] f32
-        if ks_ref is not None:
-            scores = scores * (ks_ref[0, 0, :, 0, :] *
+        if use_s8:
+            qf = q_ref[0].astype(jnp.float32)         # [Nk, G, H]
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+            qs = jnp.maximum(qa, 1e-9) * (1.0 / 127.0)
+            q8 = jnp.round(qf / qs).astype(jnp.int8)
+            si = jax.lax.dot_general(
+                q8, k_ref[0, 0],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)     # [Nk, G, C] s32
+            scores = si.astype(jnp.float32) * qs
+            scores = scores * (ks_ref[0, 0] *
                                sm_scale)[:, None, :]
         else:
-            scores = scores * sm_scale
+            qg = q_ref[0].astype(jnp.bfloat16)        # [Nk, G, H]
+            k = k_ref[0, 0].astype(jnp.bfloat16)      # [Nk, C, H]
+            scores = jax.lax.dot_general(
+                qg, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [Nk, G, C] f32
+            if ks_ref is not None:
+                scores = scores * (ks_ref[0, 0] *
+                                   sm_scale)[:, None, :]
+            else:
+                scores = scores * sm_scale
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
         bound = pos if fk_ref is not None else pos + 1
         scores = jnp.where(col + c * chunk < bound, scores, NEG_INF)
@@ -100,17 +131,29 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
         p = jnp.exp(scores - m_new)                   # [Nk, G, C] f32
-        pv = (p * vs_ref[0, 0, :, 0, :][:, None, :]
-              if vs_ref is not None else p)
         m_ref[:] = m_new.reshape(nk * g, 1)
         l_ref[:] = (l_ref[:].reshape(nk, g, 1) * alpha
                     + jnp.sum(p, axis=-1, keepdims=True)).reshape(nk * g, 1)
+        if use_s8:
+            pvf = p * vs_ref[0, 0][:, None, :]
+            pa = jnp.max(pvf, axis=-1, keepdims=True)  # p >= 0
+            pscale = jnp.maximum(pa, 1e-30) * (1.0 / 127.0)
+            p8 = jnp.round(pvf / pscale).astype(jnp.int8)
+            ci = jax.lax.dot_general(
+                p8, v_ref[0, 0],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)     # [Nk, G, H] s32
+            contrib = ci.astype(jnp.float32) * pscale
+        else:
+            v = v_ref[0, 0].astype(jnp.bfloat16)      # [Nk, C, H]
+            pv = (p * vs_ref[0, 0][:, None, :]
+                  if vs_ref is not None else p)
+            contrib = jax.lax.dot_general(
+                pv.astype(jnp.bfloat16), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
         acc_ref[:] = (acc_ref[:].reshape(nk, g, hd) * alpha
-                      + jax.lax.dot_general(
-                          pv.astype(jnp.bfloat16), v,
-                          dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)
-                      ).reshape(nk * g, hd)
+                      + contrib).reshape(nk * g, hd)
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
@@ -151,10 +194,11 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("sm_scale", "out_dtype", "interpret",
-                                    "tq", "window"))
+                                    "tq", "window", "use_s8"))
 def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
                  scal, *, sm_scale: float, out_dtype, interpret: bool,
-                 tq: int = 1, window: Optional[int] = None):
+                 tq: int = 1, window: Optional[int] = None,
+                 use_s8: bool = False):
     """q4: [B, Nk, TQ*G, H]; k/v_cache: [L, B, Nk, S, H];
     k/v_scale: [L, B, Nk, 1, S] or None; fresh_k/v: [B, Nk, TQ, H] or
     None; scal: [B+1] i32 = positions ++ [layer]. tq > 1 = the
@@ -186,7 +230,10 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
                 jnp.minimum(cc, last_chunk(scal_ref, bb)), 0)
 
     def sc_map(bb, cc, scal_ref):
-        return (scal_ref[b], bb, 0, 0,
+        # scales are 4-D [L, B, Nk, S]: the chunk index IS the lane-axis
+        # block (passing a 5-D [., 1, S] view instead copied the whole
+        # carried scale array per layer call — profiled at ~70 us/step)
+        return (scal_ref[b], bb, 0,
                 jnp.minimum(cc, last_chunk(scal_ref, bb)))
 
     in_specs = [
@@ -198,9 +245,9 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
     args = [q4, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, nk, 1, chunk), sc_map,
+            pl.BlockSpec((1, 1, nk, chunk), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk, 1, chunk), sc_map,
+            pl.BlockSpec((1, 1, nk, chunk), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
@@ -222,7 +269,8 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
         o_ref, m_ref, l_ref, acc_ref = rest
         _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), chunk, nk,
                     q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
-                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq)
+                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq,
+                    use_s8=use_s8 and quant)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -250,6 +298,209 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
     )(scal, *args)
 
 
+def _flash_step_multi(pos_vec, c, chunk, rows, q_ref, k_ref, v_ref, ks_ref,
+                      vs_ref, fk_ref, fv_ref, o_ref, m_ref, l_ref, acc_ref,
+                      *, sm_scale, sb, nk):
+    """One (slot-block, chunk) grid step: SB slots x all kv heads at once.
+
+    The per-(slot, chunk) grid of _flash_step spends ~2-5 us of
+    bookkeeping + small-dot issue per step (profiled at 4.6x the kernel's
+    DMA floor on the 1B bench); batching SB slots into each step divides
+    the step count by SB and feeds the MXU one (SB*Nk)-batched dot
+    instead of SB separate Nk-batched ones.
+
+    pos_vec: [SB] i32 — each slot's read bound (cache rows j < pos).
+    q: [SB, Nk, G, H]; k/v: [1, SB, Nk, C, H]; ks/vs: [1, SB, Nk, 1, C];
+    fk/fv: [SB, Nk, 1, H]. scratch rows = SB*Nk*G ordered (slot, head, g).
+    """
+    g = q_ref.shape[2]
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # [SB,1,1,1] per-slot bounds from the prefetched scalars (Mosaic can't
+    # shape-cast a 1-D scalar stack into 4-D; scalar-select over an iota
+    # lowers cleanly)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (sb, 1, 1, 1), 0)
+    bound = jnp.zeros((sb, 1, 1, 1), jnp.int32)
+    max_pos = pos_vec[0]
+    for i in range(sb):
+        bound = jnp.where(slot_iota == i, pos_vec[i], bound)
+        max_pos = jnp.maximum(max_pos, pos_vec[i])
+    block_live = c * chunk < max_pos
+
+    @pl.when(block_live)
+    def _():
+        hd = v_ref.shape[-1]
+        qg = (q_ref[:].astype(jnp.bfloat16)
+              .reshape(sb * nk, g, hd))                  # [R, G, H]
+        k = k_ref[0].astype(jnp.bfloat16).reshape(sb * nk, chunk, hd)
+        v = v_ref[0].astype(jnp.bfloat16).reshape(sb * nk, chunk, hd)
+        scores = jax.lax.dot_general(
+            qg, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [R, G, C]
+        if ks_ref is not None:
+            scores = scores * (ks_ref[0].reshape(sb * nk, 1, chunk)
+                               * sm_scale)
+        else:
+            scores = scores * sm_scale
+        sc4 = scores.reshape(sb, nk, g, chunk)
+        col = jax.lax.broadcasted_iota(jnp.int32, sc4.shape, 3)
+        sc4 = jnp.where(col + c * chunk < bound, sc4, NEG_INF)
+        scores = sc4.reshape(sb * nk, g, chunk)
+
+        m_old = m_ref[:].reshape(sb * nk, g, 1)
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        pv = (p * vs_ref[0].reshape(sb * nk, 1, chunk)
+              if vs_ref is not None else p)
+        m_ref[:] = m_new.reshape(rows, 1)
+        l_ref[:] = (l_ref[:].reshape(sb * nk, g, 1) * alpha
+                    + jnp.sum(p, axis=-1, keepdims=True)).reshape(rows, 1)
+        acc_ref[:] = (acc_ref[:].reshape(sb * nk, g, hd) * alpha
+                      + jax.lax.dot_general(
+                          pv.astype(jnp.bfloat16), v,
+                          dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+                      ).reshape(rows, hd)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        # fold each slot's fresh row (always attended; see _flash_step)
+        hd = acc_ref.shape[-1]
+        qg = q_ref[:].astype(jnp.float32).reshape(sb * nk, g, hd)
+        kf = fk_ref[:].astype(jnp.float32).reshape(sb * nk, 1, hd)
+        vf = fv_ref[:].astype(jnp.float32).reshape(sb * nk, 1, hd)
+        sf = jax.lax.dot_general(
+            qg, kf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale  # [R, G, 1]
+        m_old = m_ref[:].reshape(sb * nk, g, 1)
+        m_new = jnp.maximum(m_old, sf)
+        alpha = jnp.exp(m_old - m_new)
+        pf = jnp.exp(sf - m_new)
+        l_new = l_ref[:].reshape(sb * nk, g, 1) * alpha + pf
+        acc = (acc_ref[:].reshape(sb * nk, g, hd) * alpha
+               + pf * vf)                                 # [R, G, H]
+        out = acc / l_new
+        o_ref[:] = out.reshape(sb, nk, g, hd).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "out_dtype", "interpret",
+                                    "window", "sb"))
+def _decode_call_multi(q4, k_cache, v_cache, k_scale, v_scale, fresh_k,
+                       fresh_v, scal, *, sm_scale: float, out_dtype,
+                       interpret: bool, window: Optional[int], sb: int):
+    """Slot-batched variant of _decode_call (plain decode only, fresh-row
+    contract). Grid = (B/SB, chunks); each step streams SB slots' chunk
+    planes. Per-slot chunk skipping coarsens to the BLOCK's furthest
+    slot — the win (SB x fewer grid steps) dominates for similar
+    contexts, and the static `window` still bounds the worst case."""
+    b, nk, g, h = q4.shape
+    s = k_cache.shape[3]
+    chunk = min(CHUNK, s)
+    s_live = s if window is None else max(chunk, min(window, s))
+    n_chunks = pl.cdiv(s_live, chunk)
+    quant = k_scale is not None
+    rows = sb * nk * g
+
+    def last_chunk_block(scal_ref, gb):
+        last = jnp.int32(0)
+        for i in range(sb):
+            p = jnp.maximum(scal_ref[gb * sb + i] - 1, 0)
+            last = jnp.maximum(last, p // chunk)
+        return last
+
+    def kv_map(gb, cc, scal_ref):
+        return (scal_ref[b], gb, 0,
+                jnp.minimum(cc, last_chunk_block(scal_ref, gb)), 0)
+
+    def sc_map(gb, cc, scal_ref):
+        return (scal_ref[b], gb, 0,
+                jnp.minimum(cc, last_chunk_block(scal_ref, gb)))
+
+    in_specs = [
+        pl.BlockSpec((sb, nk, g, h), lambda gb, cc, sc: (gb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sb, nk, chunk, h), kv_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sb, nk, chunk, h), kv_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q4, k_cache, v_cache]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, sb, nk, chunk), sc_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, nk, chunk), sc_map,
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+    in_specs += [
+        pl.BlockSpec((sb, nk, 1, h), lambda gb, cc, sc: (gb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((sb, nk, 1, h), lambda gb, cc, sc: (gb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [fresh_k, fresh_v]
+
+    def kernel(scal_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = rest.pop(0) if quant else None
+        vs_ref = rest.pop(0) if quant else None
+        fk_ref, fv_ref = rest.pop(0), rest.pop(0)
+        o_ref, m_ref, l_ref, acc_ref = rest
+        gb = pl.program_id(0)
+        pos_vec = [scal_ref[gb * sb + i] for i in range(sb)]
+        _flash_step_multi(pos_vec, pl.program_id(1), chunk, rows, q_ref,
+                          k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
+                          o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale,
+                          sb=sb, nk=nk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // sb, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((sb, nk, g, h),
+                               lambda gb, cc, sc: (gb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, h), jnp.float32),
+        ],
+    )
+    kv_bytes = 2 * b * nk * s_live * h * k_cache.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nk, g, h), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nk * g * s_live * h,
+            bytes_accessed=kv_bytes + b * nk * g * h * 4,
+            transcendentals=b * nk * g * s_live),
+        interpret=interpret,
+    )(scal, *args)
+
+
+def _pick_slot_block(b: int, nk: int, h: int, itemsize: int) -> int:
+    """Largest SB (dividing B) whose k+v chunk planes fit VMEM. Mosaic's
+    stack accounting charges ~8x one plane for the double-buffered k+v
+    pair (measured: sb=4 with a 2.1 MB int8 plane OOMed a 16 MB budget at
+    16.72 MB), so the budget is deliberately conservative."""
+    for sb in (8, 4, 2):
+        if b % sb:
+            continue
+        plane = sb * nk * CHUNK * h * itemsize
+        if 8 * plane <= 13 * 1024 * 1024:
+            return sb
+    return 1
+
+
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, positions: jnp.ndarray,
                      k_scale=None, v_scale=None, *,
@@ -275,15 +526,31 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     nk = k_cache.shape[2]
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = q[:, 0].reshape(b, nk, nq // nk, h)  # grouped heads, metadata-only
-    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
-    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    ks = k_scale  # 4-D [L/P, B/L, Nk, S]: lane axis is S
+    vs = v_scale
     scal = jnp.concatenate([positions.astype(jnp.int32),
                             jnp.asarray(layer, jnp.int32).reshape(1)])
     fk = fresh_k[:, :, None, :] if fresh_k is not None else None
     fv = fresh_v[:, :, None, :] if fresh_v is not None else None
+    import os
+    sb = _pick_slot_block(b, nk, h, k_cache.dtype.itemsize)
+    # slot-batched grid measured NEUTRAL on the v5e 1B bench (2.85 vs
+    # 2.83 ms/step same-session): decode attention is MXU-throughput-bound
+    # (ceil(C/128) passes per head regardless of the tiny G rows), not
+    # per-grid-step-overhead-bound. Kept opt-in for hardware where issue
+    # overhead dominates.
+    if (fk is not None and sb > 1
+            and os.environ.get("GABBY_ATTN_MULTI", "0") == "1"):
+        out = _decode_call_multi(q4, k_cache, v_cache, ks, vs, fk, fv,
+                                 scal, sm_scale=sm_scale, out_dtype=q.dtype,
+                                 interpret=pk.interpret_mode(),
+                                 window=window, sb=sb)
+        return out.reshape(b, 1, nq, h)
     out = _decode_call(q4, k_cache, v_cache, ks, vs, fk, fv, scal,
                        sm_scale=sm_scale, out_dtype=q.dtype,
-                       interpret=pk.interpret_mode(), window=window)
+                       interpret=pk.interpret_mode(), window=window,
+                       use_s8=s8_attention() and ks is not None
+                       and fk is not None)
     return out.reshape(b, 1, nq, h)
 
 
@@ -304,8 +571,8 @@ def verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     # rows ordered (t, g) within each kv head: row // g == t
     q4 = (q.reshape(b, t, nk, g, h).transpose(0, 2, 1, 3, 4)
           .reshape(b, nk, t * g, h))
-    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
-    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    ks = k_scale  # 4-D [L/P, B/L, Nk, S]: lane axis is S
+    vs = v_scale
     scal = jnp.concatenate([positions.astype(jnp.int32),
                             jnp.asarray(layer, jnp.int32).reshape(1)])
     out = _decode_call(q4, k_cache, v_cache, ks, vs, fresh_k, fresh_v, scal,
@@ -320,17 +587,19 @@ def supported(nq: int, nk: int, h: int) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "out_dtype", "interpret"))
+                   static_argnames=("sm_scale", "out_dtype", "interpret",
+                                    "tq"))
 def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
                        fresh_v, scal, *, sm_scale: float, out_dtype,
-                       interpret: bool):
-    """Paged variant of _decode_call. q4: [B, Nk, G, H]; k/v_pool:
+                       interpret: bool, tq: int = 1):
+    """Paged variant of _decode_call. q4: [B, Nk, TQ*G, H]; k/v_pool:
     [P, L, Nk, page, H]; k/v_scale: [P, L, Nk, 1, page] or None;
     scal: [B + 1 + B*max_pages] i32 = positions ++ [layer] ++
     page_table.flatten(). Grid = (B, max_pages): each step DMAs the
     slot's next PHYSICAL page plane straight from the pool — the page
     table is consulted only inside the scalar-prefetched index maps, so
-    paging costs no gathers and no extra HBM traffic."""
+    paging costs no gathers and no extra HBM traffic. tq > 1 = the
+    speculative VERIFY block (fresh_k/v: [B, Nk, TQ, H])."""
     b, nk, g, h = q4.shape
     page = k_pool.shape[3]
     max_pages = (scal.shape[0] - b - 1) // b
@@ -351,7 +620,7 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
         return (phys(scal_ref, bb, cc), scal_ref[b], 0, 0, 0)
 
     def sc_map(bb, cc, scal_ref):
-        return (phys(scal_ref, bb, cc), scal_ref[b], 0, 0, 0)
+        return (phys(scal_ref, bb, cc), scal_ref[b], 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, nk, g, h), lambda bb, cc, sc: (bb, 0, 0, 0),
@@ -362,17 +631,17 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
     args = [q4, k_pool, v_pool]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, nk, 1, page), sc_map,
+            pl.BlockSpec((1, 1, nk, page), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk, 1, page), sc_map,
+            pl.BlockSpec((1, 1, nk, page), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
     if fresh:
         in_specs += [
-            pl.BlockSpec((1, nk, 1, h), lambda bb, cc, sc: (bb, 0, 0, 0),
+            pl.BlockSpec((1, nk, tq, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, 1, h), lambda bb, cc, sc: (bb, 0, 0, 0),
+            pl.BlockSpec((1, nk, tq, h), lambda bb, cc, sc: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args += [fresh_k, fresh_v]
@@ -386,7 +655,7 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
         o_ref, m_ref, l_ref, acc_ref = rest
         _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), page, nk,
                     q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
-                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale)
+                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -427,8 +696,8 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
     nk = k_pool.shape[2]
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = q[:, 0].reshape(b, nk, nq // nk, h)
-    ks = k_scale[:, :, :, None, :] if k_scale is not None else None
-    vs = v_scale[:, :, :, None, :] if v_scale is not None else None
+    ks = k_scale  # 4-D [L/P, B/L, Nk, S]: lane axis is S
+    vs = v_scale
     scal = jnp.concatenate([
         positions.astype(jnp.int32),
         jnp.asarray(layer, jnp.int32).reshape(1),
@@ -440,3 +709,34 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
                              scal, sm_scale=sm_scale, out_dtype=q.dtype,
                              interpret=pk.interpret_mode())
     return out.reshape(b, 1, nq, h)
+
+
+def paged_verify_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
+                           v_pool: jnp.ndarray, page_table: jnp.ndarray,
+                           positions: jnp.ndarray, k_scale=None,
+                           v_scale=None, *, layer, fresh_k: jnp.ndarray,
+                           fresh_v: jnp.ndarray,
+                           scale=None) -> jnp.ndarray:
+    """verify_attention against the paged pool: q [B, T, Nq, H] candidate
+    queries read pool rows j < positions[b] (physical pages via the
+    scalar-prefetched table) plus the block's own k/v causally. One pool
+    pass serves all T candidates. fresh_k/v: [B, Nk, T, H]."""
+    b, t, nq, h = q.shape
+    nk = k_pool.shape[2]
+    g = nq // nk
+    sm_scale = float(scale) if scale is not None else h ** -0.5
+    q4 = (q.reshape(b, t, nk, g, h).transpose(0, 2, 1, 3, 4)
+          .reshape(b, nk, t * g, h))
+    ks = k_scale  # 4-D [L/P, B/L, Nk, S]: lane axis is S
+    vs = v_scale
+    scal = jnp.concatenate([
+        positions.astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        page_table.astype(jnp.int32).reshape(-1),
+    ])
+    from gabby_tpu.ops import pallas as pk
+    out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fresh_k, fresh_v,
+                             scal, sm_scale=sm_scale, out_dtype=q.dtype,
+                             interpret=pk.interpret_mode(), tq=t)
+    return (out.reshape(b, nk, t, g, h).transpose(0, 2, 1, 3, 4)
+            .reshape(b, t, nq, h))

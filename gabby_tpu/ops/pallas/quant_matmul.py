@@ -51,28 +51,62 @@ def _pick_tiles(k: int, n: int, tile_m: int, bits: int) -> tuple[int, int]:
     """(tile_k, tile_n) hitting ~TILE_BYTES of weight per step while the
     whole working set (double-buffered weight + activation slabs + output
     + accumulator) fits VMEM. k is the PACKED contraction dim for int4.
-    Returns (0, _) when nothing fits (huge tile_m, e.g. batch prefill) —
-    the caller falls back to XLA, which is the right engine at large M
-    anyway (compute-bound; the unpack cost amortizes)."""
-    tile_n = _pick(n, TILE_N_CANDIDATES)
-    if tile_n == 0:
-        return 0, 0
+    Searches smaller tile_n when the first choice can't fit next to a
+    large tile_m (the prefill shapes). Returns (0, 0) when nothing fits —
+    the caller falls back to XLA."""
     xfac = 2 if bits == 4 else 1  # int4 feeds two activation slabs
-    for c in TILE_K_CANDIDATES:
-        if k % c or c * tile_n > TILE_BYTES:
+
+    def vmem(c, tile_n):
+        return (2 * c * tile_n                  # weight, double-buffered
+                + 2 * xfac * tile_m * c * 2     # x slabs (bf16)
+                + 2 * tile_n * 4                # scale row (f32)
+                + 2 * tile_m * tile_n * 2       # output, double-buffered
+                + tile_m * tile_n * 4)          # f32 accumulator
+
+    if tile_m > 256:
+        # Prefill-sized tiles take the WHOLE contraction per step (k-grid
+        # of 1): with any k-grid > 1 the x slab's block index changes
+        # between consecutive steps, so Pallas re-streams the activations
+        # once per (j, k) — measured 16 s per 8x512 prefill when the VMEM
+        # search settled on 32-wide k tiles. With k whole, the x slab is
+        # fetched once per M-row and the (small, packed) weights re-stream
+        # n_i times — noise against prefill's MXU time.
+        for tile_n in TILE_N_CANDIDATES:
+            if n % tile_n:
+                continue
+            if vmem(k, tile_n) <= 9 * 1024 * 1024:
+                return k, tile_n
+        return 0, 0
+    for tile_n in TILE_N_CANDIDATES:
+        if n % tile_n:
             continue
-        vmem = (2 * c * tile_n                      # weight, double-buffered
-                + 2 * xfac * tile_m * c * 2         # x slabs (bf16)
-                + 2 * tile_n * 4                    # scale row (f32)
-                + 2 * tile_m * tile_n * 2           # output, double-buffered
-                + tile_m * tile_n * 4)              # f32 accumulator
-        if vmem <= 10 * 1024 * 1024:
-            return c, tile_n
-    return 0, tile_n
+        for c in TILE_K_CANDIDATES:
+            if k % c or c * tile_n > TILE_BYTES:
+                continue
+            if c % 128 and c != k:
+                # Mosaic: a block's LAST dim must divide 128 or equal the
+                # array dim (the x slab's lane axis is tile_k)
+                continue
+            if vmem(c, tile_n) <= 9 * 1024 * 1024:
+                return c, tile_n
+    return 0, 0
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _pick_tile_m(m: int) -> int:
+    """Decode-sized M keeps the small sublane-aligned tile; prefill-sized
+    M takes the LARGEST tile the VMEM search can seat. Big tile_m is what
+    makes the int4 kernel viable at prefill: the per-tile nibble unpack
+    (VPU) amortizes against a [tile_m, K]x[K, N] dot's MXU time — at
+    tile_m 256 the unpack was ~half the step (XLA's amortized-unpack path
+    won); at tile_m >= 1024 it is noise, and the kernel keeps XLA's
+    HBM-materialized unpacked weights out of the picture entirely."""
+    if m <= 256:
+        return min(_round_up(m, 16), 256)
+    return 512  # whole-K blocks cap the x slab; see _pick_tiles
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
@@ -128,7 +162,7 @@ def _int4_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
 def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
     m, k = x2d.shape
     _, n = codes.shape
-    tile_m = min(_round_up(m, 16), 256)
+    tile_m = _pick_tile_m(m)
     tile_k, tile_n = _pick_tiles(k, n, tile_m, 8)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
@@ -161,7 +195,7 @@ def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
 def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
     m, k = x2d.shape
     kp, n = packed.shape  # kp == k // 2
-    tile_m = min(_round_up(m, 16), 256)
+    tile_m = _pick_tile_m(m)
     tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
@@ -228,10 +262,18 @@ def _stacked_call(kernel, n_x: int, x_args, packed, scale, layer, *,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
     )
+    import os
+    cparams = None
+    if os.environ.get("GABBY_QMM_DSEM") == "1":
+        # experiment knob: declare the m/n grid dims parallel so Mosaic
+        # may reorder/pipeline across them (VERDICT r3 experiment list)
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         cost_estimate=cost, interpret=interpret,
+        compiler_params=cparams,
     )(jnp.asarray(layer, jnp.int32).reshape(1), *x_args, packed,
       scale.reshape(scale.shape[0], 1, n))
 
@@ -279,7 +321,7 @@ def _int4_stacked_kernel(sc_ref, xe_ref, xo_ref, w_ref, s_ref, o_ref,
 def _qmatmul_int8_stacked(x2d, packed, scale, layer, *, interpret=False):
     m, k = x2d.shape
     _, _, n = packed.shape
-    tile_m = min(_round_up(m, 16), 256)
+    tile_m = _pick_tile_m(m)
     tile_k, tile_n = _pick_tiles(k, n, tile_m, 8)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
@@ -299,7 +341,7 @@ def _qmatmul_int8_stacked(x2d, packed, scale, layer, *, interpret=False):
 def _qmatmul_int4_stacked(x2d, packed, scale, layer, *, interpret=False):
     m, k = x2d.shape
     _, kp, n = packed.shape  # kp == k // 2
-    tile_m = min(_round_up(m, 16), 256)
+    tile_m = _pick_tile_m(m)
     tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
@@ -337,7 +379,7 @@ def qmatmul_stacked(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
 def supported(m: int, k: int, n: int, bits: int) -> bool:
     """Does this problem tile onto the kernel grid within VMEM?"""
     kk = k // 2 if bits == 4 else k
-    tile_m = min(_round_up(max(m, 1), 16), 256)
+    tile_m = _pick_tile_m(max(m, 1))
     tile_k, tile_n = _pick_tiles(kk, n, tile_m, bits)
     return tile_k != 0 and tile_n != 0
 
@@ -394,7 +436,7 @@ def _qmatmul_int4_w4a8_stacked(x2d, packed, scale, layer, *,
                                interpret=False):
     m, k = x2d.shape
     _, kp, n = packed.shape
-    tile_m = min(_round_up(m, 16), 256)
+    tile_m = _pick_tile_m(m)
     tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d

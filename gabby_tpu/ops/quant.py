@@ -157,16 +157,35 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    # kernels only at decode-sized M: at prefill M (hundreds+) the matmul
-    # is compute-bound and XLA's dequant+dot wins (its unpack amortizes
-    # over M; measured 53k vs 31k prefill tok/s on the 1B int4 bench)
-    kernel_ok = (pk.kernels_enabled() and m <= 64
-                 and (qt.bits == 4 or pk.int8_matmul_kernel()))
+    # Decode-sized M: kernel for INT4 (XLA materializes unpacked weights),
+    # XLA for INT8 (its fused dequant dot wins). Prefill-sized M: the INT4
+    # kernel runs with LARGE tile_m (see pallas/quant_matmul._pick_tile_m)
+    # so the nibble unpack amortizes against big MXU dots and the
+    # HBM-materialized unpack XLA pays never happens; INT8 stays XLA at
+    # large M (compute-bound, nothing to win).
+    kernel_ok = (pk.kernels_enabled()
+                 and ((m <= 64 and (qt.bits == 4
+                                    or pk.int8_matmul_kernel()))
+                      or (qt.bits == 4 and pk.int4_prefill_kernel())))
     if layer is not None and qt.q.ndim == 3:
         in_dim = qt.q.shape[1] * (2 if qt.bits == 4 else 1)
         if kernel_ok:
             from gabby_tpu.ops.pallas import quant_matmul as pqm
             if pqm.supported(m, in_dim, qt.q.shape[2], qt.bits):
+                if m > 64:
+                    # prefill-sized M: slice the layer's PACKED bytes out
+                    # (a copy costing microseconds against a ~10 ms
+                    # compute-bound matmul) and run the plain 2-D kernel —
+                    # the scalar-prefetch stacked form hits a Mosaic
+                    # pathology at large tile_m (measured SECONDS per
+                    # call), and the slice-copy avoidance that justifies
+                    # it only matters at decode M
+                    return pqm.qmatmul(
+                        x,
+                        jax.lax.dynamic_index_in_dim(qt.q, layer, 0, False),
+                        jax.lax.dynamic_index_in_dim(qt.scale, layer, 0,
+                                                     False),
+                        qt.bits)
                 if qt.bits == 4 and pk.w4a8():
                     # opt-in W4A8: int8-quantized activations ride the
                     # MXU's 2x-rate s8 path (quality-gated; see pallas

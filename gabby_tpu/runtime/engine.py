@@ -192,12 +192,10 @@ class Engine:
                 f"{PREFILL_BUCKETS[0]} (the prefill bucket grid)")
 
         self._paged = econfig.paged_pages > 0
+        self._pt_sharding = None
         if self._paged:
             from gabby_tpu.runtime.paged import (PageAllocator,
                                                  create_paged_cache)
-            if cache_shardings is not None:
-                raise NotImplementedError(
-                    "paged cache + explicit cache shardings")
             ps = econfig.page_size
             if econfig.max_seq % ps != 0:
                 raise ValueError(f"max_seq must be a multiple of "
@@ -206,6 +204,13 @@ class Engine:
                 cfg, b, econfig.max_seq, econfig.paged_pages,
                 dtype=jnp.dtype(econfig.cache_dtype),
                 quantized=econfig.kv_quantized, page_size=ps)
+            if cache_shardings is not None:
+                # TP-sharded page pools (parallel.paged_cache_shardings):
+                # the caller passes PagedKVCache-shaped shardings; the
+                # page table's sharding is kept so every host-side table
+                # push lands replicated without an implicit transfer
+                cache = jax.device_put(cache, cache_shardings)
+                self._pt_sharding = cache_shardings.page_table
             self._alloc = PageAllocator(econfig.paged_pages)
             # physical page 0 is the permanent SCRATCH page: stale page-
             # table entries point at it, so parked-position writes and
@@ -228,9 +233,6 @@ class Engine:
         stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
         self._eos_ids = jnp.asarray(sorted(stop), jnp.int32)
 
-        if econfig.speculate_tokens > 0 and self._paged:
-            raise NotImplementedError("speculative decoding on the paged "
-                                      "cache is not implemented yet")
         if not 0 <= econfig.speculate_tokens <= 15:
             # the verify block is draft+1 rows; <= 16 keeps its clamped
             # tail inside the last bucket-grid margin (see verify_step)
@@ -465,8 +467,10 @@ class Engine:
     # ---- paged-pool bookkeeping (self._paged only) ----
 
     def _push_page_table(self) -> None:
-        self._cache = dataclasses.replace(
-            self._cache, page_table=jnp.asarray(self._pt_host))
+        pt = jnp.asarray(self._pt_host)
+        if self._pt_sharding is not None:
+            pt = jax.device_put(pt, self._pt_sharding)
+        self._cache = dataclasses.replace(self._cache, page_table=pt)
 
     def _release_slot_pages(self, slot_ix: int) -> None:
         """Drop this slot's page references (shared pages survive via
@@ -584,6 +588,13 @@ class Engine:
         anchor = (min(self._backlog, key=lambda r: len(r.prompt_ids))
                   if self.ec.admission_policy == "spf" else self._backlog[0])
         key0 = self._chunk_schedule(len(anchor.prompt_ids))
+        if self._paged:
+            # the whole group's pages are provisioned inside the burst;
+            # don't start one the pool can't back (leave 2 spare pages for
+            # live slots' decode horizon)
+            need = min(len(free), len(self._backlog)) * len(key0)
+            if self._alloc.available() < need + 2:
+                return None
         group = []
         for r in self._backlog:
             if len(group) >= len(free):
@@ -628,9 +639,18 @@ class Engine:
             lengths[slot_ix] = len(p)
             mask[slot_ix] = True
             self._slot_prompts[slot_ix] = None  # being overwritten
+            if self._paged:
+                self._release_slot_pages(slot_ix)
         lane_mask = jnp.asarray(mask)
         logits = None
         for offset, bucket in spec["sched"]:
+            if self._paged:
+                for slot_ix in slots:
+                    if not self._ensure_pages(slot_ix, offset + bucket):
+                        # _select_burst prechecked the pool; hitting this
+                        # means severe churn — surface it
+                        raise RuntimeError("kv page pool exhausted "
+                                           "mid-burst")
             chunk = np.zeros((b, bucket), np.int32)
             for slot_ix, p in zip(slots, prompts):
                 take = min(bucket, len(p) - offset)
@@ -850,10 +870,7 @@ class Engine:
             plan["cancel_admission"] = True
         if admitting is None:
             try:
-                # batched burst prefill writes all lanes at once — not yet
-                # implemented for page-granular writes; paged mode admits
-                # singly (zero-copy prefix sharing covers the common case)
-                burst = None if self._paged else self._select_burst()
+                burst = self._select_burst()
             except Exception:
                 import traceback
                 traceback.print_exc()  # fall through to the single path
@@ -988,12 +1005,17 @@ class Engine:
         steps = plan["steps"]
         if self._paged:
             # provision every live slot's pages past this call's furthest
-            # possible write; a slot the pool cannot back finishes now
+            # possible write (speculation writes draft rows d+1 per macro
+            # step, and the verify block extends d rows past the last
+            # accepted position); a slot the pool cannot back finishes now
             # (its generated text so far is delivered)
+            span = ((self.ec.speculate_tokens + 1) if self._spec_enabled
+                    else 1)
             for i, s in enumerate(self._slots):
                 if s is None:
                     continue
-                horizon = s.prompt_len + len(s.request.token_ids) + steps + 2
+                horizon = (s.prompt_len + len(s.request.token_ids)
+                           + steps * span + span + 1)
                 if not self._ensure_pages(i, horizon):
                     self._finish(i, "length")
             if not any(s is not None for s in self._slots):

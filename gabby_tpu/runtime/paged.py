@@ -168,6 +168,39 @@ def gather_slot_rows(cache: PagedKVCache, slot: jnp.ndarray, rows: int):
     return k, v, None, None
 
 
+def write_batch_chunk(cache: PagedKVCache, offset: int, k_new, v_new,
+                      ks_new, vs_new, lane_mask: jnp.ndarray
+                      ) -> PagedKVCache:
+    """Lane-masked batched chunk write (burst admissions): k/v_new are
+    [L, B, Nk, T, H] chunk rows for ALL slots at row `offset` (static,
+    page-aligned; T a multiple of page_size). Masked-OUT lanes' writes are
+    routed to the scratch page (physical 0, never read), so live slots'
+    decode state is untouched — the paged analogue of the dense path's
+    jnp.where lane masking."""
+    ps = cache.page_size
+    t = k_new.shape[3]
+    assert offset % ps == 0 and t % ps == 0, (offset, t)
+    b = cache.batch
+    kp, vp, ksp, vsp = cache.k, cache.v, cache.k_scale, cache.v_scale
+    zero = jnp.int32(0)
+    for i in range(b):
+        for j in range(t // ps):
+            lp = offset // ps + j
+            phys = jnp.where(lane_mask[i], cache.page_table[i, lp], 0)
+
+            def put(pool, newv):
+                upd = newv[:, i, :, j * ps:(j + 1) * ps][None]
+                start = (phys,) + (zero,) * (pool.ndim - 1)
+                return jax.lax.dynamic_update_slice(pool, upd, start)
+
+            kp = put(kp, k_new)
+            vp = put(vp, v_new)
+            if cache.quantized:
+                ksp = put(ksp, ks_new)
+                vsp = put(vsp, vs_new)
+    return dataclasses.replace(cache, k=kp, v=vp, k_scale=ksp, v_scale=vsp)
+
+
 def write_slot_chunk(cache: PagedKVCache, slot: jnp.ndarray,
                      offset: jnp.ndarray, k_new, v_new, ks_new, vs_new
                      ) -> PagedKVCache:

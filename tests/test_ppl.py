@@ -118,3 +118,51 @@ def test_w4a8_decode_nll_delta(setup):
         pk.set_kernels(None)
         jax.clear_caches()
     assert abs(w4a8 - base) / max(base, 1e-6) < 0.05, (base, w4a8)
+
+
+def test_s8_attention_decode_nll_delta(setup):
+    """s8 MXU dots inside the quantized-cache attention kernel
+    (pallas/attention._flash_step use_s8): teacher-forced decode NLL must
+    stay within a small delta of the bf16-dot kernel — the added
+    activation quantization error must be the same order as the INT8 KV
+    quantization it rides on."""
+    import os
+    from gabby_tpu.ops import pallas as pk
+    from gabby_tpu.runtime import generate as gen
+    from gabby_tpu.runtime.kv_cache import create_cache
+    cfg, params, stream = setup
+    cfg = cfglib.tiny(num_heads=8, num_kv_heads=4, head_dim=64,
+                      hidden_size=256, intermediate_size=256, vocab_size=256,
+                      max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.bfloat16)
+    qp = quant.quantize_tree(params, 4)
+    toks = (stream[:96] % cfg.vocab_size).astype(np.int32)
+
+    def decode_nll():
+        from gabby_tpu.models import llama as L
+        cache = create_cache(cfg, 1, 128, quantized=True)
+        logits, cache = L.prefill_slot(
+            qp, cfg, jnp.asarray(toks[:16]), jnp.int32(16), jnp.int32(0),
+            jnp.int32(0), cache)
+        nll = 0.0
+        cur = logits
+        for i in range(16, 64):
+            nll -= float(gen.token_logprob(cur[None],
+                                           jnp.asarray([toks[i]]))[0])
+            lg, cache = L.decode_step(qp, cfg, jnp.asarray([toks[i]]),
+                                      jnp.asarray([i], jnp.int32), cache)
+            cur = lg[0]
+        return nll / 48
+
+    pk.set_kernels(True)
+    try:
+        os.environ["GABBY_ATTN_S8"] = "0"
+        base = decode_nll()
+        os.environ["GABBY_ATTN_S8"] = "1"
+        jax.clear_caches()
+        s8 = decode_nll()
+    finally:
+        os.environ.pop("GABBY_ATTN_S8", None)
+        pk.set_kernels(None)
+        jax.clear_caches()
+    assert abs(s8 - base) / max(base, 1e-6) < 0.05, (base, s8)

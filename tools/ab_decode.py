@@ -56,7 +56,8 @@ def time_variants(variants: dict, steps: int, reps: int, rounds: int):
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["fused", "window"])
+    p.add_argument("mode", choices=["fused", "window", "attn", "s8",
+                                    "dsem", "longwin"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -67,7 +68,7 @@ def main() -> int:
     args = p.parse_args()
 
     spec = CONFIGS[args.config]
-    if args.mode == "window":
+    if args.mode in ("window", "longwin"):
         args.max_seq = max(args.max_seq, 8192)
         args.context = min(args.context, 512)
     cfg = spec["preset"](max_seq_len=args.max_seq)
@@ -88,9 +89,10 @@ def main() -> int:
 
     state = {}
 
-    def make_runner(name, params, win):
+    def make_runner(name, params, win, max_seq=None):
         params = jax.tree.map(jax.device_put, params)
-        cache = create_cache(cfg, b, args.max_seq, dtype=jnp.bfloat16,
+        cache = create_cache(cfg, b, max_seq or args.max_seq,
+                             dtype=jnp.bfloat16,
                              quantized=spec["kv_quant"])
         sstate = generate.SamplingState.greedy(b)
         state[name] = (cache, sstate)
@@ -109,6 +111,52 @@ def main() -> int:
             "unfused": make_runner("unfused", base, window),
             "fused": make_runner("fused", llama.fuse_projections(base),
                                  window),
+        }
+    elif args.mode == "attn":
+        # per-slot vs slot-batched flash decode kernel. The env var is
+        # read at TRACE time; distinct static `window` values force
+        # distinct jit cache entries while window == max_seq keeps the
+        # compute identical (s_live clamps to s either way).
+        import os
+        fusedp = llama.fuse_projections(base)
+        os.environ["GABBY_ATTN_MULTI"] = "1"
+        multi = make_runner("slot-batched", fusedp, args.max_seq)
+        multi()  # trace now, under MULTI=1
+        os.environ["GABBY_ATTN_MULTI"] = "0"
+        single = make_runner("per-slot", fusedp, None)
+        single()  # trace now, under MULTI=0
+        variants = {"per-slot": single, "slot-batched": multi}
+    elif args.mode == "s8":
+        # s8 vs bf16 MXU dots in the quantized-cache attention kernel
+        import os
+        fusedp = llama.fuse_projections(base)
+        os.environ["GABBY_ATTN_S8"] = "1"
+        s8 = make_runner("s8-dots", fusedp, args.max_seq)
+        s8()
+        os.environ["GABBY_ATTN_S8"] = "0"
+        bf16 = make_runner("bf16-dots", fusedp, None)
+        bf16()
+        variants = {"bf16-dots": bf16, "s8-dots": s8}
+    elif args.mode == "dsem":
+        # Mosaic dimension_semantics on the stacked matmul grid
+        import os
+        fusedp = llama.fuse_projections(base)
+        os.environ["GABBY_QMM_DSEM"] = "1"
+        dsem = make_runner("dsem", fusedp, args.max_seq)
+        dsem()
+        os.environ["GABBY_QMM_DSEM"] = "0"
+        plain = make_runner("plain", fusedp, None)
+        plain()
+        variants = {"plain": plain, "dsem": dsem}
+    elif args.mode == "longwin":
+        # VERDICT r2 item 4's done-criterion: an 8k-PROVISIONED window at
+        # ctx 512 vs a 2k window at the same live context, one session
+        fusedp = llama.fuse_projections(base)
+        variants = {
+            "max_seq-2048": make_runner("max_seq-2048", fusedp, 1024,
+                                        max_seq=2048),
+            "max_seq-8192+win": make_runner("max_seq-8192+win", fusedp,
+                                            1024, max_seq=8192),
         }
     else:
         fused = llama.fuse_projections(base)
