@@ -356,12 +356,14 @@ def main() -> int:
     params = build_params(args, spec, cfg, mesh)
     cache = create_cache(cfg, args.batch, args.max_seq,
                          dtype=jnp.bfloat16, quantized=spec["kv_quant"])
+    cache_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from gabby_tpu.parallel import cache_shardings
-        cache = jax.device_put(cache,
-                               cache_shardings(mesh, spec["kv_quant"]))
+        cache_sh = cache_shardings(mesh, spec["kv_quant"])
+        cache = jax.device_put(cache, cache_sh)
+    loops = generate.CacheLoops(cache, cache_sh)
     weight_bytes = _tree_bytes(params)
     # decode streams every weight EXCEPT the embedding table (the gather
     # reads B rows; with a separate quantized unembed the [V, D] table
@@ -410,7 +412,7 @@ def main() -> int:
     window = min(window, args.max_seq)
 
     def run(cache, sstate):
-        out, _, _, _, _, _, cache, sstate = generate.decode_loop(
+        out, _, _, _, _, _, cache, sstate, _, _ = loops.decode_loop(
             params, cfg, tokens, positions, active, cache, sstate, args.steps,
             window=window)
         return out, cache, sstate

@@ -89,6 +89,22 @@ class CallbackGenerator : public gabby::Generator {
                         chunk.tokens.push_back(v->as_string());
                     }
                 }
+                // top-k alternatives per token (requests that asked for
+                // top_logprobs): [[{token, logprob}, ...], ...] parallel
+                // to `tokens`
+                if (auto it = obj.find("top_logprobs");
+                    it != obj.end() && !it->second->is(gabby::json::Type::NIL)) {
+                    for (const auto& row : it->second->as_array()) {
+                        std::vector<std::pair<std::string, double>> alts;
+                        for (const auto& e : row->as_array()) {
+                            const auto& eo = e->as_object();
+                            alts.emplace_back(
+                                eo.at("token")->as_string(),
+                                eo.at("logprob")->as_number());
+                        }
+                        chunk.top_logprobs.push_back(std::move(alts));
+                    }
+                }
                 if (chunk.done) {
                     if (auto it = obj.find("finish_reason"); it != obj.end()) {
                         chunk.finish_reason = it->second->as_string();
@@ -148,6 +164,7 @@ class CallbackGenerator : public gabby::Generator {
             {"max_tokens", Value::number(req.max_tokens)},
             {"stream", Value::boolean(req.stream)},
             {"logprobs", Value::boolean(req.logprobs)},
+            {"top_logprobs", Value::number(req.top_logprobs)},
             {"stop", Value::array(std::move(stop))},
         });
         return gabby::json::to_string(*v);

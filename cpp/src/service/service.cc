@@ -29,11 +29,23 @@ ValuePtr LogprobsValue(const GenChunk& last) {
     if (last.token_logprobs.empty()) return Value::nil();
     std::vector<ValuePtr> entries;
     for (size_t i = 0; i < last.token_logprobs.size(); i++) {
-        entries.push_back(Value::object({
+        std::map<std::string, ValuePtr> e{
             {"token", Value::string(i < last.tokens.size() ? last.tokens[i]
                                                            : "")},
             {"logprob", Value::number(last.token_logprobs[i])},
-        }));
+        };
+        if (i < last.top_logprobs.size()) {
+            // OpenAI full shape: each token's top-k alternatives
+            std::vector<ValuePtr> alts;
+            for (const auto& [tok, lp] : last.top_logprobs[i]) {
+                alts.push_back(Value::object({
+                    {"token", Value::string(tok)},
+                    {"logprob", Value::number(lp)},
+                }));
+            }
+            e["top_logprobs"] = Value::array(std::move(alts));
+        }
+        entries.push_back(Value::object(std::move(e)));
     }
     return Value::object({{"content", Value::array(std::move(entries))}});
 }
@@ -160,6 +172,14 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
     if (auto it = obj.find("logprobs");
         it != obj.end() && !it->second->is(json::Type::NIL)) {
         out.logprobs = it->second->as_boolean();
+    }
+    if (int tl = static_cast<int>(num("top_logprobs", 0, 20)); tl >= 0) {
+        if (!out.logprobs && tl > 0) {
+            // OpenAI: top_logprobs is only valid with logprobs=true
+            throw BadRequestException(
+                "'top_logprobs' requires 'logprobs': true");
+        }
+        out.top_logprobs = tl;
     }
     if (auto it = obj.find("stream"); it != obj.end()) {
         out.stream = it->second->as_boolean();

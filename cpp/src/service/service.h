@@ -38,6 +38,9 @@ struct GenRequest {
     int max_tokens = -1;
     bool stream = false;
     bool logprobs = false;          // return per-token logprobs (OpenAI)
+    int top_logprobs = 0;           // 1-20: also return the top-k
+                                    // alternatives per token (OpenAI;
+                                    // requires logprobs=true)
     std::vector<std::string> stop;  // stop sequences (OpenAI "stop")
     // OpenAI `n`: number of choices. Each choice is its OWN generator
     // call run concurrently — the engine's continuous batching lands them
@@ -61,6 +64,9 @@ struct GenChunk {
     // generated token (parallel arrays)
     std::vector<std::string> tokens;
     std::vector<double> token_logprobs;
+    // per generated token, its distribution's top-k alternatives
+    // (request asked for top_logprobs; parallel to `tokens`)
+    std::vector<std::vector<std::pair<std::string, double>>> top_logprobs;
 };
 
 // THE engine seam (reference: Generator at

@@ -5,6 +5,7 @@
 #include "service/service.h"
 
 #include <memory>
+#include <mutex>
 
 #include "http/test_client.h"
 #include "json/parser.h"
@@ -17,7 +18,12 @@ class SimpleGenerator : public Generator {
    public:
     void Generate(const GenRequest& req,
                   const std::function<void(const GenChunk&)>& emit) override {
-        last_request = req;
+        {
+            // RunNWay invokes the generator from N concurrent choice
+            // threads by design; the fixture's capture must be guarded
+            std::lock_guard<std::mutex> lock(mu_);
+            last_request = req;
+        }
         if (req.stream) {
             for (const std::string word : {"hello ", "from ", "fake"}) {
                 GenChunk c;
@@ -26,6 +32,10 @@ class SimpleGenerator : public Generator {
                     // one token per delta, like the engine's emit path
                     c.tokens.push_back(word);
                     c.token_logprobs.push_back(-0.25);
+                    if (req.top_logprobs > 0) {
+                        c.top_logprobs.push_back(
+                            {{word, -0.25}, {"alt", -1.5}});
+                    }
                 }
                 emit(c);
             }
@@ -44,6 +54,9 @@ class SimpleGenerator : public Generator {
     std::string model_id() const override { return "fake-model"; }
 
     GenRequest last_request;
+
+   private:
+    std::mutex mu_;
 };
 
 class TestService {
@@ -291,6 +304,37 @@ TEST(Service, StreamedLogprobs) {
     EXPECT_SUBSTR(resp.body, "\"logprobs\":{\"content\":[{");
     EXPECT_SUBSTR(resp.body, "\"logprob\":-0.25");
     EXPECT_SUBSTR(resp.body, "\"token\":\"hello \"");
+}
+
+TEST(Service, TopLogprobs) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "stream": true, "logprobs": true,
+                           "top_logprobs": 2})";
+    auto resp = http::Call(svc.port(), "POST", "/v1/chat/completions", body,
+                           {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    EXPECT_EQ(svc.generator().last_request.top_logprobs, 2);
+    // OpenAI full shape: each token entry carries its top-k alternatives
+    EXPECT_SUBSTR(resp.body, "\"top_logprobs\":[{");
+    EXPECT_SUBSTR(resp.body, "\"token\":\"alt\"");
+    EXPECT_SUBSTR(resp.body, "\"logprob\":-1.5");
+}
+
+TEST(Service, TopLogprobsRequiresLogprobs) {
+    TestService svc;
+    // OpenAI: top_logprobs without logprobs=true is a client error
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "top_logprobs": 3})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         body);
+    EXPECT_EQ(status, 400);
+    // and the range is 0-20
+    std::string big = R"({"messages": [{"role": "user", "content": "hi"}],
+                          "logprobs": true, "top_logprobs": 21})";
+    auto [status2, resp2] = http::PostJson(svc.port(),
+                                           "/v1/chat/completions", big);
+    EXPECT_EQ(status2, 400);
 }
 
 }  // namespace

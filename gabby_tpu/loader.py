@@ -142,16 +142,23 @@ def load_llama_params(model_dir: str, cfg: ModelConfig, *, dtype=jnp.bfloat16,
     }
     if not cfg.tie_word_embeddings:
         head = np.ascontiguousarray(t["lm_head.weight"].transpose(1, 0))
+        # untied lm_head is still THE unembed stream: route it through the
+        # same policy as the tied case (int8 per-channel default, int4 +
+        # group scales via GABBY_UNEMBED_BITS=4) instead of per-channel
+        # quantization at quant_bits
         params["lm_head"] = put(("lm_head",),
+                                quant.quantize_unembed_table(head)
+                                if quant_bits else
                                 _maybe_quantize(head, quant_bits, dtype))
     elif quant_bits:
-        # tied embeddings + quantized serve: give the unembed its own INT8
-        # [D, V] copy so decode stops streaming the bf16 table (see
-        # ops/quant.quantize_tree's quantize_unembed note)
+        # tied embeddings + quantized serve: give the unembed its own
+        # quantized [D, V] copy so decode stops streaming the bf16 table
+        # (INT8 default; INT4 + group scales via GABBY_UNEMBED_BITS=4 —
+        # see ops/quant.quantize_tree's quantize_unembed note)
         head = np.ascontiguousarray(
             t["model.embed_tokens.weight"].transpose(1, 0))
-        params["lm_head"] = put(("lm_head",), quant.quantize(
-            jnp.asarray(head, jnp.float32), 8))
+        params["lm_head"] = put(("lm_head",),
+                                quant.quantize_unembed_table(head))
     return params
 
 
@@ -161,11 +168,11 @@ GABBY_META = "gabby.json"
 
 
 def _flatten_params(params: dict, prefix="") -> tuple[dict[str, np.ndarray],
-                                                      dict[str, int]]:
-    """Params pytree -> (flat tensors, per-QTensor bits).
+                                                      dict[str, list]]:
+    """Params pytree -> (flat tensors, per-QTensor [bits, group]).
     QTensor leaves become <name>.q / <name>.scale."""
     flat: dict[str, np.ndarray] = {}
-    qbits: dict[str, int] = {}
+    qbits: dict[str, list] = {}
     for k, v in params.items():
         name = f"{prefix}{k}"
         if v is None:
@@ -177,7 +184,7 @@ def _flatten_params(params: dict, prefix="") -> tuple[dict[str, np.ndarray],
         elif isinstance(v, quant.QTensor):
             flat[name + ".q"] = np.asarray(v.q)
             flat[name + ".scale"] = np.asarray(v.scale)
-            qbits[name] = v.bits
+            qbits[name] = [v.bits, v.group]
         else:
             flat[name] = np.asarray(v)
     return flat, qbits
@@ -224,7 +231,9 @@ def load_quantized(model_dir: str, *, max_seq_len: Optional[int] = None,
     cfg = ModelConfig(**cfg_kv)
 
     flat = read_safetensors(os.path.join(model_dir, "model.safetensors"))
-    qbits: dict[str, int] = meta["qbits"]
+    # qbits values: [bits, group] (current) or bare int bits (round-2 files)
+    qbits: dict = {k: (v if isinstance(v, (list, tuple)) else (v, 0))
+                   for k, v in meta["qbits"].items()}
     put = device_put_fn or (lambda path, x: x)
 
     params: dict[str, Any] = {}
@@ -237,9 +246,10 @@ def load_quantized(model_dir: str, *, max_seq_len: Optional[int] = None,
             node = node.setdefault(p, {})
         path = tuple(parts)
         if name in qbits:
+            bits, group = qbits[name]
             leaf = quant.QTensor(q=jnp.asarray(flat[name + ".q"]),
                                  scale=jnp.asarray(flat[name + ".scale"]),
-                                 bits=int(qbits[name]))
+                                 bits=int(bits), group=int(group))
         else:
             arr = flat[name]
             leaf = jnp.asarray(arr).astype(

@@ -770,20 +770,42 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
         (blocks["attn_norm"], blocks["mlp_norm"]))
     logits = _unembed(params, cfg, h)  # [B, T, V]
 
-    # one contiguous [L, 1, Nk, T, H] write per slot (unrolled; B static)
+    # one contiguous [L, 1, Nk, T, H] write per slot (unrolled; B static).
+    # Near the cap (positions0 > s_max - t) the clamped block would land
+    # o = positions0 - write_pos rows BEFORE the slot's position and
+    # shift-corrupt real history (reachable via prefix-reuse donors, and
+    # what forced spec lanes to finish d tokens early): blend the update
+    # so rows r < o replicate the existing cache (identity write) and
+    # fresh rows land at their true positions. All reads come from the
+    # PRE-write array (slot lanes are disjoint) so XLA schedules them
+    # before the in-place update chain.
     zero = jnp.int32(0)
+    offs = positions0 - write_pos  # [B]; 0 unless within t of the cap
+    ridx = jnp.arange(t, dtype=jnp.int32)
 
     def write_all(arr, rows, with_h: bool):
+        l, nk = arr.shape[0], arr.shape[2]
+        if with_h:
+            curs = [jax.lax.dynamic_slice(
+                arr, (zero, jnp.int32(i), zero, write_pos[i], zero),
+                (l, 1, nk, t, arr.shape[4])) for i in range(b)]
+        else:
+            curs = [jax.lax.dynamic_slice(
+                arr, (zero, jnp.int32(i), zero, write_pos[i]),
+                (l, 1, nk, t)) for i in range(b)]
         for i in range(b):
-            w = write_pos[i]
+            fresh = rows[:, i][:, None]  # [L, 1, Nk, T(, H)]
+            mask = (ridx < offs[i]).reshape(
+                (1, 1, 1, t) + ((1,) if with_h else ()))
+            upd = jnp.where(mask, curs[i],
+                            jnp.roll(fresh, offs[i], axis=3))
             if with_h:
-                upd = rows[:, i][:, None]          # [L, 1, Nk, T, H]
                 arr = jax.lax.dynamic_update_slice(
-                    arr, upd, (zero, jnp.int32(i), zero, w, zero))
+                    arr, upd, (zero, jnp.int32(i), zero, write_pos[i],
+                               zero))
             else:
-                upd = rows[:, i][:, None]          # [L, 1, Nk, T]
                 arr = jax.lax.dynamic_update_slice(
-                    arr, upd, (zero, jnp.int32(i), zero, w))
+                    arr, upd, (zero, jnp.int32(i), zero, write_pos[i]))
         return arr
 
     if quantized:

@@ -317,6 +317,54 @@ def _int4_stacked_kernel(sc_ref, xe_ref, xo_ref, w_ref, s_ref, o_ref,
         o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
 
 
+def _int4_stacked_rawdot_kernel(sc_ref, xo16_ref, xc_ref, w_ref, s_ref,
+                                o_ref, acc_ref):
+    """Raw-byte-dot int4 unpack (GABBY_INT4_RAWDOT=1, docs/NEXT.md item 1):
+    the HI nibble plane is never materialized. With the biased packing a
+    byte read as signed i8 is exactly b = 16*hi + lo8, so with the two
+    activation slabs prepared OUTSIDE the kernel (tiny [M, K/2]
+    elementwise ops, fused by XLA; both EXACT except one bf16 rounding
+    of xc):
+
+        xo16 := x_odd / 16          (power-of-two scale: exact)
+        xc   := x_even - xo16       (one bf16 rounding, |xc| ~ |x|)
+
+        dot(xo16, b) + dot(xc, lo8)
+          = dot(x_odd, hi) + dot(x_odd, lo8)/16
+            + dot(x_even, lo8) - dot(x_odd, lo8)/16
+          = dot(x_odd, hi) + dot(x_even, lo8)
+
+    — the wanted sum at ONE unpacked plane (widen+mask+convert for lo8;
+    b itself converts i8->bf16 directly) instead of two (+ the shift).
+    Same MXU work, ~40% less VPU unpack per weight byte. The +8 bias in
+    lo8 contracts against rowsum(x_even) = rowsum(xc) + rowsum(xo16)
+    exactly as in the two-plane kernel. Numerics: dividing (not
+    multiplying) by 16 keeps xc at |x| scale, so its single rounding is
+    the same order as the existing bf16 rounding of x itself; verified
+    against the two-plane kernel in tests and NLL-gated like every
+    quant path."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = w_ref[0]
+    lo8 = (b.astype(jnp.int32) & 15).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(xo16_ref[:], b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(xc_ref[:], lo8,
+                          preferred_element_type=jnp.float32)
+    rowsum = (jnp.sum(xc_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+              + jnp.sum(xo16_ref[:].astype(jnp.float32), axis=1,
+                        keepdims=True))
+    acc_ref[:] -= 8.0 * rowsum
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _qmatmul_int8_stacked(x2d, packed, scale, layer, *, interpret=False):
     m, k = x2d.shape
@@ -339,6 +387,7 @@ def _qmatmul_int8_stacked(x2d, packed, scale, layer, *, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _qmatmul_int4_stacked(x2d, packed, scale, layer, *, interpret=False):
+    import os
     m, k = x2d.shape
     _, kp, n = packed.shape  # kp == k // 2
     tile_m = _pick_tile_m(m)
@@ -346,8 +395,18 @@ def _qmatmul_int4_stacked(x2d, packed, scale, layer, *, interpret=False):
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
     xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
+    x_even, x_odd = xs[:, :, 0], xs[:, :, 1]
+    if os.environ.get("GABBY_INT4_RAWDOT") == "1":
+        # env read at trace time (same jit-cache hazard/pattern as
+        # GABBY_QMM_DSEM: flip only with clear_cache or a fresh process)
+        xo16 = x_odd * jnp.bfloat16(0.0625)  # power-of-two scale: exact
+        xc = (x_even.astype(jnp.float32)
+              - xo16.astype(jnp.float32)).astype(jnp.bfloat16)
+        kernel, slabs = _int4_stacked_rawdot_kernel, [xo16, xc]
+    else:
+        kernel, slabs = _int4_stacked_kernel, [x_even, x_odd]
     out = _stacked_call(
-        _int4_stacked_kernel, 2, [xs[:, :, 0], xs[:, :, 1]], packed, scale,
+        kernel, 2, slabs, packed, scale,
         layer, tiles=(tile_m, tile_kp, tile_n),
         grid_mn=(mp // tile_m, n // tile_n), mp=mp, n=n, out_dtype=x2d.dtype,
         cost=pl.CostEstimate(
@@ -395,6 +454,123 @@ def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
         out = _qmatmul_int8(x2d, codes, scale, interpret=interp)
     else:
         out = _qmatmul_int4(x2d, codes, scale, interpret=interp)
+    return out.reshape(*lead, n)
+
+
+# ---- Grouped-scale INT4 (the unembed table) ------------------------------
+#
+# The [D, V] unembed stream is the single largest weight read of a decode
+# step (263 MB at INT8 on Llama-3.2-1B = 29% of all decode bytes). INT4
+# halves it, but per-vocab-channel scales measurably hurt logit quality —
+# GPTQ-style GROUP scales along the contraction axis (g=256) recover it
+# (gated by tests/test_ppl.py::test_int4_unembed_nll_delta). The scale now
+# varies along K, so it cannot fold into one post-dot rescale; this kernel
+# takes the whole (small: D/2 rows) packed K per grid step and contracts
+# per group with ONE batched dot over the group axis (small per-group dots
+# pay MXU issue/drain latency — the round-2 flash-attention lesson).
+
+GROUPED_TILE_N = (1024, 768, 512, 384, 256, 128)
+
+
+def _grouped_tile_n(kp: int, n: int, tile_m: int, gkp: int) -> int:
+    gcount = kp // gkp
+    for tile_n in GROUPED_TILE_N:
+        if n % tile_n:
+            continue
+        vmem = (2 * kp * tile_n                    # weight, double-buffered
+                + 2 * 2 * gcount * tile_m * gkp * 2  # xe+xo slabs (bf16)
+                + 2 * gcount * tile_n * 4          # scale tiles
+                + 2 * tile_m * gcount * 4          # rowsums
+                + 2 * tile_m * tile_n * 2          # output
+                + gcount * tile_m * tile_n * 4)    # batched-dot transient
+        if vmem <= 9 * 1024 * 1024:
+            return tile_n
+    return 0
+
+
+def grouped_supported(m: int, k: int, n: int, group: int) -> bool:
+    if group % 2 or k % group or m > 256:
+        return False
+    kp, gkp = k // 2, group // 2
+    tile_m = min(_round_up(max(m, 1), 16), 256)
+    return _grouped_tile_n(kp, n, tile_m, gkp) != 0
+
+
+def _int4_grouped_kernel(xe_ref, xo_ref, rs_ref, w_ref, s_ref, o_ref):
+    gcount, _, gkp = xe_ref.shape
+    tn = o_ref.shape[1]
+    # same biased-nibble algebra as _int4_kernel
+    p = w_ref[:].astype(jnp.int32)
+    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16).reshape(gcount, gkp, tn)
+    lo8 = (p & 15).astype(jnp.bfloat16).reshape(gcount, gkp, tn)
+    dims = (((2,), (1,)), ((0,), (0,)))  # contract gkp, batch over groups
+    d = jax.lax.dot_general(xe_ref[:], lo8, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+    d += jax.lax.dot_general(xo_ref[:], hi, dimension_numbers=dims,
+                             preferred_element_type=jnp.float32)
+    s = s_ref[:]  # [gcount, tn]
+    out = jnp.sum(d * s[:, None, :], axis=0)
+    # the +8 low-nibble bias contracts to rank-1 per group; with grouped
+    # scales the correction is a [tm, G] x [G, tn] dot
+    out -= 8.0 * jax.lax.dot_general(
+        rs_ref[:], s, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def _qmatmul_int4_grouped(x2d, packed, scale, group, *, interpret=False):
+    m, k = x2d.shape
+    kp, n = packed.shape  # kp == k // 2
+    gkp = group // 2
+    gcount = kp // gkp
+    tile_m = min(_round_up(m, 16), 256)
+    tile_n = _grouped_tile_n(kp, n, tile_m, gkp)
+    mp = _round_up(m, tile_m)
+    xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
+    xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
+    xe = xs[:, :, 0].reshape(mp, gcount, gkp)
+    xo = xs[:, :, 1].reshape(mp, gcount, gkp)
+    rs = jnp.sum(xe.astype(jnp.float32), axis=2)  # [mp, gcount]
+    xe = xe.transpose(1, 0, 2)  # [gcount, mp, gkp] — kernel batch axis
+    xo = xo.transpose(1, 0, 2)
+
+    out = pl.pallas_call(
+        _int4_grouped_kernel,
+        grid=(mp // tile_m, n // tile_n),
+        in_specs=[
+            pl.BlockSpec((gcount, tile_m, gkp), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gcount, tile_m, gkp), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, gcount), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gcount, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 4 + kp * n + mp * n * 2
+            + gcount * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xe, xo, rs, packed, scale)
+    return out[:m] if mp != m else out
+
+
+def qmatmul_grouped(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
+                    group: int) -> jnp.ndarray:
+    """x: [..., K] @ int4-packed [K//2, N] with group-wise scales
+    [K//group, N] -> [..., N] in x.dtype."""
+    *lead, k_in = x.shape
+    n = codes.shape[1]
+    out = _qmatmul_int4_grouped(x.reshape(-1, k_in), codes, scale, group,
+                                interpret=pk.interpret_mode())
     return out.reshape(*lead, n)
 
 

@@ -70,12 +70,17 @@ class QTensor:
        would imply by de-interleaving the ACTIVATION's lanes instead
        (tiny [M, K] permute, fused by XLA) and contracting the two nibble
        planes separately — see ops/pallas/quant_matmul.py.
-    scale: f32 [out_dim], per-output-channel.
+    scale: f32. Per-output-channel [out_dim] when group == 0; per
+       (input-group, output-channel) [in_dim // group, out_dim] when
+       group > 0 — group-wise scales recover most of int4's quality loss
+       on weights with per-column outliers (the unembed table; GPTQ-style
+       g=128/256 grouping along the contraction axis).
     """
 
     q: jnp.ndarray
     scale: jnp.ndarray
     bits: int = dataclasses.field(metadata=dict(static=True))
+    group: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -116,21 +121,36 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return inter.reshape(packed.shape[0] * 2, packed.shape[1])
 
 
-def quantize(w: jnp.ndarray, bits: int) -> QTensor:
-    """Symmetric per-output-channel quantization of w: [in_dim, out_dim]."""
+def quantize(w: jnp.ndarray, bits: int, group: int = 0) -> QTensor:
+    """Symmetric quantization of w: [in_dim, out_dim]. Scales are
+    per-output-channel (group=0) or per (input-group, output-channel)
+    (group>0, group divides in_dim)."""
     assert bits in (4, 8)
     qmax = 127.0 if bits == 8 else 7.0
     wf = jnp.asarray(w, jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=0)  # [out]
-    scale = jnp.maximum(absmax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+    if group:
+        k, n = wf.shape
+        assert k % group == 0, (k, group)
+        wg = wf.reshape(k // group, group, n)
+        absmax = jnp.max(jnp.abs(wg), axis=1)  # [k//group, out]
+        scale = jnp.maximum(absmax / qmax, 1e-8)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -qmax, qmax)
+        q = q.reshape(k, n).astype(jnp.int8)
+    else:
+        absmax = jnp.max(jnp.abs(wf), axis=0)  # [out]
+        scale = jnp.maximum(absmax / qmax, 1e-8)
+        q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 4:
         q = pack_int4(q)
-    return QTensor(q=q, scale=scale.astype(jnp.float32), bits=bits)
+    return QTensor(q=q, scale=scale.astype(jnp.float32), bits=bits,
+                   group=group)
 
 
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    if qt.group:
+        scale = jnp.repeat(qt.scale, qt.group, axis=0)  # [in, out]
+        return (q.astype(jnp.float32) * scale).astype(dtype)
     return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
 
 
@@ -167,6 +187,27 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
                  and ((m <= 64 and (qt.bits == 4
                                     or pk.int8_matmul_kernel()))
                       or (qt.bits == 4 and pk.int4_prefill_kernel())))
+    if qt.group:
+        # group-wise scales (the int4 unembed): scale varies along the
+        # contraction axis, so it cannot fold into a single post-dot
+        # rescale — the kernel applies it per k-group on the accumulator
+        if (qt.bits == 4 and qt.q.ndim == 2 and m <= 64
+                and pk.kernels_enabled()):
+            from gabby_tpu.ops.pallas import quant_matmul as pqm
+            if pqm.grouped_supported(m, qt.shape[0], qt.shape[1], qt.group):
+                return pqm.qmatmul_grouped(x, qt.q, qt.scale, qt.group)
+        # fallback (CPU tests, prefill-sized m): per-group batched dot —
+        # codes stream quantized, the scale hits each group's accumulator
+        q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+        gcount = qt.scale.shape[0]
+        xg = x.astype(jnp.bfloat16).reshape(*x.shape[:-1], gcount, qt.group)
+        qg = q.reshape(gcount, qt.group, q.shape[-1]).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            xg, qg,
+            dimension_numbers=(((x.ndim,), (1,)), ((x.ndim - 1,), (0,))),
+            preferred_element_type=jnp.float32)  # [G, ..., N]
+        acc = acc * qt.scale[(slice(None),) + (None,) * (x.ndim - 1)]
+        return jnp.sum(acc, axis=0).astype(x.dtype)
     if layer is not None and qt.q.ndim == 3:
         in_dim = qt.q.shape[1] * (2 if qt.bits == 4 else 1)
         if kernel_ok:
@@ -213,7 +254,9 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
 
 
 def quantize_tree(params, bits: int, *, skip=("embed", "norm"),
-                  quantize_unembed: bool = True):
+                  quantize_unembed: bool = True,
+                  unembed_bits: int | None = None,
+                  unembed_group: int = 256):
     """Quantize every 2-D+ matmul weight in a params pytree (dicts of arrays).
 
     Leaves whose key path contains a name in `skip`, and 1-D leaves (norms),
@@ -223,15 +266,26 @@ def quantize_tree(params, bits: int, *, skip=("embed", "norm"),
     quantize_unembed: for tied-embedding models (lm_head is None) the
     unembed matmul otherwise streams the full-precision [V, D] table every
     decode step — the single largest weight stream on Llama-3.2-1B. This
-    materializes a SEPARATE INT8 [D, V] copy for the unembed (always 8-bit,
-    even under bits=4: per-vocab-channel INT4 logits measurably hurt
-    quality) while the embedding gather keeps reading the bf16 table.
-    Trades V*D bytes of HBM capacity for halving that stream.
-    """
+    materializes a SEPARATE quantized [D, V] copy for the unembed while
+    the embedding gather keeps reading the bf16 table. Trades V*D bytes of
+    HBM capacity for halving (or quartering) that stream.
+
+    unembed_bits: 8 (default, per-vocab-channel scales) or 4 with
+    GROUP-wise scales along D (`unembed_group`; plain per-vocab-channel
+    INT4 logits measurably hurt quality, group scales recover it — gated
+    by tests/test_ppl.py). The default can be flipped via
+    GABBY_UNEMBED_BITS=4 (read once here, quantize time — no jit-cache
+    hazard since the tree itself changes)."""
     def visit(path, leaf):
         name = "/".join(str(p) for p in path)
         if any(s in name for s in skip) or leaf.ndim < 2:
             return leaf
+        if name == "lm_head" and quantize_unembed:
+            # untied models: the lm_head IS the unembed stream — same
+            # policy as the tied-embedding copy below (per-channel int4
+            # logits hurt quality; int8 or int4+group scales don't)
+            return quantize_unembed_table(leaf, bits=unembed_bits,
+                                          group=unembed_group)
         if leaf.ndim == 2:
             return quantize(leaf, bits)
         assert leaf.ndim == 3  # [L, in, out] stacked layers
@@ -245,9 +299,27 @@ def quantize_tree(params, bits: int, *, skip=("embed", "norm"),
     out = _tree_map_with_name(visit, params)
     if (quantize_unembed and isinstance(out, dict)
             and out.get("lm_head") is None and "embed" in out):
-        out["lm_head"] = quantize(
-            jnp.asarray(out["embed"], jnp.float32).T, 8)
+        out["lm_head"] = quantize_unembed_table(
+            jnp.asarray(out["embed"], jnp.float32).T,
+            bits=unembed_bits, group=unembed_group)
     return out
+
+
+def quantize_unembed_table(table, bits: int | None = None,
+                           group: int = 256) -> QTensor:
+    """Quantize the [D, V] unembed table: INT8 per-vocab-channel (default)
+    or INT4 with group-wise scales along D (see quantize_tree). Shared by
+    quantize_tree and the checkpoint loader so GABBY_UNEMBED_BITS behaves
+    identically on both load paths."""
+    if bits is None:
+        bits = int(os.environ.get("GABBY_UNEMBED_BITS", "8"))
+    assert bits in (4, 8)
+    table = jnp.asarray(table, jnp.float32)
+    if bits == 4:
+        while group > 1 and table.shape[0] % group:
+            group //= 2
+        return quantize(table, 4, group=group)
+    return quantize(table, 8)
 
 
 def _tree_map_with_name(fn, tree, path=()):

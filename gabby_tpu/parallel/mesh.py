@@ -49,8 +49,19 @@ def initialize_multihost(coordinator: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
     """jax.distributed bring-up for multi-host pod slices. No-op if already
-    initialized or if running single-process."""
+    initialized or if running single-process.
+
+    Recoverability is enabled so that a peer's death surfaces as a
+    collective ERROR for the runtime's failure handling (HostSync
+    timeouts fail in-flight requests; engine._loop_guarded maps it to
+    request errors) instead of the coordination service LOG(FATAL)-ing
+    the surviving processes before they can react — the serving-level
+    discipline tests/test_multihost.py::test_follower_death_* asserts."""
     try:
+        try:
+            jax.config.update("jax_enable_recoverability", True)
+        except Exception:
+            pass  # older jax: flag absent; coordination service defaults
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pickle
 import threading
+import time
 from typing import Any, Optional
 
 import jax
@@ -44,10 +45,73 @@ class HostSync:
     (/root/reference/src/http/server.cc:371-378) at the layer it never
     had."""
 
+    HB_INTERVAL = 1.0  # seconds between liveness-counter bumps
+
     def __init__(self, timeout: Optional[float] = 60.0):
         self.process_index = jax.process_index()
         self.num_processes = jax.process_count()
         self.timeout = timeout
+        # Liveness ground truth: every process bumps a counter in the
+        # coordination service's KV store once a second; `dead_peers`
+        # reads the others'. This detects a peer stuck/killed INSIDE a
+        # device collective — a hang the broadcast timeout can never see,
+        # because the serving loop blocks in the jit call and never
+        # reaches the next broadcast. (The coordination service's own
+        # heartbeat detection exists but defaults to 100 s and ends in
+        # LOG(FATAL) rather than an error the engine can map to request
+        # failures.)
+        self._client = None
+        self._hb_seen: dict[int, tuple[Optional[int], float]] = {}
+        if self.num_processes > 1:
+            try:
+                from jax._src import distributed
+                self._client = distributed.global_state.client
+            except Exception:  # noqa: BLE001 — probe is best-effort
+                self._client = None
+            now = time.monotonic()
+            self._hb_seen = {p: (None, now)
+                             for p in range(self.num_processes)
+                             if p != self.process_index}
+            if self._client is not None:
+                threading.Thread(target=self._heartbeat_loop, daemon=True,
+                                 name="hostsync-heartbeat").start()
+
+    def _heartbeat_loop(self) -> None:
+        key = f"gabby/hb/{self.process_index}"
+        while True:
+            try:
+                self._client.key_value_increment(key, 1)
+            except Exception:  # noqa: BLE001
+                return  # coordinator gone — peers see our stall either way
+            time.sleep(self.HB_INTERVAL)
+
+    def dead_peers(self, stall: Optional[float] = None) -> list[int]:
+        """Process ids whose liveness counter has not advanced within
+        `stall` seconds (default: the instance timeout) — or EVERY peer,
+        when the coordination service itself is unreachable (the
+        coordinator process died). Empty list = cluster healthy. A peer
+        that never bumped its counter counts from this HostSync's
+        construction (all processes construct it in lockstep)."""
+        stall = self.timeout if stall is None else stall
+        if self.num_processes == 1 or self._client is None or stall is None:
+            return []
+        now = time.monotonic()
+        dead = []
+        for p, (val, since) in self._hb_seen.items():
+            try:
+                cur = int(self._client.key_value_try_get(f"gabby/hb/{p}"))
+            except jax.errors.JaxRuntimeError as e:
+                if "NOT_FOUND" in str(e):
+                    cur = None  # not bumped yet: stall clock keeps running
+                else:
+                    return [q for q in self._hb_seen]  # coordinator dead
+            except Exception:  # noqa: BLE001 — transport failure
+                return [q for q in self._hb_seen]
+            if cur is not None and cur != val:
+                self._hb_seen[p] = (cur, now)
+            elif now - since > stall:
+                dead.append(p)
+        return dead
 
     @property
     def is_leader(self) -> bool:

@@ -53,14 +53,18 @@ PARAM_RULES: dict[str, P] = {
 }
 
 
-def _qtensor_specs(rule: P, bits: int) -> QTensor:
+def _qtensor_specs(rule: P, bits: int, group: int = 0) -> QTensor:
     """Spec tree for a stacked QTensor: codes follow the weight rule; the
-    [L, out] scale follows the rule's output axis. `bits` must mirror the
-    actual leaf: it is static pytree metadata, and tree.map requires the
-    spec tree's treedef to match the param tree's."""
+    [L, out] scale follows the rule's output axis. `bits`/`group` must
+    mirror the actual leaf: they are static pytree metadata, and tree.map
+    requires the spec tree's treedef to match the param tree's."""
     out_axis = rule[-1]
     if len(rule) == 3:  # stacked [L, in, out] -> scale [L, out]
-        return QTensor(q=rule, scale=P(None, out_axis), bits=bits)
+        return QTensor(q=rule, scale=P(None, out_axis), bits=bits,
+                       group=group)
+    if group:  # grouped 2-D (the unembed): scale [in/group, out]
+        return QTensor(q=rule, scale=P(None, out_axis), bits=bits,
+                       group=group)
     return QTensor(q=rule, scale=P(out_axis), bits=bits)  # [in, out] -> [out]
 
 
@@ -70,7 +74,7 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
     def visit(path: str, leaf):
         rule = PARAM_RULES[path]
         if isinstance(leaf, QTensor):
-            return _qtensor_specs(rule, leaf.bits)
+            return _qtensor_specs(rule, leaf.bits, leaf.group)
         return rule
 
     def walk(node, path=""):
@@ -109,12 +113,12 @@ def sharded_device_put_fn(mesh: Mesh):
     def put(path: tuple, leaf):
         rule = PARAM_RULES["/".join(str(p) for p in path)]
         if isinstance(leaf, QTensor):
-            spec = _qtensor_specs(rule, leaf.bits)
+            spec = _qtensor_specs(rule, leaf.bits, leaf.group)
             return QTensor(
                 q=jax.device_put(leaf.q, NamedSharding(mesh, spec.q)),
                 scale=jax.device_put(leaf.scale,
                                      NamedSharding(mesh, spec.scale)),
-                bits=leaf.bits,
+                bits=leaf.bits, group=leaf.group,
             )
         return jax.device_put(leaf, NamedSharding(mesh, rule))
 

@@ -122,6 +122,12 @@ class Request:
     # chunks without a second channel.
     token_ids: list[int] = dataclasses.field(default_factory=list)
     token_logprobs: list[float] = dataclasses.field(default_factory=list)
+    # OpenAI `top_logprobs`: 0 = off; 1-20 = per generated token, also
+    # record the top-k alternatives of its distribution as (id, logprob)
+    # pairs (parallel to token_ids, same incremental-append contract)
+    top_logprobs: int = 0
+    token_top: list[list[tuple[int, float]]] = dataclasses.field(
+        default_factory=list)
 
 
 @dataclasses.dataclass
@@ -141,6 +147,10 @@ class _Slot:
             errors="replace"))
     text_held: str = ""
     drop_tail: bool = False  # stop-sequence cut: suppress the tail flush
+    # top-candidate (ids, logprobs) of the on-device-sampled FIRST token's
+    # distribution, captured at admission when the request asked for
+    # top_logprobs; consumed by the first_pending emit
+    first_top: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -230,6 +240,11 @@ class Engine:
             self._buckets = PREFILL_BUCKETS
         self._cache = cache
 
+        # cache-carrying jits with pinned boundary layouts (see
+        # generate.CacheLoops: XLA's auto layouts otherwise pay four
+        # full-cache copies per decode call)
+        self._gen = generate.CacheLoops(cache, cache_shardings)
+
         stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
         self._eos_ids = jnp.asarray(sorted(stop), jnp.int32)
 
@@ -292,11 +307,32 @@ class Engine:
                       "prefix_tokens_reused": 0, "spec_macro_steps": 0,
                       "spec_tokens": 0}
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
+        # request-level tracing spans: the last 32 finished requests'
+        # lifecycle timings, surfaced under /statusz `engine.recent` so an
+        # operator can see WHERE a slow request spent its time without
+        # attaching a profiler (queue wait vs prefill vs decode)
+        import collections
+        self._spans: "collections.deque[dict]" = collections.deque(maxlen=32)
         self._admit_key = jax.random.PRNGKey(0x6ABB)
 
+        self._failed = False  # _fail_all_requests ran (idempotency)
+        self._fail_msg: Optional[str] = None
         self._thread = threading.Thread(target=self._loop_guarded,
                                         daemon=True, name="gabby-engine")
         self._thread.start()
+        if (self._multi and self._sync.timeout is not None
+                and getattr(self._sync, "_client", None) is not None):
+            # multi-host failure watchdog: a peer that dies INSIDE a
+            # device collective leaves this controller's loop thread
+            # blocked in the jit call forever — no exception, and the
+            # plan-broadcast timeout never fires because the loop never
+            # reaches it. The watchdog checks the coordination-service
+            # liveness counters (HostSync.dead_peers) and fails all
+            # in-flight work within a bounded time instead; the stuck
+            # daemon thread is abandoned (the distributed runtime is not
+            # recoverable past an abandoned collective).
+            threading.Thread(target=self._watchdog, daemon=True,
+                             name="gabby-watchdog").start()
 
     # ---- public API ----
 
@@ -318,8 +354,11 @@ class Engine:
                    temperature: Optional[float] = None,
                    top_k: Optional[int] = None,
                    top_p: Optional[float] = None,
-                   stop: Optional[list[str]] = None) -> Request:
+                   stop: Optional[list[str]] = None,
+                   top_logprobs: int = 0) -> Request:
         ec = self.ec
+        if not 0 <= (top_logprobs or 0) <= 20:
+            raise RequestError("top_logprobs must be in [0, 20]")
         limit = ec.max_seq - 1
         if len(prompt_ids) > limit:
             # OpenAI semantics: over-length context is the CLIENT's error —
@@ -343,8 +382,19 @@ class Engine:
             top_k=top_k if top_k is not None and top_k >= 0 else ec.default_top_k,
             top_p=top_p if top_p is not None and 0 < top_p <= 1 else ec.default_top_p,
             stop=[s for s in (stop or []) if s][:8],
+            top_logprobs=int(top_logprobs or 0),
         )
-        self._queue.put(req)
+        # a STOPPED engine (shutdown, loop death, or the multi-host
+        # watchdog declaring the cluster dead) must not accept work into a
+        # queue nobody drains — the submitter's out.get would hang
+        # forever. The check and the enqueue share the lock so a request
+        # can never slip in after _fail_all_requests' (or _loop's
+        # shutdown) drain: the flag is set BEFORE either drain runs.
+        with self._lock:
+            if self._failed or self._shutdown:
+                req.out.put((None, self._fail_msg or "abort"))
+                return req
+            self._queue.put(req)
         self._wake.set()
         return req
 
@@ -380,6 +430,7 @@ class Engine:
             for k in self.stats:
                 self.stats[k] = 0
             self._ttfts.clear()
+            self._spans.clear()
 
     def stats_snapshot(self) -> dict:
         """Engine-side serving metrics (TTFT is admit -> first token).
@@ -388,6 +439,7 @@ class Engine:
         with self._lock:
             s = dict(self.stats)
             ttfts = list(self._ttfts)
+            s["recent"] = list(self._spans)  # request tracing spans
         if ttfts:
             s["p50_ttft_ms"] = round(float(np.median(ttfts)) * 1e3, 2)
         s["active_slots"] = sum(1 for x in self._slots if x is not None)
@@ -456,7 +508,8 @@ class Engine:
         """The request fields a follower controller needs to mirror all
         host-side decisions (sampling splice, max_tokens, stop matching)."""
         return dict(max_tokens=req.max_tokens, temperature=req.temperature,
-                    top_k=req.top_k, top_p=req.top_p, stop=list(req.stop))
+                    top_k=req.top_k, top_p=req.top_p, stop=list(req.stop),
+                    top_logprobs=req.top_logprobs)
 
     @staticmethod
     def _stub_request(ids, meta: dict) -> Request:
@@ -656,7 +709,7 @@ class Engine:
                 take = min(bucket, len(p) - offset)
                 if take > 0:
                     chunk[slot_ix, :take] = p[offset:offset + take]
-            logits, self._cache = generate.prefill_batch_chunk(
+            logits, self._cache = self._gen.prefill_batch_chunk(
                 self.params, self.cfg, jnp.asarray(chunk),
                 jnp.asarray(lengths), lane_mask, self._cache, offset)
 
@@ -684,9 +737,13 @@ class Engine:
         with self._lock:
             for slot_ix, req, p in zip(slots, group, prompts):
                 self._slot_prompts[slot_ix] = list(p)
-                self._slots[slot_ix] = _Slot(request=req,
-                                             prompt_len=len(req.prompt_ids),
-                                             first_pending=True)
+                slot = _Slot(request=req, prompt_len=len(req.prompt_ids),
+                             first_pending=True)
+                if req.top_logprobs:
+                    lp_t, id_t = generate.top_candidates_host(
+                        logits[slot_ix], n_top=req.top_logprobs)
+                    slot.first_top = (np.asarray(id_t), np.asarray(lp_t))
+                self._slots[slot_ix] = slot
                 self.stats["requests"] += 1
                 self.stats["prompt_tokens"] += len(req.prompt_ids)
                 req.first_token_ts = now
@@ -709,7 +766,7 @@ class Engine:
             raise RuntimeError("kv page pool exhausted")
         chunk = np.zeros((bucket,), np.int32)
         chunk[:take] = adm.ids[adm.offset:adm.offset + take]
-        adm.last_logits, self._cache = generate.prefill_slot(
+        adm.last_logits, self._cache = self._gen.prefill_slot(
             self.params, self.cfg, jnp.asarray(chunk),
             jnp.int32(take), jnp.int32(adm.slot_ix), jnp.int32(adm.offset),
             self._cache)
@@ -734,6 +791,10 @@ class Engine:
             self._history, self._first_lp)
 
         slot = _Slot(request=req, prompt_len=n, first_pending=True)
+        if req.top_logprobs:
+            lp_t, id_t = generate.top_candidates_host(
+                adm.last_logits, n_top=req.top_logprobs)
+            slot.first_top = (np.asarray(id_t), np.asarray(lp_t))
         self._slots[slot_ix] = slot
         # the slot's cache now holds this prompt's full KV: register it
         # for prefix reuse by later admissions
@@ -747,7 +808,7 @@ class Engine:
                 del self._ttfts[:512]
 
     def _emit_token(self, slot_ix: int, token_id: int,
-                    logprob: float = 0.0) -> None:
+                    logprob: float = 0.0, top=None) -> None:
         """Append a token to the slot's request; stream decoded delta.
 
         Decodes ONLY the new token's bytes through the slot's incremental
@@ -764,6 +825,13 @@ class Engine:
             return
         req.token_ids.append(token_id)
         req.token_logprobs.append(logprob)
+        if req.top_logprobs:
+            # `top` is (ids, logprobs) rows of the call-wide n_top bucket;
+            # slice down to what THIS request asked for
+            k = req.top_logprobs
+            req.token_top.append(
+                [] if top is None else
+                [(int(i), float(x)) for i, x in zip(top[0][:k], top[1][:k])])
         req.completion_tokens = len(req.token_ids)
         raw = self.tokenizer.token_raw(token_id)
         new_text = ""
@@ -812,8 +880,20 @@ class Engine:
         tail = ""
         if not slot.drop_tail:
             tail = slot.text_held + slot.dec.decode(b"", True)
+        req = slot.request
+        now = time.monotonic()
+        span = {
+            "prompt_tokens": len(req.prompt_ids),
+            "completion_tokens": len(req.token_ids),
+            "finish": reason,
+            # queue wait + prefill, i.e. submit -> first emitted token
+            "ttft_ms": (round((req.first_token_ts - req.submit_ts) * 1e3, 1)
+                        if req.first_token_ts else None),
+            "total_ms": round((now - req.submit_ts) * 1e3, 1),
+        }
         with self._lock:
             self.stats["completion_tokens"] += len(slot.request.token_ids)
+            self._spans.append(span)
         self._slots[slot_ix] = None
         self._active = self._active.at[slot_ix].set(False)
         # park the freed slot's write position (see __init__); update all
@@ -838,20 +918,55 @@ class Engine:
         except Exception as e:  # noqa: BLE001 — deliberately broad
             import traceback
             traceback.print_exc()
-            self._shutdown = True
-            for slot_ix, slot in enumerate(self._slots):
-                if slot is not None:
-                    slot.request.out.put((None, f"error: engine died: {e}"))
-                    self._slots[slot_ix] = None
-            for req in self._backlog:
-                req.out.put((None, f"error: engine died: {e}"))
-            self._backlog.clear()
-            while True:
-                try:
-                    self._queue.get_nowait().out.put(
-                        (None, f"error: engine died: {e}"))
-                except queue.Empty:
-                    break
+            self._fail_all_requests(f"error: engine died: {e}")
+
+    def _fail_all_requests(self, msg: str) -> None:
+        """Terminal failure: error-finish every in-flight and queued
+        request and stop the engine. Idempotent — callable from the loop
+        thread (after an exception) or the multi-host watchdog (while the
+        loop thread is still stuck in a dead collective)."""
+        with self._lock:
+            if self._failed:
+                return
+            self._failed = True
+            self._fail_msg = msg
+        self._shutdown = True
+        for slot_ix, slot in enumerate(self._slots):
+            if slot is not None:
+                slot.request.out.put((None, msg))
+                self._slots[slot_ix] = None
+        for req in self._backlog:
+            req.out.put((None, msg))
+        self._backlog.clear()
+        while True:
+            try:
+                self._queue.get_nowait().out.put((None, msg))
+            except queue.Empty:
+                break
+
+    def _watchdog(self) -> None:
+        sync = self._sync
+        poll = min(2.0, sync.timeout / 4)
+        misses = 0
+        while not self._shutdown:
+            time.sleep(poll)
+            try:
+                dead = sync.dead_peers()
+            except Exception:  # noqa: BLE001 — treat probe failure as fatal
+                dead = [p for p in range(sync.num_processes)
+                        if p != sync.process_index]
+            if not dead:
+                misses = 0
+                continue
+            # one confirmation poll on top of the counter-stall window
+            # guards against a single starved heartbeat read
+            misses += 1
+            if misses >= 2:
+                self._fail_all_requests(
+                    f"error: peer controller(s) {dead} lost — multi-host "
+                    f"serving cannot continue (liveness counter stalled "
+                    f"past {sync.timeout:.0f}s)")
+                return
 
     def _compose_plan(self, admitting: Optional[_Admission]) -> Optional[dict]:
         """Leader-side (or single-process) decision for one loop iteration:
@@ -979,7 +1094,7 @@ class Engine:
                     # dense prefix reuse: clone the donor's rows (the
                     # donor's prefix rows are frozen — decode writes land
                     # at positions >= its prompt length)
-                    self._cache = generate.copy_slot_prefix(
+                    self._cache = self._gen.copy_slot_prefix(
                         self._cache, jnp.int32(donor), jnp.int32(dst))
             if donor >= 0 and common > 0:
                 admitting.offset = common
@@ -1023,41 +1138,50 @@ class Engine:
         pre_tokens = self._tokens  # holds just-admitted first tokens
         b = len(self._slots)
         window = self._attn_window(steps)
-        use_spec = self._spec_enabled
-        if use_spec:
-            # near the window end the verify block's [D+1]-row write can no
-            # longer fit, and spec_decode_loop's cap guard would finish
-            # requests up to D tokens before the true cache capacity
-            # (ADVICE r2): fall back to the plain decode loop for calls
-            # that could reach the cap — same tokens, full context.
-            dl = self.ec.speculate_tokens
-            live = [s.prompt_len + len(s.request.token_ids)
-                    for s in self._slots if s is not None]
-            if live and max(live) + steps * (dl + 1) > self.ec.max_seq:
-                use_spec = False
-        if use_spec:
+        # OpenAI top_logprobs: when any live request asked for candidate
+        # alternatives, the decode loop also returns exact top-k rows.
+        # Bucketed {5, 10, 20} so the (steps, window, n_top) compile set
+        # stays bounded; derived from replicated slot state, so every
+        # multi-host controller dispatches the identical program.
+        n_top = max((s.request.top_logprobs for s in self._slots
+                     if s is not None), default=0)
+        if n_top:
+            n_top = 5 if n_top <= 5 else (10 if n_top <= 10 else 20)
+        # speculation runs all the way to the cache cap: near max_seq the
+        # device loop stops drafting but keeps emitting single verified
+        # tokens to plain decode_loop's exact capacity bound (ADVICE r2;
+        # verify_step's blended clamped write keeps history intact)
+        if self._spec_enabled:
             dl = self.ec.speculate_tokens
             (out_em, out_n, out_lp, self._tokens, self._positions,
-             self._active, self._cache, self._sstate,
-             self._history) = generate.spec_decode_loop(
+             self._active, self._cache, self._sstate, self._history,
+             out_top_lp, out_top_ids) = self._gen.spec_decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, self._history,
-                steps, dl, self._eos_ids, window=window)
+                steps, dl, self._eos_ids, window=window, n_top=n_top)
             packed = np.asarray(jax.device_get(jnp.concatenate([
                 out_em.reshape(-1).astype(jnp.int32),
                 out_n.reshape(-1).astype(jnp.int32),
                 self._active.astype(jnp.int32),
                 pre_tokens.astype(jnp.int32),
                 jax.lax.bitcast_convert_type(out_lp.reshape(-1), jnp.int32),
-                jax.lax.bitcast_convert_type(self._first_lp, jnp.int32)])))
+                jax.lax.bitcast_convert_type(self._first_lp, jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    out_top_lp.reshape(-1), jnp.int32),
+                out_top_ids.reshape(-1)])))
             kbt = steps * b * (dl + 1)
             em = packed[:kbt].reshape(steps, b, dl + 1)
             counts = packed[kbt:kbt + steps * b].reshape(steps, b)
             active_host = packed[kbt + steps * b:kbt + steps * b + b] != 0
             first_toks = packed[kbt + steps * b + b:kbt + steps * b + 2 * b]
-            lp_flat = packed[kbt + steps * b + 2 * b:].view(np.float32)
+            base = kbt + steps * b + 2 * b
+            lp_flat = packed[base:base + kbt + b].view(np.float32)
             lps = lp_flat[:kbt].reshape(steps, b, dl + 1)
             first_lps = lp_flat[kbt:]
+            top_lps = packed[base + kbt + b:base + kbt + b + kbt * n_top]\
+                .view(np.float32).reshape(steps, b, dl + 1, n_top)
+            top_ids = packed[base + kbt + b + kbt * n_top:]\
+                .reshape(steps, b, dl + 1, n_top)
             with self._lock:
                 self.stats["decode_steps"] += steps
                 self.stats["spec_macro_steps"] += int(
@@ -1067,7 +1191,8 @@ class Engine:
                 if slot is not None and slot.first_pending:
                     slot.first_pending = False
                     self._emit_token(slot_ix, int(first_toks[slot_ix]),
-                                     float(first_lps[slot_ix]))
+                                     float(first_lps[slot_ix]),
+                                     top=slot.first_top)
             for step in range(steps):
                 for slot_ix in range(b):
                     if self._slots[slot_ix] is None:
@@ -1075,16 +1200,20 @@ class Engine:
                     for t in range(int(counts[step, slot_ix])):
                         if self._slots[slot_ix] is None:
                             break
-                        self._emit_token(slot_ix, int(em[step, slot_ix, t]),
-                                         float(lps[step, slot_ix, t]))
+                        self._emit_token(
+                            slot_ix, int(em[step, slot_ix, t]),
+                            float(lps[step, slot_ix, t]),
+                            top=((top_ids[step, slot_ix, t],
+                                  top_lps[step, slot_ix, t])
+                                 if n_top else None))
             self._maybe_disable_spec()
         else:
             (out_tokens, out_active, out_lp, self._tokens,
-             self._positions, self._active, self._cache,
-             self._sstate) = generate.decode_loop(
+             self._positions, self._active, self._cache, self._sstate,
+             out_top_lp, out_top_ids) = self._gen.decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, steps,
-                eos_ids=self._eos_ids, window=window)
+                eos_ids=self._eos_ids, window=window, n_top=n_top)
             with self._lock:
                 self.stats["decode_steps"] += steps
 
@@ -1095,14 +1224,19 @@ class Engine:
             kb = steps * b
             packed = np.asarray(jax.device_get(generate.pack_host_view(
                 out_tokens, out_active, self._active, pre_tokens,
-                out_lp, self._first_lp)))
+                out_lp, self._first_lp, out_top_lp, out_top_ids)))
             toks = packed[:kb].reshape(steps, -1)               # [K, B]
             emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
             active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
             first_toks = packed[2 * kb + b:2 * kb + 2 * b]       # [B]
-            lp_flat = packed[2 * kb + 2 * b:].view(np.float32)
+            base = 2 * kb + 2 * b
+            lp_flat = packed[base:base + kb + b].view(np.float32)
             lps = lp_flat[:kb].reshape(steps, -1)                # [K, B]
             first_lps = lp_flat[kb:]                             # [B]
+            top_lps = packed[base + kb + b:base + kb + b + kb * n_top]\
+                .view(np.float32).reshape(steps, b, n_top)
+            top_ids = packed[base + kb + b + kb * n_top:]\
+                .reshape(steps, b, n_top)
 
             # deliver on-device-sampled first tokens of fresh admissions
             # BEFORE this call's decode outputs (generation order)
@@ -1110,12 +1244,17 @@ class Engine:
                 if slot is not None and slot.first_pending:
                     slot.first_pending = False
                     self._emit_token(slot_ix, int(first_toks[slot_ix]),
-                                     float(first_lps[slot_ix]))
+                                     float(first_lps[slot_ix]),
+                                     top=slot.first_top)
             for step in range(toks.shape[0]):
                 for slot_ix in range(toks.shape[1]):
                     if emitted[step, slot_ix] and self._slots[slot_ix]:
-                        self._emit_token(slot_ix, int(toks[step, slot_ix]),
-                                         float(lps[step, slot_ix]))
+                        self._emit_token(
+                            slot_ix, int(toks[step, slot_ix]),
+                            float(lps[step, slot_ix]),
+                            top=((top_ids[step, slot_ix],
+                                  top_lps[step, slot_ix])
+                                 if n_top else None))
 
         # a slot the DEVICE deactivated without an EOS hit its cache
         # capacity (decode_loop's new_pos < max_seq guard): finish it

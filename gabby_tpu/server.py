@@ -115,6 +115,15 @@ def _build_engine(args, sync=None):
                   cache_shardings=cache_shardings, sync=sync), cfg
 
 
+def _top_entries(engine, rows):
+    """OpenAI `top_logprobs` payload: per generated token, the top-k
+    alternatives of its distribution as [{token, logprob}] (rows are the
+    engine's (id, logprob) pairs)."""
+    return [[{"token": engine.tokenizer.decode([i]),
+              "logprob": round(lp, 6)} for i, lp in row]
+            for row in rows]
+
+
 def make_handler(engine):
     """Adapts bridge requests to the engine (the Generator seam)."""
 
@@ -127,6 +136,7 @@ def make_handler(engine):
             top_p=(request["top_p"]
                    if 0 < request.get("top_p", -1) <= 1 else None),
             stop=request.get("stop") or None,
+            top_logprobs=int(request.get("top_logprobs") or 0),
         )
         from gabby_tpu.runtime.engine import RequestError
         try:
@@ -159,6 +169,9 @@ def make_handler(engine):
                         chunk["tokens"] = [
                             engine.tokenizer.decode([i])
                             for i in req.token_ids[lp_seen:upto]]
+                        if req.top_logprobs:
+                            chunk["top_logprobs"] = _top_entries(
+                                engine, req.token_top[lp_seen:upto])
                         lp_seen = upto
                     if not emit(chunk):
                         # client went away: free the slot instead of
@@ -187,6 +200,9 @@ def make_handler(engine):
                                                for x in req.token_logprobs]
                     final["tokens"] = [engine.tokenizer.decode([i])
                                        for i in req.token_ids]
+                    if req.top_logprobs:
+                        final["top_logprobs"] = _top_entries(
+                            engine, req.token_top)
                 emit(final)
                 return
 

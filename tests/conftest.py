@@ -3,7 +3,30 @@ sharding / collective tests run without TPUs (SURVEY.md §4). Must run before
 anything imports jax."""
 
 import os
+import resource
 import sys
+import threading
+
+# XLA:CPU segfaults (SIGSEGV inside backend_compile_and_load) partway
+# through a long suite run: always the first fresh compile after ~60
+# accumulated tests, regardless of WHICH program is being compiled
+# (reproduced 4/4 on the jit path, the eager apply_primitive path, and
+# once as a 35-minute compile grind instead of a crash; every crashing
+# compile passes instantly when the same test file runs alone). Two
+# defenses, both load-bearing:
+#   1. a large stack for the main thread (RLIMIT_STACK) and for every
+#      Python-created thread (threading.stack_size — glibc ignores a
+#      raised rlimit for pthread defaults, measured 8 MB either way),
+#      since engine loop threads run jit compiles;
+#   2. jax.clear_caches() between test modules (the autouse fixture
+#      below) so compiled-executable state cannot accumulate across the
+#      whole session.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    pass
+threading.stack_size(64 * 1024 * 1024)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -22,3 +45,16 @@ jax.config.update("jax_platforms", "cpu")
 # The CPU backend's default matmul precision truncates f32 inputs; golden
 # tests compare f32 logits against torch, so force exact f32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Defense 2 (see header): evict compiled executables after every test
+    module so XLA:CPU state cannot accumulate session-wide. Costs some
+    recompiles of shapes shared across files; prevents the
+    order-dependent native compiler SIGSEGV."""
+    yield
+    jax.clear_caches()

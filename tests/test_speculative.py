@@ -182,8 +182,10 @@ def test_spec_eos_mid_draft(setup):
 def test_spec_engine_reaches_full_context_capacity(setup):
     """ADVICE r2: the verify block's cap guard must not shrink the
     effective context window — a request near max_seq must generate
-    exactly as many tokens as the plain engine (the engine falls back to
-    plain decode for calls that could reach the cap)."""
+    exactly as many tokens as the plain engine, with speculation STILL
+    ON (near the cap the device loop stops drafting but keeps emitting
+    single verified tokens; verify_step's blended clamped write keeps
+    history intact)."""
     cfg, params, tok = setup
     kw = dict(batch_slots=1, max_seq=64, steps_per_call=4,
               default_max_tokens=60, cache_dtype="float32")
@@ -206,6 +208,7 @@ def test_spec_engine_reaches_full_context_capacity(setup):
         fin = None
         while fin is None:
             _, fin = rs.out.get(timeout=120)
+        stats = dict(spec.stats)
     finally:
         spec.shutdown()
 
@@ -214,6 +217,47 @@ def test_spec_engine_reaches_full_context_capacity(setup):
     assert len(rs.token_ids) == len(plain_ids), (
         "speculation shrank the effective context window")
     assert fin == plain_fin
+    # the macro-step loop handled the cap itself — no host fallback
+    assert stats["spec_macro_steps"] >= 1
+
+
+def test_verify_step_clamped_write_preserves_history(setup):
+    """A verify block issued within T of max_seq clamps its write start;
+    the blended write must leave already-written history rows untouched
+    and land the fresh rows at their true positions (the shift-corruption
+    the r2 advisor flagged for near-cap donors)."""
+    cfg, params, _ = setup
+    max_seq, n = 32, 30
+    ids = [(i % 90) + 2 for i in range(n)]
+    cache = create_cache(cfg, 2, max_seq, dtype=jnp.float32)
+    logits, cache = llama.prefill_slot(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.int32(n),
+        jnp.int32(0), jnp.int32(0), cache)
+    k_before = np.asarray(cache.k)
+    t0 = int(jnp.argmax(logits))
+
+    # T=4 block at position 30: write_pos clamps to 28, offset 2
+    vb = jnp.asarray([[t0, 5, 6, 7], [1, 1, 1, 1]], jnp.int32)
+    _, cache2 = llama.verify_step(params, cfg, vb,
+                                  jnp.asarray([n, 1], jnp.int32), cache)
+    k_after = np.asarray(cache2.k)
+    # rows [0, 30): history — byte-identical (incl. the clamped span 28-29)
+    np.testing.assert_array_equal(k_after[:, 0, :, :n], k_before[:, 0, :, :n])
+    # rows 30, 31: fresh block rows 0, 1 actually landed
+    assert not np.allclose(k_after[:, 0, :, n:n + 2], k_before[:, 0, :, n:n + 2])
+
+    # ground truth for the fresh rows: an unclamped verify in a roomier
+    # cache writes the same k rows at the same positions
+    cache_big = create_cache(cfg, 2, 64, dtype=jnp.float32)
+    _, cache_big = llama.prefill_slot(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.int32(n),
+        jnp.int32(0), jnp.int32(0), cache_big)
+    _, cache_big = llama.verify_step(params, cfg, vb,
+                                     jnp.asarray([n, 1], jnp.int32),
+                                     cache_big)
+    np.testing.assert_allclose(k_after[:, 0, :, n:n + 2],
+                               np.asarray(cache_big.k)[:, 0, :, n:n + 2],
+                               rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("prompt", [

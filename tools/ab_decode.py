@@ -31,7 +31,15 @@ from gabby_tpu.runtime.kv_cache import create_cache  # noqa: E402
 
 def time_variants(variants: dict, steps: int, reps: int, rounds: int):
     """variants: name -> zero-arg callable returning a synced run.
-    Alternates name order each round; returns name -> median seconds."""
+    Alternates name order each round; returns name -> median seconds.
+
+    Contention guard: the shared chip has multi-minute windows where EVERY
+    program runs ~15% slow (BASELINE.md round-3 notes) — an A/B whose
+    rounds land inside one reads neutral no matter the real effect. A
+    round is marked contended when ALL variants in it run >10% over their
+    own session minimum (a real A/B difference slows only one side);
+    contended rounds are dropped from the medians, and the drop count is
+    printed so a mostly-contended session is visibly untrustworthy."""
     rt = roundtrip_s()
     print(f"tunnel roundtrip {rt*1e3:.0f} ms", flush=True)
     for name, fn in variants.items():
@@ -51,13 +59,28 @@ def time_variants(variants: dict, steps: int, reps: int, rounds: int):
             samples[name].append(dt)
             print(f"  round {r} {name}: {dt/steps*1e3:.3f} ms/step",
                   flush=True)
-    return {k: statistics.median(v) for k, v in samples.items()}
+    floor = {k: min(v) for k, v in samples.items()}
+    clean = [r for r in range(rounds)
+             if any(samples[k][r] <= 1.10 * floor[k] for k in samples)]
+    dropped = rounds - len(clean)
+    if dropped:
+        print(f"contention guard: dropped {dropped}/{rounds} round(s) "
+              f"where every variant ran >10% over its session floor",
+              flush=True)
+    if len(clean) < 2:
+        print("contention guard: <2 clean rounds — medians use ALL "
+              "rounds; rerun this A/B, the session is untrustworthy",
+              flush=True)
+        clean = list(range(rounds))
+    return {k: statistics.median([v[r] for r in clean])
+            for k, v in samples.items()}
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["fused", "window", "attn", "s8",
-                                    "dsem", "longwin"])
+                                    "dsem", "longwin", "unembed",
+                                    "rawdot"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -73,9 +96,10 @@ def main() -> int:
         args.context = min(args.context, 512)
     cfg = spec["preset"](max_seq_len=args.max_seq)
     print(f"devices: {jax.devices()}", flush=True)
-    base = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    raw = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    base = raw
     if spec["bits"]:
-        base = quant.quantize_tree(base, spec["bits"])
+        base = quant.quantize_tree(raw, spec["bits"])
 
     b = args.batch
     tokens = jnp.full((b,), 17, jnp.int32)
@@ -94,12 +118,13 @@ def main() -> int:
         cache = create_cache(cfg, b, max_seq or args.max_seq,
                              dtype=jnp.bfloat16,
                              quantized=spec["kv_quant"])
+        loops = generate.CacheLoops(cache)  # pinned boundary layouts
         sstate = generate.SamplingState.greedy(b)
         state[name] = (cache, sstate)
 
         def run():
             cache, sstate = state[name]
-            out, _, _, _, _, _, cache, sstate = generate.decode_loop(
+            out, _, _, _, _, _, cache, sstate, _, _ = loops.decode_loop(
                 params, cfg, tokens, positions, active, cache, sstate,
                 args.steps, window=win)
             state[name] = (cache, sstate)
@@ -148,6 +173,30 @@ def main() -> int:
         plain = make_runner("plain", fusedp, None)
         plain()
         variants = {"plain": plain, "dsem": dsem}
+    elif args.mode == "rawdot":
+        # one-plane raw-byte-dot int4 unpack vs the two-plane kernel
+        # (docs/NEXT.md round-4 item 1; quant_matmul rawdot kernel)
+        import os
+        fusedp = llama.fuse_projections(base)
+        os.environ["GABBY_INT4_RAWDOT"] = "1"
+        raw = make_runner("rawdot", fusedp, args.max_seq)
+        raw()
+        os.environ["GABBY_INT4_RAWDOT"] = "0"
+        plain = make_runner("two-plane", fusedp, None)
+        plain()
+        variants = {"two-plane": plain, "rawdot": raw}
+    elif args.mode == "unembed":
+        # int8 per-channel vs int4 group-scale unembed table (the [D, V]
+        # stream is 29% of all decode bytes on the 1B; quality gated by
+        # tests/test_ppl.py::test_int4_unembed_ppl_delta)
+        bits = spec["bits"] or 4
+        u8 = llama.fuse_projections(quant.quantize_tree(raw, bits))
+        u4 = llama.fuse_projections(quant.quantize_tree(
+            raw, bits, unembed_bits=4, unembed_group=256))
+        variants = {
+            "unembed-int8": make_runner("unembed-int8", u8, window),
+            "unembed-int4g": make_runner("unembed-int4g", u4, window),
+        }
     elif args.mode == "longwin":
         # VERDICT r2 item 4's done-criterion: an 8k-PROVISIONED window at
         # ctx 512 vs a 2k window at the same live context, one session
