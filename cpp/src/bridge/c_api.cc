@@ -134,6 +134,12 @@ class CallbackGenerator : public gabby::Generator {
             if (ctx.error_status == 400) {
                 throw gabby::http::BadRequestException(ctx.error);
             }
+            if (ctx.error_status == 408) {
+                // deadline expired while queued: the reference's timeout
+                // discipline (408) applied to the scheduler's deadline
+                throw gabby::http::HttpException(
+                    gabby::http::StatusCode::REQUEST_TIMEOUT, ctx.error);
+            }
             throw gabby::http::InternalError(ctx.error);
         }
         if (rc != 0) {
@@ -165,6 +171,8 @@ class CallbackGenerator : public gabby::Generator {
             {"stream", Value::boolean(req.stream)},
             {"logprobs", Value::boolean(req.logprobs)},
             {"top_logprobs", Value::number(req.top_logprobs)},
+            {"priority", Value::number(req.priority)},
+            {"deadline_ms", Value::number(req.deadline_ms)},
             {"stop", Value::array(std::move(stop))},
         });
         return gabby::json::to_string(*v);

@@ -181,6 +181,21 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
         }
         out.top_logprobs = tl;
     }
+    // scheduling extension fields (documented in README): `priority`
+    // admits higher values first; `deadline_ms` is a relative budget —
+    // expired-in-queue requests get 408, expired mid-generation finish
+    // with reason "deadline"
+    if (auto it = obj.find("priority");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        double v = it->second->as_number();
+        if (v < -8 || v > 8) {
+            throw BadRequestException("'priority' out of range [-8, 8]");
+        }
+        out.priority = static_cast<int>(v);
+    }
+    if (double dl = num("deadline_ms", 1, 1e12); dl >= 0) {
+        out.deadline_ms = dl;
+    }
     if (auto it = obj.find("stream"); it != obj.end()) {
         out.stream = it->second->as_boolean();
     }

@@ -50,6 +50,12 @@ struct GenRequest {
     // KV forks and a variable-width sampler; rejected as a poor trade
     // against slots the engine already has.)
     int n = 1;
+    // scheduling extensions (non-OpenAI, documented in README): higher
+    // priority admits first; deadline_ms > 0 is a relative completion
+    // budget (queue expiry -> 408, mid-generation expiry -> finish
+    // reason "deadline" with the text generated so far)
+    int priority = 0;
+    double deadline_ms = 0;
 };
 
 // One unit of generator output. Non-streaming engines emit a single chunk

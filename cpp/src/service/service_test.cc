@@ -337,5 +337,37 @@ TEST(Service, TopLogprobsRequiresLogprobs) {
     EXPECT_EQ(status2, 400);
 }
 
+TEST(Service, PriorityAndDeadlinePassthrough) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "priority": 3, "deadline_ms": 2500})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         body);
+    EXPECT_EQ(status, 200);
+    EXPECT_EQ(svc.generator().last_request.priority, 3);
+    EXPECT_FLOAT_EQ(svc.generator().last_request.deadline_ms, 2500.0, 1e-9);
+    // defaults when absent
+    std::string plain = R"({"messages": [{"role": "user", "content": "hi"}]})";
+    auto [status2, resp2] = http::PostJson(svc.port(),
+                                           "/v1/chat/completions", plain);
+    EXPECT_EQ(status2, 200);
+    EXPECT_EQ(svc.generator().last_request.priority, 0);
+    EXPECT_FLOAT_EQ(svc.generator().last_request.deadline_ms, 0.0, 1e-9);
+}
+
+TEST(Service, BadPriorityAndDeadlineRejected) {
+    TestService svc;
+    std::string big = R"({"messages": [{"role": "user", "content": "hi"}],
+                          "priority": 99})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         big);
+    EXPECT_EQ(status, 400);
+    std::string zero = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "deadline_ms": 0})";
+    auto [status2, resp2] = http::PostJson(svc.port(),
+                                           "/v1/chat/completions", zero);
+    EXPECT_EQ(status2, 400);
+}
+
 }  // namespace
 }  // namespace gabby

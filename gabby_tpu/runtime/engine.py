@@ -122,6 +122,16 @@ class Request:
     # chunks without a second channel.
     token_ids: list[int] = dataclasses.field(default_factory=list)
     token_logprobs: list[float] = dataclasses.field(default_factory=list)
+    # scheduling extensions (carried on the OpenAI surface as the
+    # documented extension fields `priority` / `deadline_ms`): requests
+    # with higher priority admit first (within a stratum the configured
+    # policy orders as usual); a deadline is a relative wall-clock budget
+    # from submission — expired-while-queued requests fail fast with 408
+    # instead of burning a prefill nobody is waiting for, near-deadline
+    # ones jump the queue (EDF), and an expired in-flight request is
+    # finished with reason "deadline", returning what it generated
+    priority: int = 0
+    deadline_s: Optional[float] = None
     # OpenAI `top_logprobs`: 0 = off; 1-20 = per generated token, also
     # record the top-k alternatives of its distribution as (id, logprob)
     # pairs (parallel to token_ids, same incremental-append contract)
@@ -355,10 +365,16 @@ class Engine:
                    top_k: Optional[int] = None,
                    top_p: Optional[float] = None,
                    stop: Optional[list[str]] = None,
-                   top_logprobs: int = 0) -> Request:
+                   top_logprobs: int = 0,
+                   priority: int = 0,
+                   deadline_s: Optional[float] = None) -> Request:
         ec = self.ec
         if not 0 <= (top_logprobs or 0) <= 20:
             raise RequestError("top_logprobs must be in [0, 20]")
+        if not -8 <= int(priority or 0) <= 8:
+            raise RequestError("priority must be in [-8, 8]")
+        if deadline_s is not None and not deadline_s > 0:
+            raise RequestError("deadline_ms must be > 0")
         limit = ec.max_seq - 1
         if len(prompt_ids) > limit:
             # OpenAI semantics: over-length context is the CLIENT's error —
@@ -383,6 +399,8 @@ class Engine:
             top_p=top_p if top_p is not None and 0 < top_p <= 1 else ec.default_top_p,
             stop=[s for s in (stop or []) if s][:8],
             top_logprobs=int(top_logprobs or 0),
+            priority=int(priority or 0),
+            deadline_s=deadline_s,
         )
         # a STOPPED engine (shutdown, loop death, or the multi-host
         # watchdog declaring the cluster dead) must not accept work into a
@@ -584,9 +602,16 @@ class Engine:
             return -1, 0
         return best, best_common
 
+    @staticmethod
+    def _slack(req: Request) -> float:
+        """Seconds until the request's deadline; +inf without one."""
+        if req.deadline_s is None:
+            return float("inf")
+        return req.submit_ts + req.deadline_s - time.monotonic()
+
     def _drain_ingress(self) -> None:
         """Move ingress-queue arrivals into the backlog, dropping entries
-        cancelled before admission."""
+        cancelled (or deadline-expired) before admission."""
         while True:
             try:
                 self._backlog.append(self._queue.get_nowait())
@@ -596,16 +621,25 @@ class Engine:
         for r in self._backlog:
             if r.cancelled:
                 r.out.put((None, "cancelled"))
+            elif self._slack(r) <= 0:
+                # fail fast: prefilling a request whose deadline already
+                # passed burns device time nobody is waiting for
+                r.out.put((None, "error: deadline exceeded while queued"))
             else:
                 kept.append(r)
         self._backlog = kept
 
     def _pop_next_admission(self) -> Optional[Request]:
-        """Admission policy: shortest prompt first (minimizes mean TTFT —
+        """Admission policy: highest priority stratum first; within it,
+        earliest-deadline-first once any deadline is within spf_age_limit
+        of expiring (EDF — a deadline at risk outranks a shorter prompt),
+        otherwise shortest prompt first under "spf" (minimizes mean TTFT —
         a short request behind a long one otherwise waits that prompt's
-        whole prefill), except the OLDEST waiter goes first once it has
-        aged past spf_age_limit (starvation guard). Leader-only decision;
-        followers see the result through the plan."""
+        whole prefill) or arrival order under "fifo". The starvation guard
+        sits ABOVE the strata: the oldest waiter goes first once it has
+        aged past spf_age_limit, so a stream of high-priority arrivals
+        delays low-priority work by a bounded time, never forever.
+        Leader-only decision; followers see the result through the plan."""
         self._drain_ingress()
         if not self._backlog:
             return None
@@ -614,12 +648,19 @@ class Engine:
                          key=lambda i: self._backlog[i].submit_ts)
             if (time.monotonic() - self._backlog[oldest].submit_ts
                     > self.ec.spf_age_limit):
-                ix = oldest
-            else:
-                ix = min(range(len(self._backlog)),
-                         key=lambda i: (len(self._backlog[i].prompt_ids), i))
+                return self._backlog.pop(oldest)
+        top = max(r.priority for r in self._backlog)
+        stratum = [i for i, r in enumerate(self._backlog)
+                   if r.priority == top]
+        urgent = [i for i in stratum
+                  if self._slack(self._backlog[i]) < self.ec.spf_age_limit]
+        if urgent:
+            ix = min(urgent, key=lambda i: self._slack(self._backlog[i]))
+        elif self.ec.admission_policy == "spf":
+            ix = min(stratum,
+                     key=lambda i: (len(self._backlog[i].prompt_ids), i))
         else:
-            ix = 0
+            ix = stratum[0]
         return self._backlog.pop(ix)
 
     def _select_burst(self) -> Optional[dict]:
@@ -637,19 +678,26 @@ class Engine:
         self._drain_ingress()
         if len(self._backlog) < 2:
             return None
+        # bursts form within the top-priority stratum only: batching a
+        # lower-priority request is free for the group, but anchoring a
+        # burst on one could push the high-priority pick a schedule back
+        top = max(r.priority for r in self._backlog)
+        pool = [r for r in self._backlog if r.priority == top]
+        if len(pool) < 2:
+            return None
         # anchor the group's schedule on the admission policy's next pick
-        anchor = (min(self._backlog, key=lambda r: len(r.prompt_ids))
-                  if self.ec.admission_policy == "spf" else self._backlog[0])
+        anchor = (min(pool, key=lambda r: len(r.prompt_ids))
+                  if self.ec.admission_policy == "spf" else pool[0])
         key0 = self._chunk_schedule(len(anchor.prompt_ids))
         if self._paged:
             # the whole group's pages are provisioned inside the burst;
             # don't start one the pool can't back (leave 2 spare pages for
             # live slots' decode horizon)
-            need = min(len(free), len(self._backlog)) * len(key0)
+            need = min(len(free), len(pool)) * len(key0)
             if self._alloc.available() < need + 2:
                 return None
         group = []
-        for r in self._backlog:
+        for r in pool:
             if len(group) >= len(free):
                 break
             sched = self._chunk_schedule(len(r.prompt_ids))
@@ -981,6 +1029,19 @@ class Engine:
                    if s is not None and s.request.cancelled]
         if cancels:
             plan["cancel"] = cancels
+        # in-flight deadline expiry: finish the slot with what it has
+        # (reason "deadline") instead of decoding to max_tokens for a
+        # client whose budget is spent. Leader-clock decision, replayed by
+        # followers through the plan like cancellation.
+        overdue = [i for i, s in enumerate(self._slots)
+                   if s is not None and not s.request.cancelled
+                   and self._slack(s.request) <= 0]
+        if overdue:
+            plan["deadline"] = overdue
+        # sweep the ingress queue even when no slot is free, so a request
+        # whose deadline expired while waiting gets its 408 now, not when
+        # a slot eventually opens
+        self._drain_ingress()
         if admitting is not None and admitting.req.cancelled:
             plan["cancel_admission"] = True
         if admitting is None:
@@ -1038,6 +1099,8 @@ class Engine:
         all host-side finish decisions stay in lockstep."""
         for i in plan.get("cancel", ()):
             self._finish(i, "cancelled")
+        for i in plan.get("deadline", ()):
+            self._finish(i, "deadline")
         if plan.get("cancel_admission") and admitting is not None:
             admitting.req.out.put((None, "cancelled"))
             admitting = None

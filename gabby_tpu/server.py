@@ -137,6 +137,9 @@ def make_handler(engine):
                    if 0 < request.get("top_p", -1) <= 1 else None),
             stop=request.get("stop") or None,
             top_logprobs=int(request.get("top_logprobs") or 0),
+            priority=int(request.get("priority") or 0),
+            deadline_s=(request["deadline_ms"] / 1e3
+                        if request.get("deadline_ms") else None),
         )
         from gabby_tpu.runtime.engine import RequestError
         try:
@@ -184,12 +187,20 @@ def make_handler(engine):
                     parts.append(delta)
             if fin is not None:
                 if fin.startswith("error"):
-                    emit({"error": fin, "done": True})
+                    err = {"error": fin, "done": True}
+                    if "deadline" in fin:
+                        err["status"] = 408  # expired while queued
+                    emit(err)
                     return
                 final = {
                     "delta": "" if streaming else "".join(parts),
                     "done": True,
-                    "finish_reason": "stop" if fin == "stop" else "length",
+                    # "deadline" passes through (documented extension: the
+                    # request's deadline_ms elapsed mid-generation; the
+                    # text generated so far is returned)
+                    "finish_reason": ("stop" if fin == "stop" else
+                                      "deadline" if fin == "deadline"
+                                      else "length"),
                     "prompt_tokens": len(req.prompt_ids),
                     "completion_tokens": req.completion_tokens,
                 }

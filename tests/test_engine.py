@@ -795,3 +795,140 @@ def test_shortest_prompt_first_admission(setup):
             "short prompt did not overtake the earlier long prompt")
     finally:
         eng.shutdown()
+
+
+def _drain_order(reqs: dict):
+    """Start a drain thread per request; returns name -> finish time."""
+    import threading
+    import time as _time
+    done = {}
+
+    def drain(name, req):
+        fin = None
+        while fin is None:
+            _, fin = req.out.get(timeout=300)
+        done[name] = (_time.monotonic(), fin)
+
+    ts = [threading.Thread(target=drain, args=(n, r))
+          for n, r in reqs.items()]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    return done
+
+
+def test_priority_admission_overrides_spf(setup):
+    """A higher-priority request must admit before an earlier, SHORTER
+    lower-priority one (priority strata sit above the SPF tiebreak)."""
+    import time as _time
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=1, max_seq=256, steps_per_call=2,
+                              steps_per_call_busy=2, default_max_tokens=8,
+                              cache_dtype="float32", spf_age_limit=600.0))
+    try:
+        blocker = eng.submit_ids(list(range(2, 10)), max_tokens=200)
+        for _ in range(2000):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        short_lo = eng.submit_ids(list(range(2, 12)), max_tokens=4)
+        _time.sleep(0.05)  # low-priority short arrives first
+        long_hi = eng.submit_ids([2 + (i % 200) for i in range(120)],
+                                 max_tokens=4, priority=2)
+        done = _drain_order({"blocker": blocker, "short_lo": short_lo,
+                             "long_hi": long_hi})
+        assert done["long_hi"][0] < done["short_lo"][0], (
+            "high-priority request did not overtake the low-priority one")
+    finally:
+        eng.shutdown()
+
+
+def test_deadline_expired_in_queue_fails_fast(setup):
+    """A queued request whose deadline passes before a slot frees must be
+    failed promptly (error finish, no generated text) — not prefilling on
+    behalf of a client whose budget is spent."""
+    import time as _time
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=1, max_seq=256, steps_per_call=2,
+                              steps_per_call_busy=2, default_max_tokens=8,
+                              cache_dtype="float32", spf_age_limit=600.0))
+    try:
+        blocker = eng.submit_ids(list(range(2, 10)), max_tokens=200)
+        for _ in range(2000):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        doomed = eng.submit_ids(list(range(2, 12)), max_tokens=4,
+                                deadline_s=0.03)
+        delta, fin = doomed.out.get(timeout=120)
+        assert delta is None and fin.startswith("error"), (delta, fin)
+        assert "deadline" in fin
+        assert doomed.token_ids == []
+        # the blocker is unaffected
+        done = _drain_order({"blocker": blocker})
+        assert not done["blocker"][1].startswith("error")
+    finally:
+        eng.shutdown()
+
+
+def test_deadline_edf_overrides_spf(setup):
+    """Within a priority stratum, a request whose deadline is at risk
+    (slack inside the urgency window) admits before a shorter prompt
+    without a deadline (EDF beats SPF when it matters)."""
+    import time as _time
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=1, max_seq=256, steps_per_call=2,
+                              steps_per_call_busy=2, default_max_tokens=8,
+                              cache_dtype="float32", spf_age_limit=600.0))
+    try:
+        blocker = eng.submit_ids(list(range(2, 10)), max_tokens=200)
+        for _ in range(2000):
+            if eng.stats_snapshot()["active_slots"] >= 1:
+                break
+            _time.sleep(0.01)
+        short = eng.submit_ids(list(range(2, 12)), max_tokens=4)
+        _time.sleep(0.05)
+        # longer prompt, but its 300 s slack sits inside the (parked at
+        # 600 s) urgency window -> EDF puts it first
+        dl = eng.submit_ids([2 + (i % 200) for i in range(120)],
+                            max_tokens=4, deadline_s=300.0)
+        done = _drain_order({"blocker": blocker, "short": short, "dl": dl})
+        assert done["dl"][0] < done["short"][0], (
+            "deadline-urgent request did not overtake the shorter prompt")
+        assert done["dl"][1] in ("stop", "length")
+    finally:
+        eng.shutdown()
+
+
+def test_deadline_mid_flight_finishes_with_partial_text(engine):
+    """An in-flight request whose deadline expires is finished with
+    reason "deadline" and whatever it generated so far (leader-clock
+    sweep in _compose_plan, replayed by followers via the plan)."""
+    import time as _time
+    req = engine.submit_ids(list(range(2, 10)), max_tokens=10_000,
+                            deadline_s=3600.0)
+    # wait until it is decoding, then pull its deadline into the past
+    # (deterministic stand-in for "the budget elapsed mid-generation")
+    first, fin = req.out.get(timeout=120)
+    assert fin is None
+    req.submit_ts -= 7200.0
+    engine._wake.set()
+    text = first or ""
+    while fin is None:
+        delta, fin = req.out.get(timeout=120)
+        text += delta or ""
+    assert fin == "deadline", fin
+    assert len(req.token_ids) >= 1  # partial output delivered
+    assert len(req.token_ids) < 10_000
+
+
+def test_priority_validation(engine):
+    from gabby_tpu.runtime.engine import RequestError
+    with pytest.raises(RequestError):
+        engine.submit_ids([2, 3], priority=99)
+    with pytest.raises(RequestError):
+        engine.submit_ids([2, 3], deadline_s=0.0)

@@ -216,3 +216,22 @@ def test_statusz_and_models(server):
     assert st["engine"]["p50_ttft_ms"] > 0
     status, body = _get(server, "/v1/models")
     assert json.loads(body)["data"][0]["id"] == "tiny-test"
+
+
+def test_priority_and_deadline_through_http(server):
+    """Scheduling extension fields ride the full C++ HTTP -> bridge ->
+    engine path: `priority` is accepted (bad values 400 at the C++
+    layer), and a request whose `deadline_ms` budget is spent either
+    expires in queue (408) or is finished mid-flight with the documented
+    finish_reason "deadline"."""
+    payload = dict(CHAT, priority=2, max_tokens=100, deadline_ms=30)
+    status, body = _post(server, "/v1/chat/completions", payload)
+    if status == 200:
+        fin = json.loads(body)["choices"][0]["finish_reason"]
+        assert fin == "deadline", body
+    else:
+        assert status == 408, (status, body)
+
+    status, _ = _post(server, "/v1/chat/completions",
+                      dict(CHAT, priority=99))
+    assert status == 400
