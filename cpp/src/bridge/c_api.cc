@@ -159,6 +159,10 @@ class CallbackGenerator : public gabby::Generator {
         }
         std::vector<ValuePtr> stop;
         for (const auto& s : req.stop) stop.push_back(Value::string(s));
+        std::map<std::string, ValuePtr> bias;
+        for (const auto& [tok, b] : req.logit_bias) {
+            bias[tok] = Value::number(b);
+        }
         auto v = Value::object({
             {"messages", Value::array(std::move(msgs))},
             {"raw", Value::boolean(req.raw)},
@@ -173,6 +177,10 @@ class CallbackGenerator : public gabby::Generator {
             {"top_logprobs", Value::number(req.top_logprobs)},
             {"priority", Value::number(req.priority)},
             {"deadline_ms", Value::number(req.deadline_ms)},
+            {"presence_penalty", Value::number(req.presence_penalty)},
+            {"frequency_penalty", Value::number(req.frequency_penalty)},
+            {"seed", Value::number(static_cast<double>(req.seed))},
+            {"logit_bias", Value::object(std::move(bias))},
             {"stop", Value::array(std::move(stop))},
         });
         return gabby::json::to_string(*v);

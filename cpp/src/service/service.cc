@@ -196,6 +196,49 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
     if (double dl = num("deadline_ms", 1, 1e12); dl >= 0) {
         out.deadline_ms = dl;
     }
+    // OpenAI sampling penalties + logit_bias (validated here; applied
+    // on-device by the engine). `num`'s -1 absent sentinel sits inside
+    // the valid [-2, 2] range, so these parse explicitly.
+    auto penalty = [&](const char* key, double& dst) {
+        auto it = obj.find(key);
+        if (it == obj.end() || it->second->is(json::Type::NIL)) return;
+        double v = it->second->as_number();
+        if (v < -2.0 || v > 2.0) {
+            throw BadRequestException(std::string("'") + key +
+                                      "' out of range [-2, 2]");
+        }
+        dst = v;
+    };
+    penalty("presence_penalty", out.presence_penalty);
+    penalty("frequency_penalty", out.frequency_penalty);
+    if (auto it = obj.find("seed");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        out.seed = static_cast<long long>(it->second->as_number());
+        if (out.seed < 0) {
+            throw BadRequestException("'seed' must be >= 0");
+        }
+    }
+    if (auto it = obj.find("logit_bias");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        const auto& lb = it->second->as_object();
+        if (lb.size() > 300) {
+            throw BadRequestException("logit_bias supports at most 300 "
+                                      "entries");
+        }
+        for (const auto& [tok, v] : lb) {
+            double b = v->as_number();
+            if (b < -100.0 || b > 100.0) {
+                throw BadRequestException(
+                    "logit_bias values must be in [-100, 100]");
+            }
+            if (tok.empty() ||
+                tok.find_first_not_of("0123456789") != std::string::npos) {
+                throw BadRequestException(
+                    "logit_bias keys must be token ids");
+            }
+            out.logit_bias[tok] = b;
+        }
+    }
     if (auto it = obj.find("stream"); it != obj.end()) {
         out.stream = it->second->as_boolean();
     }

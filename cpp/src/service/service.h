@@ -12,6 +12,7 @@
 
 #include <atomic>
 #include <functional>
+#include <map>
 #include <memory>
 #include <string>
 #include <vector>
@@ -56,6 +57,13 @@ struct GenRequest {
     // reason "deadline" with the text generated so far)
     int priority = 0;
     double deadline_ms = 0;
+    // OpenAI sampling penalties: [-2, 2] each (0 = off) and logit_bias
+    // {token-id -> bias in [-100, 100]}, applied on-device by the engine
+    double presence_penalty = 0;
+    double frequency_penalty = 0;
+    std::map<std::string, double> logit_bias;
+    // OpenAI `seed`: best-effort reproducible sampling; -1 = unset
+    long long seed = -1;
 };
 
 // One unit of generator output. Non-streaming engines emit a single chunk

@@ -355,6 +355,52 @@ TEST(Service, PriorityAndDeadlinePassthrough) {
     EXPECT_FLOAT_EQ(svc.generator().last_request.deadline_ms, 0.0, 1e-9);
 }
 
+TEST(Service, PenaltiesAndLogitBiasPassthrough) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "presence_penalty": -1.5,
+                           "frequency_penalty": 0.25,
+                           "logit_bias": {"17": 4.5, "33": -10}})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         body);
+    EXPECT_EQ(status, 200);
+    const auto& req = svc.generator().last_request;
+    EXPECT_FLOAT_EQ(req.presence_penalty, -1.5, 1e-9);
+    EXPECT_FLOAT_EQ(req.frequency_penalty, 0.25, 1e-9);
+    EXPECT_EQ(req.logit_bias.size(), size_t{2});
+    EXPECT_FLOAT_EQ(req.logit_bias.at("17"), 4.5, 1e-9);
+    EXPECT_FLOAT_EQ(req.logit_bias.at("33"), -10.0, 1e-9);
+}
+
+TEST(Service, SeedPassthrough) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "seed": 12345})";
+    auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
+                                         body);
+    EXPECT_EQ(status, 200);
+    EXPECT_EQ(svc.generator().last_request.seed, 12345LL);
+    std::string neg = R"({"messages": [{"role": "user", "content": "hi"}],
+                          "seed": -4})";
+    auto [status2, resp2] = http::PostJson(svc.port(),
+                                           "/v1/chat/completions", neg);
+    EXPECT_EQ(status2, 400);
+}
+
+TEST(Service, BadPenaltiesRejected) {
+    TestService svc;
+    for (const std::string bad :
+         {R"("presence_penalty": 2.5)", R"("frequency_penalty": -3)",
+          R"("logit_bias": {"5": 200})", R"("logit_bias": {"x": 1})"}) {
+        std::string body =
+            R"({"messages": [{"role": "user", "content": "hi"}], )" + bad +
+            "}";
+        auto [status, resp] = http::PostJson(svc.port(),
+                                             "/v1/chat/completions", body);
+        EXPECT_EQ(status, 400);
+    }
+}
+
 TEST(Service, BadPriorityAndDeadlineRejected) {
     TestService svc;
     std::string big = R"({"messages": [{"role": "user", "content": "hi"}],

@@ -27,9 +27,20 @@ MAX_CANDIDATES = 128
 def sample(logits: jnp.ndarray, key: jax.Array, *,
            temperature: jnp.ndarray, top_k: jnp.ndarray,
            top_p: jnp.ndarray,
-           max_candidates: int = MAX_CANDIDATES) -> jnp.ndarray:
+           max_candidates: int = MAX_CANDIDATES,
+           lane_seeds: jnp.ndarray | None = None,
+           lane_positions: jnp.ndarray | None = None) -> jnp.ndarray:
     """logits: [B, V] f32; temperature/top_p: [B] f32; top_k: [B] i32.
-    Returns sampled token ids [B] int32."""
+    Returns sampled token ids [B] int32.
+
+    lane_seeds [B] i32 (with lane_positions [B] i32): OpenAI `seed` —
+    lanes with seed >= 0 draw from their OWN deterministic stream,
+    key = fold_in(PRNGKey(seed), position), so a seeded request
+    reproduces its output regardless of batch composition, admission
+    order, or how steps were fused into device calls. Lanes at -1 keep
+    the engine-global key stream. Cost when nobody is seeded: a second
+    [B, K] categorical + B threefry folds — noise next to the decode
+    matmuls (measured; avoids a second compiled program)."""
     b, v = logits.shape
     k = min(max_candidates, v)
 
@@ -52,6 +63,12 @@ def sample(logits: jnp.ndarray, key: jax.Array, *,
 
     filtered = jnp.where(keep_k & keep_p, scaled, NEG_INF)
     choice = jax.random.categorical(key, filtered, axis=-1)  # [B] in [0, K)
+    if lane_seeds is not None:
+        lane_keys = jax.vmap(lambda s, p: jax.random.fold_in(
+            jax.random.PRNGKey(s), p))(lane_seeds, lane_positions)
+        lane_choice = jax.vmap(
+            lambda k_, f: jax.random.categorical(k_, f))(lane_keys, filtered)
+        choice = jnp.where(lane_seeds >= 0, lane_choice, choice)
     sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     greedy_ids = jnp.argmax(logits, axis=-1)  # exact, not approx top-1
     return jnp.where(temperature <= 0.0, greedy_ids,

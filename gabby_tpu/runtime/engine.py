@@ -132,6 +132,24 @@ class Request:
     # finished with reason "deadline", returning what it generated
     priority: int = 0
     deadline_s: Optional[float] = None
+    # OpenAI sampling penalties: presence/frequency in [-2, 2] (0 = off)
+    # and logit_bias {token_id: bias in [-100, 100]}. Applied on device to
+    # every sampled distribution (decode loop AND the admission-time first
+    # token); logprobs/top_logprobs report the ADJUSTED distribution.
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    logit_bias: Optional[dict[int, float]] = None
+    # OpenAI `seed`: best-effort reproducible sampling. Normalized to
+    # [0, 2^31) at submit; None = the engine-global key stream. A seeded
+    # request reproduces its sampled output regardless of batch
+    # composition, admission order, or device-call fusion (the lane draws
+    # from fold_in(PRNGKey(seed), position)).
+    seed: Optional[int] = None
+
+    @property
+    def penalized(self) -> bool:
+        return bool(self.presence_penalty or self.frequency_penalty
+                    or self.logit_bias)
     # OpenAI `top_logprobs`: 0 = off; 1-20 = per generated token, also
     # record the top-k alternatives of its distribution as (id, logprob)
     # pairs (parallel to token_ids, same incremental-append contract)
@@ -285,6 +303,7 @@ class Engine:
             top_k=jnp.zeros((b,), jnp.int32),
             top_p=jnp.ones((b,), jnp.float32),
             key=jax.random.PRNGKey(econfig.seed),
+            seed=jnp.full((b,), -1, jnp.int32),
         )
         self._sync = sync
         self._multi = sync is not None and sync.num_processes > 1
@@ -324,6 +343,12 @@ class Engine:
         import collections
         self._spans: "collections.deque[dict]" = collections.deque(maxlen=32)
         self._admit_key = jax.random.PRNGKey(0x6ABB)
+
+        # OpenAI penalties/logit_bias: device state exists ONLY while some
+        # live request uses them (None compiles the fast penalty-free
+        # decode program; see generate.PenaltyState)
+        self._pstate = None
+        self._pen_slots: set[int] = set()
 
         self._failed = False  # _fail_all_requests ran (idempotency)
         self._fail_msg: Optional[str] = None
@@ -367,7 +392,11 @@ class Engine:
                    stop: Optional[list[str]] = None,
                    top_logprobs: int = 0,
                    priority: int = 0,
-                   deadline_s: Optional[float] = None) -> Request:
+                   deadline_s: Optional[float] = None,
+                   presence_penalty: float = 0.0,
+                   frequency_penalty: float = 0.0,
+                   logit_bias: Optional[dict] = None,
+                   seed: Optional[int] = None) -> Request:
         ec = self.ec
         if not 0 <= (top_logprobs or 0) <= 20:
             raise RequestError("top_logprobs must be in [0, 20]")
@@ -375,6 +404,30 @@ class Engine:
             raise RequestError("priority must be in [-8, 8]")
         if deadline_s is not None and not deadline_s > 0:
             raise RequestError("deadline_ms must be > 0")
+        for name, v in (("presence_penalty", presence_penalty),
+                        ("frequency_penalty", frequency_penalty)):
+            if not -2.0 <= (v or 0.0) <= 2.0:
+                raise RequestError(f"{name} must be in [-2, 2]")
+        if seed is not None:
+            try:
+                seed = int(seed) & 0x7FFFFFFF
+            except (TypeError, ValueError):
+                raise RequestError("seed must be an integer")
+        bias: Optional[dict[int, float]] = None
+        if logit_bias:
+            try:
+                bias = {int(k): float(v) for k, v in logit_bias.items()}
+            except (TypeError, ValueError):
+                raise RequestError("logit_bias keys must be token ids")
+            if len(bias) > 300:  # OpenAI's documented cap
+                raise RequestError("logit_bias supports at most 300 entries")
+            for k, v in bias.items():
+                if not 0 <= k < self.cfg.vocab_size:
+                    raise RequestError(f"logit_bias token id {k} out of "
+                                       f"vocab range")
+                if not -100.0 <= v <= 100.0:
+                    raise RequestError("logit_bias values must be in "
+                                       "[-100, 100]")
         limit = ec.max_seq - 1
         if len(prompt_ids) > limit:
             # OpenAI semantics: over-length context is the CLIENT's error —
@@ -401,6 +454,10 @@ class Engine:
             top_logprobs=int(top_logprobs or 0),
             priority=int(priority or 0),
             deadline_s=deadline_s,
+            presence_penalty=float(presence_penalty or 0.0),
+            frequency_penalty=float(frequency_penalty or 0.0),
+            logit_bias=bias,
+            seed=seed,
         )
         # a STOPPED engine (shutdown, loop death, or the multi-host
         # watchdog declaring the cluster dead) must not accept work into a
@@ -527,7 +584,12 @@ class Engine:
         host-side decisions (sampling splice, max_tokens, stop matching)."""
         return dict(max_tokens=req.max_tokens, temperature=req.temperature,
                     top_k=req.top_k, top_p=req.top_p, stop=list(req.stop),
-                    top_logprobs=req.top_logprobs)
+                    top_logprobs=req.top_logprobs,
+                    presence_penalty=req.presence_penalty,
+                    frequency_penalty=req.frequency_penalty,
+                    logit_bias=(dict(req.logit_bias)
+                                if req.logit_bias else None),
+                    seed=req.seed)
 
     @staticmethod
     def _stub_request(ids, meta: dict) -> Request:
@@ -703,9 +765,11 @@ class Engine:
             sched = self._chunk_schedule(len(r.prompt_ids))
             # a request with a strong resident-prefix match admits far
             # cheaper through the single path (row copy + tiny suffix
-            # prefill) than through a full batched prefill
+            # prefill) than through a full batched prefill; penalized
+            # requests also take the single path (their admission splices
+            # penalty rows, which the batched admit doesn't thread)
             _, common = self._find_donor(r.prompt_ids)
-            if common * 2 >= len(r.prompt_ids):
+            if common * 2 >= len(r.prompt_ids) or r.penalized:
                 continue
             if sched == key0 and len(sched) <= 2:
                 group.append(r)
@@ -766,9 +830,11 @@ class Engine:
         temp = np.full((b,), ec.default_temperature, np.float32)
         topk = np.full((b,), ec.default_top_k, np.int32)
         topp = np.full((b,), ec.default_top_p, np.float32)
+        seeds = np.full((b,), -1, np.int32)
         for slot_ix, r, p in zip(slots, group, prompts):
             temp[slot_ix], topk[slot_ix], topp[slot_ix] = (
                 r.temperature, r.top_k, r.top_p)
+            seeds[slot_ix] = -1 if r.seed is None else r.seed
             padded = np.zeros((ec.max_seq,), np.int32)
             padded[:len(p)] = p
             self._history = generate.write_history(
@@ -779,7 +845,7 @@ class Engine:
             logits, jnp.asarray(lengths), jnp.asarray(temp),
             jnp.asarray(topk), jnp.asarray(topp), sub, lane_mask,
             self._tokens, self._positions, self._active, self._sstate,
-            self._history, self._first_lp)
+            self._history, self._first_lp, seeds=jnp.asarray(seeds))
 
         now = time.monotonic()
         with self._lock:
@@ -821,6 +887,33 @@ class Engine:
         adm.offset += take
         return adm.offset >= len(adm.ids)
 
+    def _setup_penalties(self, slot_ix: int, req: Request,
+                         ids) -> Optional[jnp.ndarray]:
+        """Splice a penalized request's rows into the (lazily created)
+        PenaltyState and return its [V] counts/bias-adjusted admission
+        rows as (counts_row, bias_row) device arrays — or None when the
+        request doesn't use penalties. Freed slots' rows are zeroed in
+        _finish, so clean slots never need clearing here."""
+        if not req.penalized:
+            return None
+        v = self.cfg.vocab_size
+        if self._pstate is None:
+            self._pstate = generate.PenaltyState.zeros(
+                self.ec.batch_slots, v)
+        counts_row = np.bincount(
+            np.asarray(ids, np.int64), minlength=v).astype(np.int32)
+        bias_row = np.zeros((v,), np.float32)
+        for k, b in (req.logit_bias or {}).items():
+            bias_row[k] = b
+        counts_row = jnp.asarray(counts_row)
+        bias_row = jnp.asarray(bias_row)
+        self._pstate = generate.set_penalty_slot(
+            self._pstate, jnp.int32(slot_ix), counts_row,
+            jnp.float32(req.presence_penalty),
+            jnp.float32(req.frequency_penalty), bias_row)
+        self._pen_slots.add(slot_ix)
+        return counts_row, bias_row
+
     def _finish_admission(self, adm: "_Admission") -> None:
         """Activate the fully-prefilled slot ON DEVICE (first token sampled
         there too; it reaches the host in the next packed fetch)."""
@@ -830,13 +923,26 @@ class Engine:
         self._history = generate.write_history(
             self._history, jnp.int32(slot_ix), jnp.asarray(padded),
             jnp.int32(n))
+        pen_rows = self._setup_penalties(slot_ix, req, adm.ids)
+        if pen_rows is not None:
+            # the first token samples from the ADJUSTED distribution too
+            counts_row, bias_row = pen_rows
+            adm.last_logits = generate.penalize_row(
+                adm.last_logits, counts_row,
+                jnp.float32(req.presence_penalty),
+                jnp.float32(req.frequency_penalty), bias_row)
         self._admit_key, sub = jax.random.split(self._admit_key)
         (self._tokens, self._positions, self._active, self._sstate,
          self._history, self._first_lp) = generate.admit_slot(
             adm.last_logits, jnp.int32(slot_ix), jnp.int32(n),
             req.temperature, req.top_k, req.top_p, sub,
             self._tokens, self._positions, self._active, self._sstate,
-            self._history, self._first_lp)
+            self._history, self._first_lp,
+            seed=jnp.int32(-1 if req.seed is None else req.seed))
+        if pen_rows is not None:
+            # the first token is an emitted token: count it
+            self._pstate = generate.count_slot_token(
+                self._pstate, jnp.int32(slot_ix), self._tokens[slot_ix])
 
         slot = _Slot(request=req, prompt_len=n, first_pending=True)
         if req.top_logprobs:
@@ -948,6 +1054,17 @@ class Engine:
         # state BEFORE notifying the client so a caller that observes the
         # finish sees the slot fully released
         self._positions = self._positions.at[slot_ix].set(self._park)
+        if slot_ix in self._pen_slots:
+            self._pen_slots.discard(slot_ix)
+            if self._pen_slots:
+                # a later admission must not inherit this slot's rows
+                v = self.cfg.vocab_size
+                self._pstate = generate.set_penalty_slot(
+                    self._pstate, jnp.int32(slot_ix),
+                    jnp.zeros((v,), jnp.int32), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.zeros((v,), jnp.float32))
+            else:
+                self._pstate = None  # back to the penalty-free program
         slot.request.out.put((tail or None, reason))
 
     @property
@@ -1213,8 +1330,13 @@ class Engine:
         # speculation runs all the way to the cache cap: near max_seq the
         # device loop stops drafting but keeps emitting single verified
         # tokens to plain decode_loop's exact capacity bound (ADVICE r2;
-        # verify_step's blended clamped write keeps history intact)
-        if self._spec_enabled:
+        # verify_step's blended clamped write keeps history intact).
+        # Penalized batches take the plain path: a draft's greedy argmax
+        # would need per-position evolving counts inside the verify block
+        # — not worth the complexity for a rarely-combined pair (history
+        # goes stale meanwhile; verification keeps later spec calls
+        # correct, acceptance just dips)
+        if self._spec_enabled and self._pstate is None:
             dl = self.ec.speculate_tokens
             (out_em, out_n, out_lp, self._tokens, self._positions,
              self._active, self._cache, self._sstate, self._history,
@@ -1273,10 +1395,11 @@ class Engine:
         else:
             (out_tokens, out_active, out_lp, self._tokens,
              self._positions, self._active, self._cache, self._sstate,
-             out_top_lp, out_top_ids) = self._gen.decode_loop(
+             out_top_lp, out_top_ids, self._pstate) = self._gen.decode_loop(
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, steps,
-                eos_ids=self._eos_ids, window=window, n_top=n_top)
+                eos_ids=self._eos_ids, window=window, n_top=n_top,
+                pstate=self._pstate)
             with self._lock:
                 self.stats["decode_steps"] += steps
 

@@ -34,7 +34,11 @@ class SamplingState:
     temperature: jnp.ndarray  # [B] f32; 0 = greedy
     top_k: jnp.ndarray  # [B] i32; 0 = disabled
     top_p: jnp.ndarray  # [B] f32; 1.0 = disabled
-    key: jax.Array  # PRNG key
+    key: jax.Array  # PRNG key (the engine-global stream)
+    # OpenAI `seed`: -1 = global stream; >= 0 = the lane draws from
+    # fold_in(PRNGKey(seed), position) so the request's sampled output
+    # reproduces regardless of batch composition or call fusion
+    seed: jnp.ndarray  # [B] i32
 
     @staticmethod
     def greedy(batch: int) -> "SamplingState":
@@ -43,7 +47,95 @@ class SamplingState:
             top_k=jnp.zeros((batch,), jnp.int32),
             top_p=jnp.ones((batch,), jnp.float32),
             key=jax.random.PRNGKey(0),
+            seed=jnp.full((batch,), -1, jnp.int32),
         )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PenaltyState:
+    """OpenAI sampling-penalty state, per slot. Threaded through
+    decode_loop as an OPTIONAL pytree: None (the common case) compiles a
+    program with zero penalty work; a live state adds one fused [B, V]
+    elementwise adjust per step plus a scatter-add count update. The
+    engine materializes it lazily when a request with penalties or
+    logit_bias is admitted and drops it (back to the fast program) when
+    the last such request finishes."""
+
+    counts: jnp.ndarray     # [B, V] i32 — occurrences (prompt + generated)
+    presence: jnp.ndarray   # [B] f32 — subtracted once per seen token
+    frequency: jnp.ndarray  # [B] f32 — subtracted per occurrence
+    bias: jnp.ndarray       # [B, V] f32 — logit_bias rows (zeros = off)
+
+    @staticmethod
+    def zeros(batch: int, vocab: int) -> "PenaltyState":
+        return PenaltyState(
+            counts=jnp.zeros((batch, vocab), jnp.int32),
+            presence=jnp.zeros((batch,), jnp.float32),
+            frequency=jnp.zeros((batch,), jnp.float32),
+            bias=jnp.zeros((batch, vocab), jnp.float32),
+        )
+
+
+def apply_penalties(logits: jnp.ndarray,
+                    pstate: Optional[PenaltyState]) -> jnp.ndarray:
+    """logits [B, V] adjusted per OpenAI semantics: + logit_bias
+    - presence*(count > 0) - frequency*count. Identity when pstate is
+    None (traced away entirely)."""
+    if pstate is None:
+        return logits
+    cnt = pstate.counts
+    return (logits + pstate.bias
+            - jnp.where(cnt > 0, pstate.presence[:, None], 0.0)
+            - cnt.astype(jnp.float32) * pstate.frequency[:, None])
+
+
+def count_token(pstate: Optional[PenaltyState], nxt: jnp.ndarray,
+                active: jnp.ndarray) -> Optional[PenaltyState]:
+    """Record the just-emitted token of every ACTIVE lane in the
+    occurrence counts (no-op when penalties are off)."""
+    if pstate is None:
+        return None
+    b = nxt.shape[0]
+    counts = pstate.counts.at[jnp.arange(b), nxt].add(
+        active.astype(jnp.int32))
+    return dataclasses.replace(pstate, counts=counts)
+
+
+@jax.jit
+def set_penalty_slot(pstate: PenaltyState, slot: jnp.ndarray,
+                     counts_row: jnp.ndarray, presence: jnp.ndarray,
+                     frequency: jnp.ndarray,
+                     bias_row: jnp.ndarray) -> PenaltyState:
+    """Splice one slot's penalty rows at admission (counts_row is the
+    prompt's token histogram — OpenAI counts prompt AND generated)."""
+    return PenaltyState(
+        counts=pstate.counts.at[slot].set(counts_row),
+        presence=pstate.presence.at[slot].set(presence),
+        frequency=pstate.frequency.at[slot].set(frequency),
+        bias=pstate.bias.at[slot].set(bias_row),
+    )
+
+
+@jax.jit
+def count_slot_token(pstate: PenaltyState, slot: jnp.ndarray,
+                     token: jnp.ndarray) -> PenaltyState:
+    """Count one slot's just-sampled token (the admission-time first
+    token, which decode_loop's in-loop counting never sees)."""
+    return dataclasses.replace(
+        pstate, counts=pstate.counts.at[slot, token].add(1))
+
+
+@jax.jit
+def penalize_row(logits: jnp.ndarray, counts_row: jnp.ndarray,
+                 presence: jnp.ndarray, frequency: jnp.ndarray,
+                 bias_row: jnp.ndarray) -> jnp.ndarray:
+    """Penalty-adjust a single [V] logits row (the admission-time first
+    token, sampled from prefill logits before the slot's rows exist in
+    the batch PenaltyState)."""
+    return (logits + bias_row
+            - jnp.where(counts_row > 0, presence, 0.0)
+            - counts_row.astype(jnp.float32) * frequency)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "window", "n_top"),
@@ -52,7 +144,8 @@ def decode_loop(params, cfg: ModelConfig, tokens: jnp.ndarray,
                 positions: jnp.ndarray, active: jnp.ndarray, cache: KVCache,
                 sstate: SamplingState, num_steps: int,
                 eos_ids: Optional[jnp.ndarray] = None,
-                window: Optional[int] = None, n_top: int = 0):
+                window: Optional[int] = None, n_top: int = 0,
+                pstate: Optional[PenaltyState] = None):
     """Run `num_steps` decode iterations on-device.
 
     tokens: [B] current token per slot.  positions: [B] its cache index.
@@ -79,7 +172,7 @@ def decode_loop(params, cfg: ModelConfig, tokens: jnp.ndarray,
     max_seq = cache.max_seq
 
     def step(carry, _):
-        tokens, positions, active, cache, key = carry
+        tokens, positions, active, cache, key, pstate = carry
         # inactive lanes read ONE cache row instead of their parked
         # position's whole window (a freed slot parked at max_seq-1 would
         # otherwise stream the entire cache row every step)
@@ -87,11 +180,17 @@ def decode_loop(params, cfg: ModelConfig, tokens: jnp.ndarray,
         logits, cache = llama.decode_step(params, cfg, tokens, positions,
                                           cache, window=window,
                                           attn_positions=read_pos)
+        # OpenAI penalties/logit_bias: the adjusted distribution feeds
+        # sampling AND the reported logprobs/top-k (self-consistency)
+        logits = apply_penalties(logits, pstate)
         key, sub = jax.random.split(key)
         nxt = sampling.sample(logits, sub, temperature=sstate.temperature,
-                              top_k=sstate.top_k, top_p=sstate.top_p)
+                              top_k=sstate.top_k, top_p=sstate.top_p,
+                              lane_seeds=sstate.seed,
+                              lane_positions=positions)
         lp = token_logprob(logits, nxt)
         top_lp, top_ids = top_candidates(logits, n_top)
+        pstate = count_token(pstate, nxt, active)
         # slots that are done keep re-emitting their last token, inactive
         nxt = jnp.where(active, nxt, tokens)
         new_pos = jnp.where(active, positions + 1, positions)
@@ -101,16 +200,16 @@ def decode_loop(params, cfg: ModelConfig, tokens: jnp.ndarray,
             active = active & ~hit_eos
         # hard stop at cache capacity (slot's NEXT write would overflow)
         active = active & (new_pos < max_seq)
-        return (nxt, new_pos, active, cache, key), (nxt, emitted_by, lp,
-                                                    top_lp, top_ids)
+        return (nxt, new_pos, active, cache, key, pstate), \
+            (nxt, emitted_by, lp, top_lp, top_ids)
 
-    (tokens, positions, active, cache, key), \
+    (tokens, positions, active, cache, key, pstate), \
         (out_tokens, out_active, out_lp, out_top_lp, out_top_ids) = (
             jax.lax.scan(step, (tokens, positions, active, cache,
-                                sstate.key), None, length=num_steps))
+                                sstate.key, pstate), None, length=num_steps))
     sstate = dataclasses.replace(sstate, key=key)
     return (out_tokens, out_active, out_lp, tokens, positions, active,
-            cache, sstate, out_top_lp, out_top_ids)
+            cache, sstate, out_top_lp, out_top_ids, pstate)
 
 
 def token_logprob(logits: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -212,7 +311,9 @@ def spec_decode_loop(params, cfg: ModelConfig, tokens: jnp.ndarray,
         key, sub = jax.random.split(key)
         sampled0 = sampling.sample(logits_bt[:, 0], sub,
                                    temperature=sstate.temperature,
-                                   top_k=sstate.top_k, top_p=sstate.top_p)
+                                   top_k=sstate.top_k, top_p=sstate.top_p,
+                                   lane_seeds=sstate.seed,
+                                   lane_positions=positions)
         em0 = jnp.where(sstate.temperature <= 0.0, pred[:, 0], sampled0)
         em = jnp.concatenate([em0[:, None], pred[:, 1:]], axis=1)  # [B, T]
         lp = token_logprob(logits_bt, em)                          # [B, T]
@@ -322,7 +423,8 @@ def pack_host_view(out_tokens: jnp.ndarray, out_active: jnp.ndarray,
 @jax.jit
 def admit_slot(logits, slot, prompt_len, temperature, top_k, top_p, key,
                tokens, positions, active, sstate: SamplingState,
-               history: jnp.ndarray, first_lp: jnp.ndarray):
+               history: jnp.ndarray, first_lp: jnp.ndarray,
+               seed=jnp.int32(-1)):
     """Finalizes an admission ON DEVICE: samples the first token from the
     prefill logits with the request's params and splices all per-slot state
     — no host round-trip (the sampled token reaches the host in the next
@@ -330,9 +432,15 @@ def admit_slot(logits, slot, prompt_len, temperature, top_k, top_p, key,
     prompt_len] (the n-gram speculation corpus; the prompt itself was
     placed by write_history)."""
     temp1 = jnp.full((1,), temperature, jnp.float32)
-    first = sampling.sample(logits[None, :], key, temperature=temp1,
-                            top_k=jnp.full((1,), top_k, jnp.int32),
-                            top_p=jnp.full((1,), top_p, jnp.float32))[0]
+    # seeded lanes fold the write-position-minus-one convention decode
+    # uses (this token lands at prompt_len; decode folds `positions`
+    # for the token landing at positions + 1)
+    first = sampling.sample(
+        logits[None, :], key, temperature=temp1,
+        top_k=jnp.full((1,), top_k, jnp.int32),
+        top_p=jnp.full((1,), top_p, jnp.float32),
+        lane_seeds=jnp.asarray(seed, jnp.int32)[None],
+        lane_positions=jnp.asarray(prompt_len - 1, jnp.int32)[None])[0]
     tokens = tokens.at[slot].set(first)
     positions = positions.at[slot].set(prompt_len)
     active = active.at[slot].set(True)
@@ -345,6 +453,7 @@ def admit_slot(logits, slot, prompt_len, temperature, top_k, top_p, key,
         temperature=sstate.temperature.at[slot].set(temperature),
         top_k=sstate.top_k.at[slot].set(top_k),
         top_p=sstate.top_p.at[slot].set(top_p),
+        seed=sstate.seed.at[slot].set(jnp.asarray(seed, jnp.int32)),
     )
     return tokens, positions, active, sstate, history, first_lp
 
@@ -371,12 +480,16 @@ def prefill_batch_chunk(params, cfg: ModelConfig, tokens: jnp.ndarray,
 @jax.jit
 def admit_slots(logits, lengths, temperature, top_k, top_p, key, lane_mask,
                 tokens, positions, active, sstate: SamplingState,
-                history: jnp.ndarray, first_lp: jnp.ndarray):
+                history: jnp.ndarray, first_lp: jnp.ndarray,
+                seeds=None):
     """Batched admit_slot for the lanes in `lane_mask` (burst admission):
     samples each row's first token with its own params and splices the slot
     state. Unmasked rows keep their previous state."""
+    if seeds is None:
+        seeds = jnp.full((logits.shape[0],), -1, jnp.int32)
     nxt = sampling.sample(logits, key, temperature=temperature,
-                          top_k=top_k, top_p=top_p)
+                          top_k=top_k, top_p=top_p,
+                          lane_seeds=seeds, lane_positions=lengths - 1)
     lane = lane_mask
     first_lp = jnp.where(lane, token_logprob(logits, nxt), first_lp)
     tokens = jnp.where(lane, nxt, tokens)
@@ -391,6 +504,7 @@ def admit_slots(logits, lengths, temperature, top_k, top_p, key, lane_mask,
         temperature=jnp.where(lane, temperature, sstate.temperature),
         top_k=jnp.where(lane, top_k, sstate.top_k),
         top_p=jnp.where(lane, top_p, sstate.top_p),
+        seed=jnp.where(lane, seeds, sstate.seed),
     )
     return tokens, positions, active, sstate, history, first_lp
 
@@ -491,8 +605,8 @@ class CacheLoops:
         self._decode = jax.jit(
             decode_loop.__wrapped__, static_argnums=(1, 7, 9, 10),
             donate_argnums=(5,),
-            in_shardings=(N, N, N, N, fmt, N, N),
-            out_shardings=(N, N, N, N, N, N, fmt, N, N, N))
+            in_shardings=(N, N, N, N, fmt, N, N, N),
+            out_shardings=(N, N, N, N, N, N, fmt, N, N, N, N))
         self._spec = jax.jit(
             spec_decode_loop.__wrapped__, static_argnums=(1, 8, 9, 11, 12),
             donate_argnums=(5,),
@@ -513,9 +627,11 @@ class CacheLoops:
             in_shardings=(fmt, N, N), out_shardings=fmt)
 
     def decode_loop(self, params, cfg, tokens, positions, active, cache,
-                    sstate, num_steps, eos_ids=None, window=None, n_top=0):
+                    sstate, num_steps, eos_ids=None, window=None, n_top=0,
+                    pstate=None):
         return self._decode(params, cfg, tokens, positions, active, cache,
-                            sstate, num_steps, eos_ids, window, n_top)
+                            sstate, num_steps, eos_ids, window, n_top,
+                            pstate)
 
     def spec_decode_loop(self, params, cfg, tokens, positions, active,
                          cache, sstate, history, num_steps, draft_len,

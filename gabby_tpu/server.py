@@ -140,6 +140,11 @@ def make_handler(engine):
             priority=int(request.get("priority") or 0),
             deadline_s=(request["deadline_ms"] / 1e3
                         if request.get("deadline_ms") else None),
+            presence_penalty=float(request.get("presence_penalty") or 0.0),
+            frequency_penalty=float(request.get("frequency_penalty") or 0.0),
+            logit_bias=request.get("logit_bias") or None,
+            seed=(int(request["seed"])
+                  if request.get("seed", -1) >= 0 else None),
         )
         from gabby_tpu.runtime.engine import RequestError
         try:

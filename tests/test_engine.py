@@ -287,7 +287,7 @@ def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
     tokens = jnp.asarray([7, 0], jnp.int32)
     positions = jnp.asarray([40, max_seq - 1], jnp.int32)
     active = jnp.asarray([True, False])
-    _, _, _, _, _, _, cache, _, _, _ = generate.decode_loop(
+    _, _, _, _, _, _, cache, _, _, _, _ = generate.decode_loop(
         params, cfg, tokens, positions, active, cache, sstate, 4)
     assert np.array_equal(np.asarray(cache.k[:, 1, :, :16]), before_k)
     assert np.array_equal(np.asarray(cache.v[:, 1, :, :16]), before_v)
@@ -298,7 +298,7 @@ def test_decode_never_touches_prefilled_rows_of_parked_slot(setup):
     _, cache2 = llama.prefill_slot(params, cfg, toks, jnp.int32(16),
                                    jnp.int32(1), jnp.int32(0), cache2)
     ref_k = np.asarray(cache2.k[:, 1, :, :16])
-    _, _, _, _, _, _, cache2, _, _, _ = generate.decode_loop(
+    _, _, _, _, _, _, cache2, _, _, _, _ = generate.decode_loop(
         params, cfg, tokens, jnp.asarray([40, 3], jnp.int32), active,
         cache2, generate.SamplingState.greedy(2), 4)
     assert not np.array_equal(np.asarray(cache2.k[:, 1, :, :16]), ref_k), \
@@ -646,6 +646,8 @@ def _emitter(tok, slot_count=1):
     eng._paged = False
     eng.stats = {"completion_tokens": 0}
     eng._ttfts = []
+    eng._pen_slots = set()
+    eng._pstate = None
     import collections
     eng._spans = collections.deque(maxlen=32)
     eng._lock = threading.Lock()

@@ -489,7 +489,7 @@ def test_decode_loop_window_and_parked_lanes_match_full():
         positions = jnp.asarray([48, 2047], jnp.int32)  # lane 1 parked
         active = jnp.asarray([True, False])
         sstate = generate.SamplingState.greedy(b)
-        out, _, _, _, _, _, _, _, _, _ = generate.decode_loop(
+        out, _, _, _, _, _, _, _, _, _, _ = generate.decode_loop(
             params, cfg, tokens, positions, active, cache, sstate, 4,
             window=window)
         return np.asarray(out[:, 0])  # live lane's stream

@@ -124,7 +124,7 @@ def main() -> int:
 
         def run():
             cache, sstate = state[name]
-            out, _, _, _, _, _, cache, sstate, _, _ = loops.decode_loop(
+            out, _, _, _, _, _, cache, sstate, _, _, _ = loops.decode_loop(
                 params, cfg, tokens, positions, active, cache, sstate,
                 args.steps, window=win)
             state[name] = (cache, sstate)

@@ -58,7 +58,7 @@ def main() -> int:
     window = min(window, args.max_seq)
 
     def run(cache, sstate):
-        out, _, _, _, _, _, cache, sstate, _, _ = generate.decode_loop(
+        out, _, _, _, _, _, cache, sstate, _, _, _ = generate.decode_loop(
             params, cfg, tokens, positions, active, cache, sstate,
             args.steps, window=window)
         return out, cache, sstate
