@@ -318,6 +318,10 @@ void InferenceService::Start() {
                                       http::ResponseWriter& resp) {
                 Statusz(req, resp);
             })
+            .route("/metricsz", [this](http::Request& req,
+                                       http::ResponseWriter& resp) {
+                Metricsz(req, resp);
+            })
             .route("/v1/models", [this](http::Request& req,
                                         http::ResponseWriter& resp) {
                 Models(req, resp);
@@ -371,6 +375,56 @@ void InferenceService::Statusz(http::Request&, http::ResponseWriter& resp) {
     resp.WriteStatus(http::StatusCode::OK);
     resp.WriteHeader("Content-Type", "application/json");
     resp.WriteData(json::to_string(*status));
+}
+
+void InferenceService::Metricsz(http::Request&, http::ResponseWriter& resp) {
+    // Prometheus text exposition (version 0.0.4): the same numbers
+    // /statusz serves as JSON, in the format a scraper mounts directly.
+    std::ostringstream out;
+    auto metric = [&](const std::string& name, const char* type,
+                      const char* help, double v) {
+        out << "# HELP " << name << " " << help << "\n"
+            << "# TYPE " << name << " " << type << "\n"
+            << name << " " << v << "\n";
+    };
+    uint64_t micros = metrics_.gen_micros.load();
+    metric("gabby_requests_total", "counter", "Completed requests",
+           static_cast<double>(metrics_.requests.load()));
+    metric("gabby_failures_total", "counter", "Failed requests",
+           static_cast<double>(metrics_.failures.load()));
+    metric("gabby_prompt_tokens_total", "counter", "Prompt tokens consumed",
+           static_cast<double>(metrics_.prompt_tokens.load()));
+    metric("gabby_completion_tokens_total", "counter",
+           "Completion tokens generated",
+           static_cast<double>(metrics_.completion_tokens.load()));
+    metric("gabby_generate_seconds_total", "counter",
+           "Wall-clock seconds spent inside generation", micros / 1e6);
+    // engine-side stats: every numeric leaf becomes a gauge (counters
+    // and gauges are mixed in the engine snapshot; gauge is the safe
+    // common type for a scraper)
+    std::string engine = generator_->stats_json();
+    if (!engine.empty()) {
+        try {
+            auto v = json::Parse(engine);
+            for (const auto& [k, val] : v->as_object()) {
+                if (!val->is(json::Type::NUM)) continue;
+                std::string name = "gabby_engine_" + k;
+                for (char& c : name) {
+                    if (!isalnum(static_cast<unsigned char>(c)) &&
+                        c != '_') {
+                        c = '_';
+                    }
+                }
+                out << "# TYPE " << name << " gauge\n"
+                    << name << " " << val->as_number() << "\n";
+            }
+        } catch (const json::JSONError& e) {
+            LOG(WARN) << "bad engine stats json: " << e.what();
+        }
+    }
+    resp.WriteStatus(http::StatusCode::OK);
+    resp.WriteHeader("Content-Type", "text/plain; version=0.0.4");
+    resp.WriteData(out.str());
 }
 
 void InferenceService::Models(http::Request&, http::ResponseWriter& resp) {

@@ -125,6 +125,7 @@ class InferenceService {
     void Completions(http::Request& req, http::ResponseWriter& resp);
     void HealthCheck(http::Request& req, http::ResponseWriter& resp);
     void Statusz(http::Request& req, http::ResponseWriter& resp);
+    void Metricsz(http::Request& req, http::ResponseWriter& resp);
     void Models(http::Request& req, http::ResponseWriter& resp);
 
    private:

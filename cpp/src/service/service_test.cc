@@ -189,6 +189,18 @@ TEST(Service, StatuszAndModels) {
               "fake-model");
 }
 
+TEST(Service, MetricszPrometheusFormat) {
+    TestService svc;
+    http::PostJson(svc.port(), "/v1/chat/completions", kChatBody);
+    auto resp = http::Call(svc.port(), "GET", "/metricsz");
+    EXPECT_EQ(resp.status, 200);
+    EXPECT_SUBSTR(resp.headers.at("content-type"), "text/plain");
+    EXPECT_SUBSTR(resp.body, "# TYPE gabby_requests_total counter");
+    EXPECT_SUBSTR(resp.body, "gabby_requests_total 1");
+    EXPECT_SUBSTR(resp.body, "gabby_completion_tokens_total 3");
+    EXPECT_SUBSTR(resp.body, "gabby_generate_seconds_total");
+}
+
 TEST(Service, LegacyCompletions) {
     TestService svc;
     auto [status, body] = http::PostJson(

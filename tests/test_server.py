@@ -235,3 +235,14 @@ def test_priority_and_deadline_through_http(server):
     status, _ = _post(server, "/v1/chat/completions",
                       dict(CHAT, priority=99))
     assert status == 400
+
+
+def test_metricsz_prometheus(server):
+    """/metricsz serves Prometheus text with front-end counters AND the
+    engine's numeric stats as gauges (full-stack stats hook)."""
+    _post(server, "/v1/chat/completions", CHAT)
+    status, body = _get(server, "/metricsz")
+    assert status == 200
+    assert "# TYPE gabby_requests_total counter" in body
+    assert "gabby_engine_decode_steps" in body
+    assert "gabby_engine_requests" in body
