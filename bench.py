@@ -158,7 +158,9 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
         steps_per_call=args.steps, steps_per_call_busy=args.busy_steps,
         default_max_tokens=args.gen_tokens,
         kv_quantized=spec["kv_quant"],
-        speculate_tokens=args.speculate), cache_shardings=cache_sh)
+        speculate_tokens=args.speculate,
+        paged_pages=args.paged_pages,
+        page_size=args.page_size), cache_shardings=cache_sh)
 
     n_requests = args.requests or 3 * args.batch
 
@@ -320,6 +322,13 @@ def main() -> int:
                         "forward (NOTE: random weights + a repetitive "
                         "bench prompt make acceptance unrealistically "
                         "high; treat results as a mechanism check)")
+    p.add_argument("--paged-pages", type=int, default=0,
+                   help="serving mode: use the paged KV cache with this "
+                        "many pool pages (0 = dense cache). The paged-vs-"
+                        "dense gap at the default bench point is a BASELINE "
+                        "record; re-measure with this after paged changes")
+    p.add_argument("--page-size", type=int, default=512,
+                   help="serving mode: rows per page when --paged-pages>0")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (mesh model axis)")
     p.add_argument("--dp", type=int, default=1,

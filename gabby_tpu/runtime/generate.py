@@ -424,13 +424,17 @@ def pack_host_view(out_tokens: jnp.ndarray, out_active: jnp.ndarray,
 def admit_slot(logits, slot, prompt_len, temperature, top_k, top_p, key,
                tokens, positions, active, sstate: SamplingState,
                history: jnp.ndarray, first_lp: jnp.ndarray,
-               seed=jnp.int32(-1)):
+               seed=-1):
     """Finalizes an admission ON DEVICE: samples the first token from the
     prefill logits with the request's params and splices all per-slot state
     — no host round-trip (the sampled token reaches the host in the next
     packed fetch). Also records the first token at history[slot,
     prompt_len] (the n-gram speculation corpus; the prompt itself was
     placed by write_history)."""
+    # NB: `seed`'s default is a plain int, NOT jnp.int32(-1) — a jnp scalar
+    # in the def line materializes at IMPORT, initializing the PJRT backend;
+    # on this image that dials the axon tunnel, and a downed tunnel then
+    # hangs every `import gabby_tpu.runtime.generate`.
     temp1 = jnp.full((1,), temperature, jnp.float32)
     # seeded lanes fold the write-position-minus-one convention decode
     # uses (this token lands at prompt_len; decode folds `positions`
