@@ -125,15 +125,28 @@ eng = Engine(cfg, params, tok,
              cache_shardings=cache_shardings(mesh, quantized=False),
              stop_ids={STOP}, sync=sync)
 
+# the full per-request sampling surface rides the plan broadcast
+# (engine._req_meta): every field below must produce BYTE-IDENTICAL
+# streams on both controllers — seeded and UNseeded sampling included
+# (the engine-global PRNG stream advances identically under identical
+# plans)
 PROMPTS = [
-    list(range(2, 12)),                 # short
-    [7] * 70,                           # multi-chunk (64-bucket ladder x2)
-    list(range(30, 45)),                # short, admitted during decode
+    (list(range(2, 12)), {}),           # short, greedy
+    ([7] * 70, {}),                     # multi-chunk (64-bucket ladder x2)
+    (list(range(30, 45)), {}),          # short, admitted during decode
+    (list(range(50, 60)),               # seeded sampling
+     dict(temperature=1.0, top_k=8, seed=123)),
+    (list(range(60, 72)),               # penalties + logit_bias
+     dict(temperature=0.9, presence_penalty=1.0, frequency_penalty=0.5,
+          logit_bias={3: 30.0}, top_logprobs=2)),
+    (list(range(80, 90)),               # UNseeded sampling + top_p
+     dict(temperature=1.2, top_p=0.9)),
 ]
 if sync.is_leader:
     done = []
-    def run(ids):
-        req = eng.submit_ids(ids, max_tokens=5)
+    def run(arg):
+        ids, kw = arg
+        req = eng.submit_ids(ids, max_tokens=5, **kw)
         while True:
             d, fin = req.out.get()
             if fin is not None:
@@ -156,7 +169,9 @@ def test_two_process_engine_serving(tmp_path, nprocs):
     side submits requests, followers replay its plan broadcasts, and both
     controllers must walk through byte-identical slot streams (VERDICT r1
     item 1). Covers single admission, multi-chunk chunked prefill
-    interleaved with decode, and concurrent requests."""
+    interleaved with decode, concurrent requests, and the full
+    per-request sampling surface (seeded + unseeded sampling, penalties,
+    logit_bias, top_logprobs) riding the plan broadcast."""
     outs = _run_workers(tmp_path, ENGINE_WORKER, nprocs)
     rec_lines = {}
     for out in outs:
@@ -169,7 +184,7 @@ def test_two_process_engine_serving(tmp_path, nprocs):
         f"controllers diverged:\n{rec_lines}")
     import json as _json
     recs = _json.loads(next(iter(rec_lines.values())))
-    assert len(recs) == 3, f"expected 3 finished requests, got {recs}"
+    assert len(recs) == 6, f"expected 6 finished requests, got {recs}"
     for prompt, emitted in recs:
         assert 1 <= len(emitted) <= 5
 
