@@ -85,6 +85,19 @@ class EngineConfig:
     # text is self-similar. Auto-disables if measured acceptance is too
     # low to pay for the wider verify. Dense cache only. 0 = off.
     speculate_tokens: int = 0
+    # Speculation economics: a verify macro-step costs ~1.14x a plain
+    # step on the measured config (v5e, 1B int4, D=4, flash verify
+    # kernel — BASELINE.md), so acceptance below ~1.2 tokens/verify
+    # LOSES throughput. Exposed so operators can re-derive the constant
+    # for their hardware from `tools/ab_decode.py`-style measurements.
+    spec_breakeven: float = 1.2
+    # Workloads shift (a repetitive-text tenant arrives after a
+    # disable): when > 0, a disabled engine RE-PROBES speculation after
+    # this many plain decode steps — another fair 128-macro-step sample,
+    # then keep or drop it again. Derived from replicated counters, so
+    # every multi-host controller flips at the identical plan. 0 =
+    # sticky-off for the engine's lifetime.
+    spec_reprobe_steps: int = 8192
     # Admission ordering when requests wait for a slot: "spf" = shortest
     # prompt first (a short prompt stuck behind a long one otherwise pays
     # that prompt's whole prefill in TTFT; classic SJF mean-latency win),
@@ -281,6 +294,11 @@ class Engine:
             # tail inside the last bucket-grid margin (see verify_step)
             raise ValueError("speculate_tokens must be in [0, 15]")
         self._spec_enabled = econfig.speculate_tokens > 0
+        # acceptance-probe window start (spec_macro_steps, spec_tokens at
+        # the current probe's beginning) and, when disabled, the
+        # decode_steps count at which the disable happened (re-probe timer)
+        self._spec_probe_base = (0, 0)
+        self._spec_off_since: Optional[int] = None
         # per-slot token history: the n-gram speculation corpus (prompt
         # placed at admission, generated tokens appended on device)
         self._history = jnp.zeros((b, econfig.max_seq), jnp.int32)
@@ -1441,6 +1459,7 @@ class Engine:
                             top=((top_ids[step, slot_ix],
                                   top_lps[step, slot_ix])
                                  if n_top else None))
+            self._maybe_reprobe_spec()
 
         # a slot the DEVICE deactivated without an EOS hit its cache
         # capacity (decode_loop's new_pos < max_seq guard): finish it
@@ -1451,23 +1470,45 @@ class Engine:
         return admitting
 
     def _maybe_disable_spec(self) -> None:
-        """Speculation must PAY for its wider verify pass: if the measured
-        tokens-per-macro-step stays near 1 after a fair sample, fall back
-        to the plain decode loop (sticky for this engine's lifetime —
-        deterministic across multi-host controllers since it derives from
-        replicated counters)."""
+        """Speculation must PAY for its wider verify pass: if measured
+        tokens-per-macro-step stays below the break-even over a fair
+        128-macro-step sample, fall back to the plain decode loop. With
+        spec_reprobe_steps > 0 the engine re-probes later (workloads
+        shift); 0 keeps the disable sticky. Deterministic across
+        multi-host controllers: both the disable and the re-probe derive
+        from replicated counters, so every controller flips at the
+        identical plan."""
         with self._lock:
-            ms = self.stats["spec_macro_steps"]
-            tk = self.stats["spec_tokens"]
-        # measured on v5e (1B int4, D=4, flash verify kernel): a verify
-        # macro-step costs ~1.14x a plain step, so ~1.2 tokens/verify is
-        # the break-even
-        if ms >= 128 and tk < 1.2 * ms:
+            ms = self.stats["spec_macro_steps"] - self._spec_probe_base[0]
+            tk = self.stats["spec_tokens"] - self._spec_probe_base[1]
+        if ms >= 128 and tk < self.ec.spec_breakeven * ms:
             self._spec_enabled = False
+            with self._lock:
+                self._spec_off_since = self.stats["decode_steps"]
             import sys
             print(f"[engine] speculation disabled: acceptance "
-                  f"{tk / max(ms, 1):.2f} tokens/verify over {ms} steps",
+                  f"{tk / max(ms, 1):.2f} tokens/verify over {ms} steps "
+                  f"(break-even {self.ec.spec_breakeven})",
                   file=sys.stderr, flush=True)
+
+    def _maybe_reprobe_spec(self) -> None:
+        """Re-enable a disabled speculation for another acceptance sample
+        once enough plain decode steps have passed (see spec_reprobe_steps)."""
+        if (self._spec_enabled or self.ec.speculate_tokens <= 0
+                or self.ec.spec_reprobe_steps <= 0
+                or self._spec_off_since is None):
+            return
+        with self._lock:
+            steps_off = self.stats["decode_steps"] - self._spec_off_since
+            base = (self.stats["spec_macro_steps"],
+                    self.stats["spec_tokens"])
+        if steps_off >= self.ec.spec_reprobe_steps:
+            self._spec_probe_base = base
+            self._spec_off_since = None
+            self._spec_enabled = True
+            import sys
+            print(f"[engine] speculation re-probe after {steps_off} plain "
+                  f"steps", file=sys.stderr, flush=True)
 
     def _loop(self) -> None:
         admitting: Optional[_Admission] = None

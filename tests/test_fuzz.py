@@ -68,11 +68,19 @@ def _soak(eng, tok, vocab, rng, n_requests):
     lock = threading.Lock()
 
     def one(i, rng_local):
+        # stay inside the 128-token window: the chat template costs 23
+        # tokens and the byte-fallback tokenizer is 1 token/char, so 12
+        # words x <= 8 chars ~= 95 content tokens tops
         prompt = " ".join(rng_local.choices(words,
-                                            k=rng_local.randint(1, 30)))
+                                            k=rng_local.randint(1, 12)))
         kw = _random_kwargs(rng_local, vocab)
         msgs = [{"role": "user", "content": prompt}]
-        req = eng.submit(msgs, **kw)
+        try:
+            req = eng.submit(msgs, **kw)
+        except Exception as e:  # a reject must FAIL the soak, not hang it
+            with lock:
+                results.append((i, None, "", f"rejected: {e}", kw))
+            return
         if rng_local.random() < 0.2:
             eng.cancel(req)
         text, fin = [], None
@@ -97,6 +105,7 @@ def _soak(eng, tok, vocab, rng, n_requests):
     assert len(results) == n_requests, "some requests never finished"
 
     for i, req, text, fin, kw in results:
+        assert not fin.startswith("rejected"), (i, fin, kw)
         assert fin in VALID_REASONS or fin.startswith("error"), (i, fin)
         if fin.startswith("error"):
             # the only error this soak can legally produce is queue-side

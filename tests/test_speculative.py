@@ -296,3 +296,83 @@ def test_spec_engine_paged_bit_identical(setup, prompt):
         f"want: {want[0]!r}")
     assert got[1] == want[1] and got[3] == want[3]
     assert stats["spec_macro_steps"] >= 1
+
+
+def test_spec_autodisable_and_reprobe(setup):
+    """The acceptance economics state machine: low measured acceptance
+    over a fair sample disables speculation, spec_reprobe_steps plain
+    steps later the engine re-probes with a FRESH window (the old bad
+    sample must not poison the new one), and a healthy window keeps it
+    on while another bad one disables it again. Driven through the
+    replicated counters exactly as a serving run would evolve them."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                              default_max_tokens=8, cache_dtype="float32",
+                              speculate_tokens=4, spec_breakeven=1.2,
+                              spec_reprobe_steps=16))
+    try:
+        assert eng._spec_enabled
+        # a fair sample at 1.05 tokens/verify (< 1.2 break-even)
+        with eng._lock:
+            eng.stats["spec_macro_steps"] = 200
+            eng.stats["spec_tokens"] = 210
+            eng.stats["decode_steps"] = 1000
+        eng._maybe_disable_spec()
+        assert not eng._spec_enabled
+        assert eng._spec_off_since == 1000
+
+        # not enough plain steps yet -> stays off
+        with eng._lock:
+            eng.stats["decode_steps"] = 1010
+        eng._maybe_reprobe_spec()
+        assert not eng._spec_enabled
+        # 16 plain steps later -> re-probe
+        with eng._lock:
+            eng.stats["decode_steps"] = 1016
+        eng._maybe_reprobe_spec()
+        assert eng._spec_enabled
+
+        # healthy NEW window (3.0 tokens/verify since the re-probe):
+        # must stay enabled even though the cumulative average is poor
+        with eng._lock:
+            eng.stats["spec_macro_steps"] = 350   # window ms = 150
+            eng.stats["spec_tokens"] = 660        # window tk = 450
+        eng._maybe_disable_spec()
+        assert eng._spec_enabled
+
+        # another bad window disables again (1.05 in-window)
+        with eng._lock:
+            eng.stats["spec_macro_steps"] = 600   # window ms = 400
+            eng.stats["spec_tokens"] = 630        # window tk = 420
+        eng._maybe_disable_spec()
+        assert not eng._spec_enabled
+
+        # the engine still serves after the flips
+        text, fin, _, _ = eng.generate_sync(
+            [{"role": "user", "content": "ab ab ab ab"}], max_tokens=6)
+        assert fin in ("stop", "length")
+    finally:
+        eng.shutdown()
+
+
+def test_spec_sticky_disable_without_reprobe(setup):
+    """spec_reprobe_steps=0 keeps a disable sticky for the engine's life."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
+                              default_max_tokens=8, cache_dtype="float32",
+                              speculate_tokens=4, spec_reprobe_steps=0))
+    try:
+        with eng._lock:
+            eng.stats["spec_macro_steps"] = 200
+            eng.stats["spec_tokens"] = 200
+            eng.stats["decode_steps"] = 1000
+        eng._maybe_disable_spec()
+        assert not eng._spec_enabled
+        with eng._lock:
+            eng.stats["decode_steps"] = 10 ** 9
+        eng._maybe_reprobe_spec()
+        assert not eng._spec_enabled
+    finally:
+        eng.shutdown()
