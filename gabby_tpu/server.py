@@ -108,6 +108,8 @@ def _build_engine(args, sync=None):
         default_max_tokens=args.max_tokens,
         kv_quantized=args.kv_quant,
         speculate_tokens=args.speculate,
+        spec_breakeven=args.spec_breakeven,
+        spec_reprobe_steps=args.spec_reprobe_steps,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
     )
@@ -266,6 +268,13 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "prompt-lookup drafts per forward for greedy "
                         "requests (bit-identical output; auto-disables "
                         "when acceptance is too low)")
+    p.add_argument("--spec-breakeven", type=float, default=1.2,
+                   help="tokens/verify below which speculation loses "
+                        "throughput (re-derive per hardware; see "
+                        "EngineConfig.spec_breakeven)")
+    p.add_argument("--spec-reprobe-steps", type=int, default=8192,
+                   help="re-probe a disabled speculation after this many "
+                        "plain decode steps (0 = sticky-off)")
     p.add_argument("--max-tokens", type=int, default=512,
                    help="default completion cap")
     p.add_argument("--steps-per-call", type=int, default=8)
