@@ -529,10 +529,19 @@ def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     ps = cache.page_size
     zero = jnp.int32(0)
 
+    max_seq = cache.page_table.shape[1] * ps
+
     def write_all(pool, rows, with_h: bool):
         for i in range(b):
             pos_i = positions[i]
-            phys = cache.page_table[i, pos_i // ps]
+            # a slot the fused loop deactivated at the cache cap keeps
+            # writing (no active gating, same as dense) with its position
+            # frozen at max_seq — that row must land on the SCRATCH page
+            # (physical 0): the un-clamped table lookup would wrap it to
+            # row 0 of the slot's last page, which may be prefix-SHARED
+            # with another slot (full-allocation donor adoption)
+            lp = jnp.minimum(pos_i // ps, cache.page_table.shape[1] - 1)
+            phys = jnp.where(pos_i < max_seq, cache.page_table[i, lp], 0)
             row = pos_i % ps
             if with_h:
                 upd = rows[:, i][None, :, :, None, :]  # [1, L, Nk, 1, H]
@@ -909,15 +918,23 @@ def _verify_step_paged(params: Params, cfg: ModelConfig,
     ps = cache.page_size
     zero = jnp.int32(0)
 
+    max_seq = cache.page_table.shape[1] * ps
+
     def write_all(pool, rows, with_h: bool):
         for i in range(b):
             for tt in range(t):
                 pos_it = positions0[i] + tt
-                # rows past the window land on whatever the stale table
-                # entry points at — the scratch page by convention
+                # verify writes the WHOLE t-row block even when the device
+                # loop stopped drafting near the cache cap (count == 0) —
+                # rows at pos >= max_seq must go to the SCRATCH page
+                # (physical 0, never read). Clamping lp alone is NOT
+                # enough: a slot with its full page allocation live would
+                # wrap those rows into its own last page at row pos%ps,
+                # corrupting real KV history near the cap.
                 lp = jnp.minimum(pos_it // ps,
                                  cache.page_table.shape[1] - 1)
-                phys = cache.page_table[i, lp]
+                phys = jnp.where(pos_it < max_seq,
+                                 cache.page_table[i, lp], 0)
                 row = pos_it % ps
                 if with_h:
                     upd = rows[:, i, :, tt][None, :, :, None, :]

@@ -16,6 +16,7 @@ Payloads are arbitrary pickled objects, moved with a two-phase broadcast
 from __future__ import annotations
 
 import pickle
+import queue
 import threading
 import time
 from typing import Any, Optional
@@ -62,6 +63,11 @@ class HostSync:
         # failures.)
         self._client = None
         self._hb_seen: dict[int, tuple[Optional[int], float]] = {}
+        # persistent timed-broadcast worker state (lazily started)
+        self._bc_req: queue.Queue = queue.Queue()
+        self._bc_res: queue.Queue = queue.Queue()
+        self._bc_thread: Optional[threading.Thread] = None
+        self._bc_poisoned = False
         if self.num_processes > 1:
             try:
                 from jax._src import distributed
@@ -146,26 +152,40 @@ class HostSync:
         timeout = self.timeout if timeout is None else timeout
         if timeout is None:
             return self._broadcast_impl(payload)
-        result: dict = {}
-
-        def work():
-            try:
-                result["value"] = self._broadcast_impl(payload)
-            except BaseException as e:  # noqa: BLE001 — relayed below
-                result["error"] = e
-
-        t = threading.Thread(target=work, daemon=True,
-                             name="hostsync-broadcast")
-        t.start()
-        t.join(timeout)
-        if t.is_alive():
+        if self._bc_poisoned:
+            raise HostSyncTimeout(
+                "a previous broadcast timed out; the abandoned collective "
+                "makes this HostSync unusable")
+        # ONE persistent daemon worker serves every timed broadcast (the
+        # serving loop calls this per iteration — a thread per call paid
+        # creation + join + the test harness's large stack reservation on
+        # the multi-host hot path). On timeout the worker is abandoned
+        # mid-collective and the instance is poisoned, exactly as before.
+        if self._bc_thread is None:
+            self._bc_thread = threading.Thread(
+                target=self._broadcast_worker, daemon=True,
+                name="hostsync-broadcast")
+            self._bc_thread.start()
+        self._bc_req.put(payload)
+        try:
+            kind, val = self._bc_res.get(timeout=timeout)
+        except queue.Empty:
+            self._bc_poisoned = True
             raise HostSyncTimeout(
                 f"plan broadcast did not complete within {timeout:.0f}s "
                 f"(process {self.process_index}/{self.num_processes}): a "
-                f"peer controller is dead or partitioned")
-        if "error" in result:
-            raise result["error"]
-        return result["value"]
+                f"peer controller is dead or partitioned") from None
+        if kind == "err":
+            raise val
+        return val
+
+    def _broadcast_worker(self) -> None:
+        while True:
+            payload = self._bc_req.get()
+            try:
+                self._bc_res.put(("ok", self._broadcast_impl(payload)))
+            except BaseException as e:  # noqa: BLE001 — relayed to caller
+                self._bc_res.put(("err", e))
 
     def barrier(self, name: str = "gabby") -> None:
         from jax.experimental import multihost_utils

@@ -540,7 +540,14 @@ class Engine:
         return s
 
     def shutdown(self) -> None:
-        self._shutdown = True
+        # the flag must flip UNDER the lock: submit() holds it across its
+        # check-and-enqueue, so any request that saw _shutdown == False has
+        # already enqueued when we set it here, and the loop's final drain
+        # (which runs after it observes the flag) will abort that entry —
+        # without the lock a racing submit could enqueue after the drain
+        # and its client would block forever
+        with self._lock:
+            self._shutdown = True
         self._wake.set()
         self._thread.join(timeout=30)
 
@@ -723,12 +730,13 @@ class Engine:
         self._drain_ingress()
         if not self._backlog:
             return None
-        if self.ec.admission_policy == "spf":
-            oldest = min(range(len(self._backlog)),
-                         key=lambda i: self._backlog[i].submit_ts)
-            if (time.monotonic() - self._backlog[oldest].submit_ts
-                    > self.ec.spf_age_limit):
-                return self._backlog.pop(oldest)
+        # the guard applies under EVERY policy: "fifo" with priority
+        # strata starves low-priority work just as surely as spf does
+        oldest = min(range(len(self._backlog)),
+                     key=lambda i: self._backlog[i].submit_ts)
+        if (time.monotonic() - self._backlog[oldest].submit_ts
+                > self.ec.spf_age_limit):
+            return self._backlog.pop(oldest)
         top = max(r.priority for r in self._backlog)
         stratum = [i for i, r in enumerate(self._backlog)
                    if r.priority == top]
@@ -772,8 +780,13 @@ class Engine:
         if self._paged:
             # the whole group's pages are provisioned inside the burst;
             # don't start one the pool can't back (leave 2 spare pages for
-            # live slots' decode horizon)
-            need = min(len(free), len(pool)) * len(key0)
+            # live slots' decode horizon). Count PAGES, not chunks: with
+            # page_size < 512 a chunk spans bucket/page_size pages, and
+            # undercounting here turns pool churn into a mid-burst
+            # RuntimeError that kills the engine.
+            rows = key0[-1][0] + key0[-1][1]  # schedule end (padded rows)
+            pages_per_slot = -(-rows // self.ec.page_size)
+            need = min(len(free), len(pool)) * pages_per_slot
             if self._alloc.available() < need + 2:
                 return None
         group = []
@@ -918,8 +931,12 @@ class Engine:
         if self._pstate is None:
             self._pstate = generate.PenaltyState.zeros(
                 self.ec.batch_slots, v)
-        counts_row = np.bincount(
-            np.asarray(ids, np.int64), minlength=v).astype(np.int32)
+        # counts start at ZERO: OpenAI's documented formula penalizes
+        # c[j] = "how often the token was SAMPLED prior to this position"
+        # — the prompt's own tokens carry no penalty (seeding with the
+        # prompt histogram effectively banned tokens a long prompt
+        # repeated, diverging from OpenAI-compatible clients)
+        counts_row = np.zeros((v,), np.int32)
         bias_row = np.zeros((v,), np.float32)
         for k, b in (req.logit_bias or {}).items():
             bias_row[k] = b

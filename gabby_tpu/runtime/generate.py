@@ -107,8 +107,9 @@ def set_penalty_slot(pstate: PenaltyState, slot: jnp.ndarray,
                      counts_row: jnp.ndarray, presence: jnp.ndarray,
                      frequency: jnp.ndarray,
                      bias_row: jnp.ndarray) -> PenaltyState:
-    """Splice one slot's penalty rows at admission (counts_row is the
-    prompt's token histogram — OpenAI counts prompt AND generated)."""
+    """Splice one slot's penalty rows at admission (counts_row starts at
+    zero: OpenAI's formula counts only tokens SAMPLED so far, never the
+    prompt; the engine passes zeros and in-loop counting does the rest)."""
     return PenaltyState(
         counts=pstate.counts.at[slot].set(counts_row),
         presence=pstate.presence.at[slot].set(presence),

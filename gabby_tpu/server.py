@@ -173,6 +173,12 @@ def make_handler(engine):
                         # chunk (engine appends before each queue push,
                         # so the prefix read here is complete)
                         upto = len(req.token_logprobs)
+                        if req.top_logprobs:
+                            # the engine appends token_top AFTER
+                            # token_logprobs; reading between the two
+                            # appends would drop a top-k row and misalign
+                            # every later chunk — clamp to the shorter list
+                            upto = min(upto, len(req.token_top))
                         chunk["token_logprobs"] = [
                             round(x, 6)
                             for x in req.token_logprobs[lp_seen:upto]]
@@ -198,6 +204,13 @@ def make_handler(engine):
                     if "deadline" in fin:
                         err["status"] = 408  # expired while queued
                     emit(err)
+                    return
+                if fin == "abort":
+                    # engine shut down (or died) with this request in
+                    # flight: an error, NOT a zero-token 200 the client
+                    # can't tell from a real empty completion
+                    emit({"error": "engine shut down", "status": 503,
+                          "done": True})
                     return
                 final = {
                     "delta": "" if streaming else "".join(parts),

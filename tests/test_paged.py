@@ -420,3 +420,82 @@ def test_paged_engine_with_tp_shardings(setup):
         assert text == ref, "paged+TP serving diverged"
     finally:
         eng.shutdown()
+
+
+def test_writes_past_cap_land_on_scratch_page(setup):
+    """A slot at the cache cap keeps writing (verify writes its whole
+    t-row block even when drafting stopped; a deactivated decode lane
+    writes with its position frozen at max_seq). Those rows MUST land on
+    the scratch page: the clamped page-table lookup would wrap them into
+    the slot's own last page — which may be prefix-SHARED with another
+    slot — at row pos % page_size, corrupting real KV history."""
+    cfg, params, _ = setup
+    ps, max_seq = 8, 32
+    cache = create_paged_cache(cfg, 1, max_seq, num_pages=6,
+                               dtype=jnp.float32, page_size=ps)
+    # slot 0 fully allocated: logical pages -> physical 1..4
+    pt = np.zeros((1, max_seq // ps), np.int32)
+    pt[0] = [1, 2, 3, 4]
+    import dataclasses as dc
+    cache = dc.replace(
+        cache,
+        k=jnp.full_like(cache.k, 7.0), v=jnp.full_like(cache.v, 7.0),
+        page_table=jnp.asarray(pt))
+    pre_k = np.asarray(cache.k)
+
+    # verify block of t=3 at positions0=30: rows 30, 31 are real (page 4,
+    # in-page rows 6, 7); row 32 crosses max_seq and must hit scratch
+    logits, out = llama.verify_step(
+        params, cfg, jnp.asarray([[5, 6, 7]], jnp.int32),
+        jnp.asarray([30], jnp.int32), cache)
+    k2 = np.asarray(out.k)
+    assert not np.array_equal(k2[4, :, :, 6], pre_k[4, :, :, 6])  # row 30
+    assert not np.array_equal(k2[4, :, :, 7], pre_k[4, :, :, 7])  # row 31
+    # the overflow row must NOT wrap into page 4 row 0 (abs position 24)
+    np.testing.assert_array_equal(k2[4, :, :, 0], pre_k[4, :, :, 0])
+    # ... it lands on the scratch page instead
+    assert not np.array_equal(k2[0, :, :, 0], pre_k[0, :, :, 0])
+
+    # decode write with the position frozen at max_seq: scratch, not wrap
+    _, out2 = llama.decode_step(params, cfg, jnp.asarray([9], jnp.int32),
+                                jnp.asarray([max_seq], jnp.int32), cache)
+    k3 = np.asarray(out2.k)
+    np.testing.assert_array_equal(k3[4, :, :, 0], pre_k[4, :, :, 0])
+    assert not np.array_equal(k3[0, :, :, 0], pre_k[0, :, :, 0])
+
+
+def test_burst_precheck_counts_pages_not_chunks(setup):
+    """With page_size < bucket a chunk spans several pages; the burst
+    pool precheck must count PAGES. The old chunk-count math started
+    bursts the pool couldn't back, and the mid-burst exhaustion
+    RuntimeError killed the whole engine."""
+    from gabby_tpu.runtime.engine import Request
+    cfg = cfglib.tiny(max_seq_len=1024)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32)
+    tok = Tokenizer.byte_fallback(cfg.vocab_size)
+
+    def mk(pages):
+        eng = Engine(cfg, params, tok, EngineConfig(
+            batch_slots=2, max_seq=1024, steps_per_call=2,
+            default_max_tokens=2, cache_dtype="float32",
+            paged_pages=pages, page_size=256))
+        eng.shutdown()  # stop the loop; drive _select_burst directly
+        return eng
+
+    def reqs():
+        return [Request(prompt_ids=list(range(2, 302)), max_tokens=2,
+                        temperature=0.0, top_k=0, top_p=1.0)
+                for _ in range(2)]
+
+    eng = mk(6)  # 1 scratch + 5 usable
+    # one 512-row chunk = TWO 256-row pages per slot
+    assert eng._chunk_schedule(300) == ((0, 512),)
+    eng._backlog.extend(reqs())
+    # 2 slots x 2 pages + 2 spare = 6 > 5 available -> no burst (the
+    # chunk-count math said 2 x 1 + 2 <= 5 and started a doomed one)
+    assert eng._select_burst() is None
+
+    eng = mk(10)  # 1 + 9 usable: 2x2 + 2 <= 9 -> burst forms
+    eng._backlog.extend(reqs())
+    assert eng._select_burst() is not None

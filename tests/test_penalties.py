@@ -37,7 +37,8 @@ def reference_penalized(cfg, params, tok, messages, max_tokens, *,
     cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
     logits, cache = llama.prefill(
         params, cfg, jnp.asarray([ids], jnp.int32), cache)
-    counts = np.bincount(ids, minlength=cfg.vocab_size).astype(np.int32)
+    # OpenAI formula: c[j] counts tokens SAMPLED so far — never the prompt
+    counts = np.zeros((cfg.vocab_size,), np.int32)
     brow = np.zeros((cfg.vocab_size,), np.float32)
     for k, v in (bias or {}).items():
         brow[k] = v
