@@ -242,6 +242,21 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
     if (auto it = obj.find("stream"); it != obj.end()) {
         out.stream = it->second->as_boolean();
     }
+    if (auto it = obj.find("stream_options");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        // OpenAI: stream_options is only valid on streaming requests;
+        // include_usage appends one final pre-[DONE] chunk with empty
+        // choices and the request's usage totals
+        if (!out.stream) {
+            throw BadRequestException(
+                "'stream_options' requires 'stream': true");
+        }
+        const auto& so = it->second->as_object();
+        if (auto iu = so.find("include_usage");
+            iu != so.end() && !iu->second->is(json::Type::NIL)) {
+            out.include_usage = iu->second->as_boolean();
+        }
+    }
     if (auto it = obj.find("stop"); it != obj.end()) {
         const auto& v = it->second;
         if (v->is(json::Type::STR)) {
@@ -578,6 +593,24 @@ void InferenceService::RunNWay(
         record(c);
     }
     if (gen_req.stream) {
+        if (gen_req.include_usage) {
+            // OpenAI stream_options.include_usage: one final chunk with
+            // empty choices carrying the request's usage totals
+            std::string chunk_obj =
+                std::string(object) == "chat.completion"
+                    ? "chat.completion.chunk"
+                    : object;
+            auto uc = Value::object({
+                {"id", Value::string(id)},
+                {"object", Value::string(chunk_obj)},
+                {"created",
+                 Value::number(static_cast<double>(NowEpochSecs()))},
+                {"model", Value::string(model)},
+                {"choices", Value::array({})},
+                {"usage", UsageValue(lasts)},
+            });
+            resp.WriteChunk("data: " + json::to_string(*uc) + "\n\n");
+        }
         resp.WriteChunk("data: [DONE]\n\n");
         return;
     }

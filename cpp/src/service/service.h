@@ -38,6 +38,9 @@ struct GenRequest {
     int top_k = -1;
     int max_tokens = -1;
     bool stream = false;
+    // OpenAI stream_options.include_usage: when streaming, send one
+    // final chunk (before [DONE]) with empty choices and usage totals
+    bool include_usage = false;
     bool logprobs = false;          // return per-token logprobs (OpenAI)
     int top_logprobs = 0;           // 1-20: also return the top-k
                                     // alternatives per token (OpenAI;

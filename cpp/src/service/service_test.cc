@@ -296,6 +296,31 @@ TEST(Service, MultipleChoicesStreaming) {
     EXPECT_EQ(fin_count, size_t{2});
 }
 
+TEST(Service, StreamUsageChunk) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "stream": true,
+                           "stream_options": {"include_usage": true}})";
+    auto resp = http::Call(svc.port(), "POST", "/v1/chat/completions", body,
+                           {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    // one final pre-[DONE] chunk: empty choices + usage totals
+    EXPECT_SUBSTR(resp.body, "\"choices\":[]");
+    EXPECT_SUBSTR(resp.body, "\"total_tokens\"");
+    size_t usage_pos = resp.body.find("\"usage\"");
+    size_t done_pos = resp.body.find("data: [DONE]");
+    EXPECT_TRUE(usage_pos != std::string::npos && usage_pos < done_pos);
+}
+
+TEST(Service, StreamOptionsRequiresStream) {
+    TestService svc;
+    std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
+                           "stream_options": {"include_usage": true}})";
+    auto resp = http::Call(svc.port(), "POST", "/v1/chat/completions", body,
+                           {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 400);
+}
+
 TEST(Service, BadNRejected) {
     TestService svc;
     std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
