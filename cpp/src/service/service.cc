@@ -168,6 +168,12 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
     out.top_p = num("top_p", 0.0, 1.0);
     out.top_k = static_cast<int>(num("top_k", 0, 1e9));
     out.max_tokens = static_cast<int>(num("max_tokens", 1, 1e9));
+    // OpenAI renamed max_tokens -> max_completion_tokens (chat); accept
+    // both, the newer name winning when both are present
+    if (int mct = static_cast<int>(num("max_completion_tokens", 1, 1e9));
+        mct >= 1) {
+        out.max_tokens = mct;
+    }
     if (int n = static_cast<int>(num("n", 1, 8)); n >= 1) out.n = n;
     if (auto it = obj.find("logprobs");
         it != obj.end() && !it->second->is(json::Type::NIL)) {

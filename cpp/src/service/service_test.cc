@@ -245,6 +245,19 @@ TEST(Service, ExtractRequestDefaults) {
     EXPECT_FALSE(req.stream);
 }
 
+TEST(Service, MaxCompletionTokensAlias) {
+    // OpenAI's renamed field is accepted; it wins over legacy max_tokens
+    auto body = json::Parse(
+        R"({"messages": [{"role": "user", "content": "q"}],
+            "max_tokens": 8, "max_completion_tokens": 5})");
+    GenRequest req = ExtractRequest(*body);
+    EXPECT_EQ(req.max_tokens, 5);
+    auto body2 = json::Parse(
+        R"({"messages": [{"role": "user", "content": "q"}],
+            "max_completion_tokens": 7})");
+    EXPECT_EQ(ExtractRequest(*body2).max_tokens, 7);
+}
+
 
 TEST(Service, MultipleChoices) {
     TestService svc;
