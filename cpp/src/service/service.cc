@@ -290,6 +290,14 @@ GenRequest ExtractCompletionRequest(const Value& body) {
         throw BadRequestException("missing string 'prompt'");
     }
     out.raw_prompt = prompt->second->as_string();
+    if (auto it = obj.find("echo");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        // OpenAI completions `echo`: prepend the prompt to the returned
+        // text (streamed as the first data chunk). Note: prompt-token
+        // logprobs are NOT echoed — `tokens`/`token_logprobs` keep
+        // covering generated tokens only.
+        out.echo = it->second->as_boolean();
+    }
     ExtractCommon(obj, out);
     return out;
 }
@@ -538,6 +546,9 @@ void InferenceService::RunNWay(
     const std::function<void(const GenChunk&)>& record) {
     const int n = std::max(1, gen_req.n);
     std::vector<std::string> texts(n);
+    if (gen_req.echo && !gen_req.raw_prompt.empty()) {
+        for (auto& t : texts) t = gen_req.raw_prompt;
+    }
     std::vector<GenChunk> lasts(n);
     std::mutex mu;  // serializes SSE writes across choice threads
 
@@ -547,6 +558,14 @@ void InferenceService::RunNWay(
         resp.WriteHeader("Cache-Control", "no-cache");
     }
     auto run_one = [&](int i) {
+        if (gen_req.stream && gen_req.echo && !gen_req.raw_prompt.empty()) {
+            // echo: the prompt leads each choice's stream
+            GenChunk pc;
+            pc.delta = gen_req.raw_prompt;
+            std::lock_guard<std::mutex> lock(mu);
+            auto chunk = make_chunk(id, model, i, pc, false, "");
+            resp.WriteChunk("data: " + json::to_string(*chunk) + "\n\n");
+        }
         generator_->Generate(gen_req, [&](const GenChunk& c) {
             if (!gen_req.stream) {
                 texts[i] += c.delta;

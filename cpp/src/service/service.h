@@ -41,6 +41,9 @@ struct GenRequest {
     // OpenAI stream_options.include_usage: when streaming, send one
     // final chunk (before [DONE]) with empty choices and usage totals
     bool include_usage = false;
+    // OpenAI completions `echo`: prepend the prompt text to the output
+    // (first stream chunk / start of `text`); legacy endpoint only
+    bool echo = false;
     bool logprobs = false;          // return per-token logprobs (OpenAI)
     int top_logprobs = 0;           // 1-20: also return the top-k
                                     // alternatives per token (OpenAI;

@@ -221,6 +221,29 @@ TEST(Service, LegacyCompletions) {
     EXPECT_EQ(s2, 400);
 }
 
+TEST(Service, CompletionsEcho) {
+    TestService svc;
+    auto [status, body] = http::PostJson(
+        svc.port(), "/v1/completions",
+        R"({"prompt": "Once upon", "echo": true, "max_tokens": 8})");
+    EXPECT_EQ(status, 200);
+    const auto& choice =
+        body->as_object().at("choices")->as_array().at(0)->as_object();
+    // echo prepends the prompt to the completion text
+    EXPECT_EQ(choice.at("text")->as_string(), "Once uponhello from fake");
+
+    // streaming: the prompt leads the stream as its own chunk
+    auto resp = http::Call(
+        svc.port(), "POST", "/v1/completions",
+        R"({"prompt": "hi>", "echo": true, "stream": true})",
+        {{"Content-Type", "application/json"}});
+    EXPECT_EQ(resp.status, 200);
+    size_t echo_pos = resp.body.find("\"text\":\"hi>\"");
+    size_t gen_pos = resp.body.find("\"text\":\"hello \"");
+    EXPECT_TRUE(echo_pos != std::string::npos);
+    EXPECT_TRUE(gen_pos != std::string::npos && echo_pos < gen_pos);
+}
+
 TEST(Service, LegacyCompletionsStreaming) {
     TestService svc;
     auto resp = http::Call(
