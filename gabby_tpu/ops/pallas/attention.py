@@ -42,7 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 from gabby_tpu.ops import pallas as pk
 
 NEG_INF = -1e30
-CHUNK = 1024  # cache rows per grid step per head
+CHUNK = 1024  # default cache rows per grid step per head (see attn_chunk)
+
+
+def attn_chunk() -> int:
+    """Cache rows per decode-attention grid step — a TRACE-time env knob
+    (GABBY_ATTN_CHUNK) for A/B-ing the over-read vs grid-overhead trade:
+    a window bucket just past a chunk boundary (e.g. live ctx 1090 in a
+    2048 window) DMAs a mostly-masked trailing chunk; a smaller chunk
+    trims that over-read but multiplies grid steps. Distinct values
+    produce distinct static shapes, so A/Bs compile separate programs
+    (same pattern as GABBY_ATTN_MULTI)."""
+    import os
+    return int(os.environ.get("GABBY_ATTN_CHUNK", str(CHUNK)))
 
 
 def s8_attention() -> bool:
@@ -212,7 +224,7 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
     steps (VERDICT r2 weak #4)."""
     b, nk, g, h = q4.shape
     s = k_cache.shape[3]
-    chunk = min(CHUNK, s)
+    chunk = min(attn_chunk(), s)
     s_live = s if window is None else max(chunk, min(window, s))
     n_chunks = pl.cdiv(s_live, chunk)
     quant = k_scale is not None
@@ -402,7 +414,7 @@ def _decode_call_multi(q4, k_cache, v_cache, k_scale, v_scale, fresh_k,
     contexts, and the static `window` still bounds the worst case."""
     b, nk, g, h = q4.shape
     s = k_cache.shape[3]
-    chunk = min(CHUNK, s)
+    chunk = min(attn_chunk(), s)
     s_live = s if window is None else max(chunk, min(window, s))
     n_chunks = pl.cdiv(s_live, chunk)
     quant = k_scale is not None
@@ -495,7 +507,7 @@ def _pick_slot_block(b: int, nk: int, h: int, itemsize: int) -> int:
     for sb in (8, 4, 2):
         if b % sb:
             continue
-        plane = sb * nk * CHUNK * h * itemsize
+        plane = sb * nk * attn_chunk() * h * itemsize
         if 8 * plane <= 13 * 1024 * 1024:
             return sb
     return 1

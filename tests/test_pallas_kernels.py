@@ -673,3 +673,33 @@ def test_qmatmul_stacked_i16_matches_plain(monkeypatch):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_small_chunk_matches(monkeypatch):
+    """GABBY_ATTN_CHUNK (trace-time) shrinks the grid chunk so the
+    kernel walks SEVERAL chunks incl. clamped trailing ones; numerics
+    must match the reference at positions straddling chunk boundaries.
+    (Unique shapes: the env is read at trace time, so a shape collision
+    with another test would reuse its cached default-chunk program.)"""
+    monkeypatch.setenv("GABBY_ATTN_CHUNK", "64")
+    b, s, nq, nk, h = 3, 320, 10, 5, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf = _rand(1, b, nk, s, h) * 0.5
+    vf = _rand(2, b, nk, s, h) * 0.5
+    positions = jnp.asarray([0, 63, 257], jnp.int32)
+
+    ref = attn_ref.cache_attention(
+        q, kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16), positions)
+    out = pattn.decode_attention(q, kf.astype(jnp.bfloat16),
+                                 vf.astype(jnp.bfloat16), positions)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    kc, ks = quantize_kv(kf)
+    vc, vs = quantize_kv(vf)
+    ref_q = attn_ref.cache_attention_quantized(q, kc, vc, ks, vs, positions)
+    out_q = pattn.decode_attention(q, kc, vc, positions, ks, vs)
+    np.testing.assert_allclose(np.asarray(out_q, np.float32),
+                               np.asarray(ref_q, np.float32),
+                               rtol=3e-2, atol=3e-2)

@@ -80,7 +80,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["fused", "window", "attn", "s8",
                                     "dsem", "longwin", "unembed",
-                                    "rawdot", "i16"])
+                                    "rawdot", "i16", "chunk"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -197,6 +197,19 @@ def main() -> int:
         plain = make_runner("i32", fusedp, None)
         plain()
         variants = {"i32": plain, "i16": k16}
+    elif args.mode == "chunk":
+        # decode-attention chunk size: a 2048-window at ctx ~1k DMAs a
+        # mostly-masked trailing 1024-chunk; 512 trims the over-read at
+        # the cost of 2x grid steps (attention.attn_chunk)
+        import os
+        fusedp = llama.fuse_projections(base)
+        os.environ["GABBY_ATTN_CHUNK"] = "512"
+        c512 = make_runner("chunk-512", fusedp, args.max_seq)
+        c512()
+        os.environ["GABBY_ATTN_CHUNK"] = "1024"
+        c1024 = make_runner("chunk-1024", fusedp, None)
+        c1024()
+        variants = {"chunk-1024": c1024, "chunk-512": c512}
     elif args.mode == "unembed":
         # int8 per-channel vs int4 group-scale unembed table (the [D, V]
         # stream is 29% of all decode bytes on the 1B; quality gated by

@@ -31,6 +31,8 @@ run ab_rawdot 1500 python tools/ab_decode.py rawdot
 run ab_i16    1500 python tools/ab_decode.py i16
 run ab_unembed 1500 python tools/ab_decode.py unembed
 
+run ab_chunk  1500 python tools/ab_decode.py chunk
+
 # 2. canary again (contention bracketing for the A/Bs above)
 run canary2 600 python bench.py --json-only
 
