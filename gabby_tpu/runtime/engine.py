@@ -352,7 +352,11 @@ class Engine:
                       "prompt_tokens": 0, "decode_steps": 0,
                       "burst_admissions": 0, "prefix_hits": 0,
                       "prefix_tokens_reused": 0, "spec_macro_steps": 0,
-                      "spec_tokens": 0}
+                      "spec_tokens": 0,
+                      # gauge: is speculation currently active (1/0), and
+                      # how many times the acceptance probe flipped it off
+                      "spec_on": int(econfig.speculate_tokens > 0),
+                      "spec_disables": 0}
         self._ttfts: list[float] = []  # rolling, for p50 TTFT
         # request-level tracing spans: the last 32 finished requests'
         # lifecycle timings, surfaced under /statusz `engine.recent` so an
@@ -522,6 +526,13 @@ class Engine:
         with self._lock:
             for k in self.stats:
                 self.stats[k] = 0
+            # gauges and probe baselines are NOT cumulative counters:
+            # re-derive them so the acceptance window and re-probe timer
+            # stay consistent with the zeroed counters
+            self.stats["spec_on"] = int(self._spec_enabled)
+            self._spec_probe_base = (0, 0)
+            if self._spec_off_since is not None:
+                self._spec_off_since = 0
             self._ttfts.clear()
             self._spans.clear()
 
@@ -1502,6 +1513,8 @@ class Engine:
             self._spec_enabled = False
             with self._lock:
                 self._spec_off_since = self.stats["decode_steps"]
+                self.stats["spec_on"] = 0
+                self.stats["spec_disables"] += 1
             import sys
             print(f"[engine] speculation disabled: acceptance "
                   f"{tk / max(ms, 1):.2f} tokens/verify over {ms} steps "
@@ -1523,6 +1536,8 @@ class Engine:
             self._spec_probe_base = base
             self._spec_off_since = None
             self._spec_enabled = True
+            with self._lock:
+                self.stats["spec_on"] = 1
             import sys
             print(f"[engine] speculation re-probe after {steps_off} plain "
                   f"steps", file=sys.stderr, flush=True)
