@@ -179,6 +179,7 @@ class CallbackGenerator : public gabby::Generator {
             {"deadline_ms", Value::number(req.deadline_ms)},
             {"presence_penalty", Value::number(req.presence_penalty)},
             {"frequency_penalty", Value::number(req.frequency_penalty)},
+            {"repetition_penalty", Value::number(req.repetition_penalty)},
             {"seed", Value::number(static_cast<double>(req.seed))},
             {"logit_bias", Value::object(std::move(bias))},
             {"stop", Value::array(std::move(stop))},

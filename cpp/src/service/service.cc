@@ -217,6 +217,17 @@ void ExtractCommon(const std::map<std::string, json::ValuePtr>& obj,
     };
     penalty("presence_penalty", out.presence_penalty);
     penalty("frequency_penalty", out.frequency_penalty);
+    // extension (HF/vLLM-style, no OpenAI equivalent): multiplicative
+    // penalty on tokens seen in the prompt OR sampled so far
+    if (auto it = obj.find("repetition_penalty");
+        it != obj.end() && !it->second->is(json::Type::NIL)) {
+        double v = it->second->as_number();
+        if (v <= 0.0 || v > 10.0) {
+            throw BadRequestException(
+                "'repetition_penalty' out of range (0, 10]");
+        }
+        out.repetition_penalty = v;
+    }
     if (auto it = obj.find("seed");
         it != obj.end() && !it->second->is(json::Type::NIL)) {
         out.seed = static_cast<long long>(it->second->as_number());

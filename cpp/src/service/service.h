@@ -67,6 +67,9 @@ struct GenRequest {
     // {token-id -> bias in [-100, 100]}, applied on-device by the engine
     double presence_penalty = 0;
     double frequency_penalty = 0;
+    // extension (HF/vLLM-style): multiplicative penalty on tokens seen
+    // in the prompt or sampled so far; 1.0 = off
+    double repetition_penalty = 1.0;
     std::map<std::string, double> logit_bias;
     // OpenAI `seed`: best-effort reproducible sampling; -1 = unset
     long long seed = -1;

@@ -433,6 +433,7 @@ TEST(Service, PenaltiesAndLogitBiasPassthrough) {
     std::string body = R"({"messages": [{"role": "user", "content": "hi"}],
                            "presence_penalty": -1.5,
                            "frequency_penalty": 0.25,
+                           "repetition_penalty": 1.4,
                            "logit_bias": {"17": 4.5, "33": -10}})";
     auto [status, resp] = http::PostJson(svc.port(), "/v1/chat/completions",
                                          body);
@@ -440,9 +441,16 @@ TEST(Service, PenaltiesAndLogitBiasPassthrough) {
     const auto& req = svc.generator().last_request;
     EXPECT_FLOAT_EQ(req.presence_penalty, -1.5, 1e-9);
     EXPECT_FLOAT_EQ(req.frequency_penalty, 0.25, 1e-9);
+    EXPECT_FLOAT_EQ(req.repetition_penalty, 1.4, 1e-9);
     EXPECT_EQ(req.logit_bias.size(), size_t{2});
     EXPECT_FLOAT_EQ(req.logit_bias.at("17"), 4.5, 1e-9);
     EXPECT_FLOAT_EQ(req.logit_bias.at("33"), -10.0, 1e-9);
+    // out of range -> 400
+    auto [s2, _] = http::PostJson(
+        svc.port(), "/v1/chat/completions",
+        R"({"messages": [{"role": "user", "content": "hi"}],
+            "repetition_penalty": 0})");
+    EXPECT_EQ(s2, 400);
 }
 
 TEST(Service, SeedPassthrough) {

@@ -152,6 +152,12 @@ class Request:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     logit_bias: Optional[dict[int, float]] = None
+    # HF/vLLM-style repetition_penalty (extension field — OpenAI has no
+    # equivalent): tokens seen in the PROMPT or sampled so far get
+    # logit/rep when positive, logit*rep when negative. 1.0 = off. This
+    # is the prompt-aware knob; presence/frequency follow OpenAI's
+    # sampled-only formula.
+    repetition_penalty: float = 1.0
     # OpenAI `seed`: best-effort reproducible sampling. Normalized to
     # [0, 2^31) at submit; None = the engine-global key stream. A seeded
     # request reproduces its sampled output regardless of batch
@@ -162,7 +168,8 @@ class Request:
     @property
     def penalized(self) -> bool:
         return bool(self.presence_penalty or self.frequency_penalty
-                    or self.logit_bias)
+                    or self.logit_bias
+                    or self.repetition_penalty != 1.0)
     # OpenAI `top_logprobs`: 0 = off; 1-20 = per generated token, also
     # record the top-k alternatives of its distribution as (id, logprob)
     # pairs (parallel to token_ids, same incremental-append contract)
@@ -418,10 +425,13 @@ class Engine:
                    presence_penalty: float = 0.0,
                    frequency_penalty: float = 0.0,
                    logit_bias: Optional[dict] = None,
+                   repetition_penalty: float = 1.0,
                    seed: Optional[int] = None) -> Request:
         ec = self.ec
         if not 0 <= (top_logprobs or 0) <= 20:
             raise RequestError("top_logprobs must be in [0, 20]")
+        if not 0.0 < (repetition_penalty or 1.0) <= 10.0:
+            raise RequestError("repetition_penalty must be in (0, 10]")
         if not -8 <= int(priority or 0) <= 8:
             raise RequestError("priority must be in [-8, 8]")
         if deadline_s is not None and not deadline_s > 0:
@@ -479,6 +489,7 @@ class Engine:
             presence_penalty=float(presence_penalty or 0.0),
             frequency_penalty=float(frequency_penalty or 0.0),
             logit_bias=bias,
+            repetition_penalty=float(repetition_penalty or 1.0),
             seed=seed,
         )
         # a STOPPED engine (shutdown, loop death, or the multi-host
@@ -625,6 +636,7 @@ class Engine:
                     frequency_penalty=req.frequency_penalty,
                     logit_bias=(dict(req.logit_bias)
                                 if req.logit_bias else None),
+                    repetition_penalty=req.repetition_penalty,
                     seed=req.seed)
 
     @staticmethod
@@ -932,10 +944,10 @@ class Engine:
     def _setup_penalties(self, slot_ix: int, req: Request,
                          ids) -> Optional[jnp.ndarray]:
         """Splice a penalized request's rows into the (lazily created)
-        PenaltyState and return its [V] counts/bias-adjusted admission
-        rows as (counts_row, bias_row) device arrays — or None when the
-        request doesn't use penalties. Freed slots' rows are zeroed in
-        _finish, so clean slots never need clearing here."""
+        PenaltyState and return its [V] admission rows as (counts_row,
+        bias_row, prompt_row) device arrays — or None when the request
+        doesn't use penalties. Freed slots' rows are zeroed in _finish,
+        so clean slots never need clearing here."""
         if not req.penalized:
             return None
         v = self.cfg.vocab_size
@@ -951,14 +963,20 @@ class Engine:
         bias_row = np.zeros((v,), np.float32)
         for k, b in (req.logit_bias or {}).items():
             bias_row[k] = b
+        # the prompt-presence mask feeds ONLY repetition_penalty (the
+        # prompt-aware knob); counts stay sampled-only for OpenAI math
+        prompt_row = np.zeros((v,), bool)
+        prompt_row[np.asarray(ids, np.int64)] = True
         counts_row = jnp.asarray(counts_row)
         bias_row = jnp.asarray(bias_row)
+        prompt_row = jnp.asarray(prompt_row)
         self._pstate = generate.set_penalty_slot(
             self._pstate, jnp.int32(slot_ix), counts_row,
             jnp.float32(req.presence_penalty),
-            jnp.float32(req.frequency_penalty), bias_row)
+            jnp.float32(req.frequency_penalty), bias_row,
+            jnp.float32(req.repetition_penalty), prompt_row)
         self._pen_slots.add(slot_ix)
-        return counts_row, bias_row
+        return counts_row, bias_row, prompt_row
 
     def _finish_admission(self, adm: "_Admission") -> None:
         """Activate the fully-prefilled slot ON DEVICE (first token sampled
@@ -972,11 +990,12 @@ class Engine:
         pen_rows = self._setup_penalties(slot_ix, req, adm.ids)
         if pen_rows is not None:
             # the first token samples from the ADJUSTED distribution too
-            counts_row, bias_row = pen_rows
+            counts_row, bias_row, prompt_row = pen_rows
             adm.last_logits = generate.penalize_row(
                 adm.last_logits, counts_row,
                 jnp.float32(req.presence_penalty),
-                jnp.float32(req.frequency_penalty), bias_row)
+                jnp.float32(req.frequency_penalty), bias_row,
+                jnp.float32(req.repetition_penalty), prompt_row)
         self._admit_key, sub = jax.random.split(self._admit_key)
         (self._tokens, self._positions, self._active, self._sstate,
          self._history, self._first_lp) = generate.admit_slot(
@@ -1108,7 +1127,8 @@ class Engine:
                 self._pstate = generate.set_penalty_slot(
                     self._pstate, jnp.int32(slot_ix),
                     jnp.zeros((v,), jnp.int32), jnp.float32(0.0),
-                    jnp.float32(0.0), jnp.zeros((v,), jnp.float32))
+                    jnp.float32(0.0), jnp.zeros((v,), jnp.float32),
+                    jnp.float32(1.0), jnp.zeros((v,), bool))
             else:
                 self._pstate = None  # back to the penalty-free program
         slot.request.out.put((tail or None, reason))

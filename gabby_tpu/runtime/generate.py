@@ -62,10 +62,16 @@ class PenaltyState:
     logit_bias is admitted and drops it (back to the fast program) when
     the last such request finishes."""
 
-    counts: jnp.ndarray     # [B, V] i32 — occurrences (prompt + generated)
+    counts: jnp.ndarray     # [B, V] i32 — tokens SAMPLED so far (OpenAI)
     presence: jnp.ndarray   # [B] f32 — subtracted once per seen token
     frequency: jnp.ndarray  # [B] f32 — subtracted per occurrence
     bias: jnp.ndarray       # [B, V] f32 — logit_bias rows (zeros = off)
+    # HF/vLLM-style repetition_penalty (extension field): tokens seen in
+    # the PROMPT or sampled so far get logit/rep when positive, logit*rep
+    # when negative (rep > 1 penalizes). 1.0 = off. prompt_mask carries
+    # the prompt-histogram half of "seen" that OpenAI's counts exclude.
+    rep: jnp.ndarray          # [B] f32 — 1.0 = off
+    prompt_mask: jnp.ndarray  # [B, V] bool — token appeared in the prompt
 
     @staticmethod
     def zeros(batch: int, vocab: int) -> "PenaltyState":
@@ -74,17 +80,24 @@ class PenaltyState:
             presence=jnp.zeros((batch,), jnp.float32),
             frequency=jnp.zeros((batch,), jnp.float32),
             bias=jnp.zeros((batch, vocab), jnp.float32),
+            rep=jnp.ones((batch,), jnp.float32),
+            prompt_mask=jnp.zeros((batch, vocab), bool),
         )
 
 
 def apply_penalties(logits: jnp.ndarray,
                     pstate: Optional[PenaltyState]) -> jnp.ndarray:
-    """logits [B, V] adjusted per OpenAI semantics: + logit_bias
-    - presence*(count > 0) - frequency*count. Identity when pstate is
-    None (traced away entirely)."""
+    """logits [B, V] adjusted: repetition_penalty FIRST (HF semantics, on
+    the raw logits), then OpenAI's + logit_bias - presence*(count > 0)
+    - frequency*count. Identity when pstate is None (traced away
+    entirely)."""
     if pstate is None:
         return logits
     cnt = pstate.counts
+    seen = pstate.prompt_mask | (cnt > 0)
+    rp = pstate.rep[:, None]
+    rep_adj = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, rep_adj, logits)
     return (logits + pstate.bias
             - jnp.where(cnt > 0, pstate.presence[:, None], 0.0)
             - cnt.astype(jnp.float32) * pstate.frequency[:, None])
@@ -105,16 +118,20 @@ def count_token(pstate: Optional[PenaltyState], nxt: jnp.ndarray,
 @jax.jit
 def set_penalty_slot(pstate: PenaltyState, slot: jnp.ndarray,
                      counts_row: jnp.ndarray, presence: jnp.ndarray,
-                     frequency: jnp.ndarray,
-                     bias_row: jnp.ndarray) -> PenaltyState:
+                     frequency: jnp.ndarray, bias_row: jnp.ndarray,
+                     rep: jnp.ndarray,
+                     prompt_row: jnp.ndarray) -> PenaltyState:
     """Splice one slot's penalty rows at admission (counts_row starts at
     zero: OpenAI's formula counts only tokens SAMPLED so far, never the
-    prompt; the engine passes zeros and in-loop counting does the rest)."""
+    prompt; the engine passes zeros and in-loop counting does the rest.
+    prompt_row is the prompt-presence mask repetition_penalty needs)."""
     return PenaltyState(
         counts=pstate.counts.at[slot].set(counts_row),
         presence=pstate.presence.at[slot].set(presence),
         frequency=pstate.frequency.at[slot].set(frequency),
         bias=pstate.bias.at[slot].set(bias_row),
+        rep=pstate.rep.at[slot].set(rep),
+        prompt_mask=pstate.prompt_mask.at[slot].set(prompt_row),
     )
 
 
@@ -130,10 +147,14 @@ def count_slot_token(pstate: PenaltyState, slot: jnp.ndarray,
 @jax.jit
 def penalize_row(logits: jnp.ndarray, counts_row: jnp.ndarray,
                  presence: jnp.ndarray, frequency: jnp.ndarray,
-                 bias_row: jnp.ndarray) -> jnp.ndarray:
+                 bias_row: jnp.ndarray, rep: jnp.ndarray,
+                 prompt_row: jnp.ndarray) -> jnp.ndarray:
     """Penalty-adjust a single [V] logits row (the admission-time first
     token, sampled from prefill logits before the slot's rows exist in
-    the batch PenaltyState)."""
+    the batch PenaltyState). Same operation order as apply_penalties."""
+    seen = prompt_row | (counts_row > 0)
+    rep_adj = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, rep_adj, logits)
     return (logits + bias_row
             - jnp.where(counts_row > 0, presence, 0.0)
             - counts_row.astype(jnp.float32) * frequency)

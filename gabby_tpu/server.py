@@ -145,6 +145,8 @@ def make_handler(engine):
             presence_penalty=float(request.get("presence_penalty") or 0.0),
             frequency_penalty=float(request.get("frequency_penalty") or 0.0),
             logit_bias=request.get("logit_bias") or None,
+            repetition_penalty=float(
+                request.get("repetition_penalty") or 1.0),
             seed=(int(request["seed"])
                   if request.get("seed", -1) >= 0 else None),
         )

@@ -48,6 +48,8 @@ def _random_kwargs(rng, vocab):
     if rng.random() < 0.3:
         kw["frequency_penalty"] = rng.choice([-0.5, 0.4, 1.5])
     if rng.random() < 0.25:
+        kw["repetition_penalty"] = rng.choice([0.8, 1.2, 1.9])
+    if rng.random() < 0.25:
         kw["logit_bias"] = {rng.randint(2, vocab - 1): rng.choice(
             [-50.0, 10.0, 60.0]) for _ in range(rng.randint(1, 4))}
     if rng.random() < 0.3:

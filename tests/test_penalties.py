@@ -27,9 +27,11 @@ def setup():
 
 
 def reference_penalized(cfg, params, tok, messages, max_tokens, *,
-                        presence=0.0, frequency=0.0, bias=None):
+                        presence=0.0, frequency=0.0, bias=None, rep=1.0):
     """Greedy generation with OpenAI penalty math applied host-side, in
-    the same operation order as generate.apply_penalties."""
+    the same operation order as generate.apply_penalties (repetition
+    penalty FIRST on the raw logits — HF semantics, seen = prompt OR
+    sampled — then bias/presence/frequency)."""
     from gabby_tpu.tokenizer import ChatFormat
     chat = ChatFormat(tok)
     ids = chat.prompt_ids(messages)
@@ -39,6 +41,8 @@ def reference_penalized(cfg, params, tok, messages, max_tokens, *,
         params, cfg, jnp.asarray([ids], jnp.int32), cache)
     # OpenAI formula: c[j] counts tokens SAMPLED so far — never the prompt
     counts = np.zeros((cfg.vocab_size,), np.int32)
+    prompt_mask = np.zeros((cfg.vocab_size,), bool)
+    prompt_mask[ids] = True
     brow = np.zeros((cfg.vocab_size,), np.float32)
     for k, v in (bias or {}).items():
         brow[k] = v
@@ -46,7 +50,11 @@ def reference_penalized(cfg, params, tok, messages, max_tokens, *,
     out = []
     pos = len(ids)
     while len(out) < max_tokens:
-        adj = (lg + brow
+        seen = prompt_mask | (counts > 0)
+        rl = np.where(seen,
+                      np.where(lg > 0, lg / np.float32(rep),
+                               lg * np.float32(rep)), lg)
+        adj = (rl + brow
                - np.where(counts > 0, np.float32(presence), np.float32(0))
                - counts.astype(np.float32) * np.float32(frequency))
         t = int(np.argmax(adj))
@@ -65,13 +73,15 @@ def reference_penalized(cfg, params, tok, messages, max_tokens, *,
 MSGS = [{"role": "user", "content": "repeat repeat repeat"}]
 
 
-@pytest.mark.parametrize("presence,frequency,bias", [
-    (1.5, 0.0, None),
-    (0.0, 1.2, None),
-    (0.8, 0.7, {7: 4.0, 11: -6.0}),
+@pytest.mark.parametrize("presence,frequency,bias,rep", [
+    (1.5, 0.0, None, 1.0),
+    (0.0, 1.2, None, 1.0),
+    (0.8, 0.7, {7: 4.0, 11: -6.0}, 1.0),
+    (0.0, 0.0, None, 1.8),              # repetition_penalty alone
+    (0.5, 0.3, {7: 4.0}, 1.3),          # all knobs together
 ])
 def test_penalized_generation_matches_reference(setup, presence,
-                                                frequency, bias):
+                                                frequency, bias, rep):
     cfg, params, tok = setup
     eng = Engine(cfg, params, tok,
                  EngineConfig(batch_slots=2, max_seq=128, steps_per_call=4,
@@ -80,12 +90,14 @@ def test_penalized_generation_matches_reference(setup, presence,
     try:
         text, fin, _, _ = eng.generate_sync(
             MSGS, max_tokens=12, presence_penalty=presence,
-            frequency_penalty=frequency, logit_bias=bias)
+            frequency_penalty=frequency, logit_bias=bias,
+            repetition_penalty=rep)
         ref = reference_penalized(cfg, params, tok, MSGS, 12,
                                   presence=presence, frequency=frequency,
-                                  bias=bias)
+                                  bias=bias, rep=rep)
         assert text == tok.decode(ref), (
-            f"penalized output diverged (p={presence}, f={frequency})")
+            f"penalized output diverged (p={presence}, f={frequency}, "
+            f"rep={rep})")
     finally:
         eng.shutdown()
 
