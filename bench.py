@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -363,8 +364,14 @@ def main() -> int:
     log(f"building {args.config}: ~{cfg.num_params()/1e9:.2f}B params"
         + (f" on mesh dp={args.dp} x tp={args.tp}" if mesh else ""))
     params = build_params(args, spec, cfg, mesh)
+    # GABBY_ATTN_PAIR=1: paired kv-head cache layout (block-diagonal
+    # attention dots at 128-deep contraction — see kv_cache.create_cache).
+    # Single-chip A/B knob; mesh runs keep the per-head layout the
+    # shardings are written for.
+    paired = os.environ.get("GABBY_ATTN_PAIR") == "1" and mesh is None
     cache = create_cache(cfg, args.batch, args.max_seq,
-                         dtype=jnp.bfloat16, quantized=spec["kv_quant"])
+                         dtype=jnp.bfloat16, quantized=spec["kv_quant"],
+                         paired=paired)
     cache_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -33,7 +33,8 @@ from gabby_tpu.ops.attention import (cache_attention,
 from gabby_tpu.ops.linear import linear
 from gabby_tpu.ops.norms import rms_norm
 from gabby_tpu.ops.rope import apply_rope, rope_inv_freq
-from gabby_tpu.runtime.kv_cache import KVCache, dequantize_kv, quantize_kv
+from gabby_tpu.runtime.kv_cache import (KVCache, dequantize_kv, pair_heads,
+                                        quantize_kv, unpair_heads)
 
 Params = dict[str, Any]
 
@@ -183,6 +184,7 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     h = jnp.take(params["embed"], tokens, axis=0)
 
     quantized = cache is not None and cache.quantized
+    paired = cache is not None and cache.k.shape[-1] == 2 * cfg.head_dim
 
     blocks = params["blocks"]
 
@@ -213,6 +215,9 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             if quantized:
                 k_codes, k_s = quantize_kv(kT)  # scales [B, Nk, T]
                 v_codes, v_s = quantize_kv(vT)
+                if paired:  # store head pairs lane-interleaved
+                    k_codes = pair_heads(k_codes)
+                    v_codes = pair_heads(v_codes)
                 kc = jax.lax.dynamic_update_slice(
                     kc, masked(k_codes, kc[:, :, offset:offset + t]),
                     (0, 0, offset, 0))
@@ -227,12 +232,16 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     (0, 0, offset))
                 ys = (kc, vc, ksc, vsc)
             else:
+                kw_, vw_ = kT, vT
+                if paired:
+                    kw_ = pair_heads(kT)
+                    vw_ = pair_heads(vT)
                 kc = jax.lax.dynamic_update_slice(
-                    kc, masked(kT.astype(kc.dtype),
+                    kc, masked(kw_.astype(kc.dtype),
                                kc[:, :, offset:offset + t]),
                     (0, 0, offset, 0))
                 vc = jax.lax.dynamic_update_slice(
-                    vc, masked(vT.astype(vc.dtype),
+                    vc, masked(vw_.astype(vc.dtype),
                                vc[:, :, offset:offset + t]),
                     (0, 0, offset, 0))
                 ys = (kc, vc)
@@ -241,14 +250,17 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             kk, vv = k, v  # fresh prompt: attend over the chunk itself
         else:
             # chunked prefill: attend over everything written so far
+            kp = kc[:, :, : offset + t]
+            vp = vc[:, :, : offset + t]
+            if paired:
+                kp = unpair_heads(kp)
+                vp = unpair_heads(vp)
             if quantized:
-                kk = dequantize_kv(kc[:, :, : offset + t],
-                                   ksc[:, :, : offset + t], k.dtype)
-                vv = dequantize_kv(vc[:, :, : offset + t],
-                                   vsc[:, :, : offset + t], v.dtype)
+                kk = dequantize_kv(kp, ksc[:, :, : offset + t], k.dtype)
+                vv = dequantize_kv(vp, vsc[:, :, : offset + t], v.dtype)
             else:
-                kk = kc[:, :, : offset + t].astype(k.dtype)
-                vv = vc[:, :, : offset + t].astype(v.dtype)
+                kk = kp.astype(k.dtype)
+                vv = vp.astype(v.dtype)
             kk = jnp.swapaxes(kk, 1, 2)  # back to [B, S', Nk, H]
             vv = jnp.swapaxes(vv, 1, 2)
         attn = causal_attention(q, kk, vv, q_offset=offset)
@@ -391,6 +403,7 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos2d = positions[:, None]  # [B, 1]
     h = jnp.take(params["embed"], tokens[:, None], axis=0)  # [B, 1, D]
     quantized = cache.quantized
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim  # kv_cache.create_cache
 
     # Cache-traffic design (profiled; the naive forms were the bottleneck):
     # the stacked cache is READ-ONLY inside the layer scan — attention takes
@@ -426,13 +439,21 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 window=window)
             k_codes, k_s = quantize_kv(k)  # [B, 1, Nk, H], [B, 1, Nk]
             v_codes, v_s = quantize_kv(v)
-            ys = (k_codes[:, 0], v_codes[:, 0], k_s[:, 0], v_s[:, 0])
+            kr, vr = k_codes[:, 0], v_codes[:, 0]
+            if paired:  # [B, Nk, H] -> [B, Nk/2, 2H]: free, heads adjacent
+                kr = kr.reshape(b, *cache.k.shape[2:3], -1)
+                vr = vr.reshape(b, *cache.v.shape[2:3], -1)
+            ys = (kr, vr, k_s[:, 0], v_s[:, 0])
         else:
             attn = cache_attention(q, cache.k, cache.v, read_pos,
                                    layer=layer, fresh_k=fresh_k,
                                    fresh_v=fresh_v, window=window)
-            ys = (fresh_k.astype(cache.k.dtype),
-                  fresh_v.astype(cache.v.dtype))
+            kr = fresh_k.astype(cache.k.dtype)
+            vr = fresh_v.astype(cache.v.dtype)
+            if paired:
+                kr = kr.reshape(b, *cache.k.shape[2:3], -1)
+                vr = vr.reshape(b, *cache.v.shape[2:3], -1)
+            ys = (kr, vr)
         h = h + linear(attn.reshape(b, 1, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
@@ -599,6 +620,7 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     positions = offset + jnp.arange(t, dtype=jnp.int32)  # [T]
     h = jnp.take(params["embed"], tokens[None, :], axis=0)  # [1, T, D]
     quantized = cache.quantized
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim
     zero = jnp.zeros((), jnp.int32)
 
     # Same cache-traffic design as decode_step: the stacked cache is
@@ -625,12 +647,19 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 fresh_k=kT[0], fresh_v=vT[0], layer=layer)
             k_codes, k_s = quantize_kv(kT)
             v_codes, v_s = quantize_kv(vT)
-            ys = (k_codes[0], v_codes[0], k_s[0], v_s[0])
+            kr, vr = k_codes[0], v_codes[0]
+            if paired:
+                kr, vr = pair_heads(kr), pair_heads(vr)
+            ys = (kr, vr, k_s[0], v_s[0])
         else:
             attn = slot_prefill_attention(q, cache.k, cache.v, slot, offset,
                                           fresh_k=kT[0], fresh_v=vT[0],
                                           layer=layer)
-            ys = (kT[0].astype(cache.k.dtype), vT[0].astype(cache.v.dtype))
+            kr = kT[0].astype(cache.k.dtype)
+            vr = vT[0].astype(cache.v.dtype)
+            if paired:
+                kr, vr = pair_heads(kr), pair_heads(vr)
+            ys = (kr, vr)
         h = h + linear(attn.reshape(1, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
@@ -703,6 +732,7 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
     positions = positions0[:, None] + jnp.arange(t, dtype=jnp.int32)  # [B,T]
     h = jnp.take(params["embed"], tokens_bt, axis=0)  # [B, T, D]
     quantized = cache.quantized
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim
     blocks = params["blocks"]
     s_max = cache.max_seq
     # a [T]-row write at the slot's position: clamp so the block can never
@@ -738,6 +768,8 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
             # plus the block itself with a causal mask
             kc = jax.lax.dynamic_index_in_dim(cache.k, layer, 0, False)
             vc = jax.lax.dynamic_index_in_dim(cache.v, layer, 0, False)
+            if paired:
+                kc, vc = unpair_heads(kc), unpair_heads(vc)
             if quantized:
                 ksc = jax.lax.dynamic_index_in_dim(cache.k_scale, layer,
                                                    0, False)
@@ -765,9 +797,16 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
         if quantized:
             k_codes, k_s = quantize_kv(kT)
             v_codes, v_s = quantize_kv(vT)
-            ys = (k_codes, v_codes, k_s, v_s)
+            kr, vr = k_codes, v_codes
+            if paired:
+                kr, vr = pair_heads(kr), pair_heads(vr)
+            ys = (kr, vr, k_s, v_s)
         else:
-            ys = (kT.astype(cache.k.dtype), vT.astype(cache.v.dtype))
+            kr = kT.astype(cache.k.dtype)
+            vr = vT.astype(cache.v.dtype)
+            if paired:
+                kr, vr = pair_heads(kr), pair_heads(vr)
+            ys = (kr, vr)
         h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)

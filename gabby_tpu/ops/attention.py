@@ -105,7 +105,8 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     fresh_v = kw.pop("fresh_v", None)
     window = kw.pop("window", None)
     assert not kw, f"unknown kwargs {kw}"
-    nk = k_cache.shape[2 if layer is not None else 1]
+    paired = k_cache.shape[-1] == 2 * h  # kv_cache.create_cache(paired=)
+    nk = k_cache.shape[2 if layer is not None else 1] * (2 if paired else 1)
     s_max = k_cache.shape[3 if layer is not None else 2]
     if t == 1 and nq % nk == 0 and _want_attn_kernel(s_max):
         from gabby_tpu.ops import pallas as pk
@@ -118,6 +119,10 @@ def cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     if layer is not None:  # slice this layer out of the stacked cache
         k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, False)
+    if paired:
+        from gabby_tpu.runtime.kv_cache import unpair_heads
+        k_cache = unpair_heads(k_cache)
+        v_cache = unpair_heads(v_cache)
     s = k_cache.shape[2]
     if scale is None:
         scale = h ** -0.5
@@ -158,7 +163,8 @@ def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
 
     Pallas path streams the row in place with chunk skipping; this jnp body
     slices + dequantizes the row and runs the causal reference."""
-    nk = k_cache.shape[2 if layer is not None else 1]
+    paired = k_cache.shape[-1] == 2 * q.shape[-1]
+    nk = k_cache.shape[2 if layer is not None else 1] * (2 if paired else 1)
     from gabby_tpu.ops import pallas as pk
     if (fresh_k is not None and pk.kernels_enabled()
             and q.shape[2] % nk == 0):
@@ -175,6 +181,10 @@ def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
             v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, False)
     row_k = jax.lax.dynamic_index_in_dim(k_cache, slot, 0, keepdims=True)
     row_v = jax.lax.dynamic_index_in_dim(v_cache, slot, 0, keepdims=True)
+    if paired:
+        from gabby_tpu.runtime.kv_cache import unpair_heads
+        row_k = unpair_heads(row_k)
+        row_v = unpair_heads(row_v)
     if k_scale is not None:
         from gabby_tpu.runtime.kv_cache import dequantize_kv
         ks = jax.lax.dynamic_index_in_dim(k_scale, slot, 0, keepdims=True)
@@ -221,7 +231,8 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
     fresh_v = kw.pop("fresh_v", None)
     window = kw.pop("window", None)
     assert not kw, f"unknown kwargs {kw}"
-    nk = k_codes.shape[2 if layer is not None else 1]
+    paired = k_codes.shape[-1] == 2 * q.shape[-1]
+    nk = k_codes.shape[2 if layer is not None else 1] * (2 if paired else 1)
     s_max = k_codes.shape[3 if layer is not None else 2]
     from gabby_tpu.ops import pallas as pk
     if (q.shape[1] == 1 and q.shape[2] % nk == 0
@@ -237,6 +248,10 @@ def cache_attention_quantized(q: jnp.ndarray, k_codes: jnp.ndarray,
         v_codes = jax.lax.dynamic_index_in_dim(v_codes, layer, 0, False)
         k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, False)
         v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, False)
+    if paired:
+        from gabby_tpu.runtime.kv_cache import unpair_heads
+        k_codes = unpair_heads(k_codes)
+        v_codes = unpair_heads(v_codes)
     from gabby_tpu.runtime.kv_cache import dequantize_kv
     kk = dequantize_kv(k_codes, k_scale, q.dtype)
     vv = dequantize_kv(v_codes, v_scale, q.dtype)

@@ -65,9 +65,19 @@ def s8_attention() -> bool:
     return os.environ.get("GABBY_ATTN_S8", "1") != "0"
 
 
+def _pair_scales(sc, np_: int, rows: int):
+    """[2*Np, C] per-head scales -> [Np, rows, C] per-ROW scales for the
+    paired layout (rows half-major: rows [0, rows/2) belong to the pair's
+    even head, the rest to the odd head)."""
+    half = rows // 2
+    c = sc.shape[-1]
+    s4 = jnp.broadcast_to(sc.reshape(np_, 2, 1, c), (np_, 2, half, c))
+    return s4.reshape(np_, rows, c)
+
+
 def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                 fk_ref, fv_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
-                tq: int = 1, use_s8: bool = False):
+                tq: int = 1, use_s8: bool = False, pair: bool = False):
     """One (slot, chunk) grid step over all kv heads.
 
     q: [1, Nk, TQ*G, H] — TQ query positions x G group heads per kv head
@@ -82,8 +92,17 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     only ever reads the PRE-update cache (mask j < pos; this is what lets
     the cache scatter happen once, in place, outside the layer scan); or
     None for the plain j <= pos contract (TQ must be 1 then). scratch:
-    m,l [Nk*TQ*G, 1] f32, acc [Nk*TQ*G, H] f32."""
-    g = q_ref.shape[2]  # = TQ * G rows per kv head
+    m,l [Nk*TQ*G, 1] f32, acc [Nk*TQ*G, H] f32.
+
+    pair=True (paired cache layout, kv_cache.create_cache(paired=True)):
+    every 'Nk' above is the PAIR count Nk/2, 'H' is 2*head_dim, and q rows
+    are BLOCK-DIAGONAL — [2*TQ*G, 2H] per pair, rows half-major, the even
+    head's rows zero in lanes [H, 2H) and vice versa — so each dot runs
+    128-deep contraction with 2x the rows, halving MXU passes (decode GQA
+    is MXU-pass-bound; BASELINE.md round 3). ks/vs stay PER-HEAD
+    [1, 1, 2*Nk', C] and expand to per-row scales in-kernel; the junk
+    half of each output row is discarded at the final half-select."""
+    g = q_ref.shape[2]  # = TQ * G rows per kv head (x2 when paired)
 
     @pl.when(c == 0)
     def _():
@@ -122,19 +141,26 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)     # [Nk, G, C] s32
             scores = si.astype(jnp.float32) * qs
-            scores = scores * (ks_ref[0, 0] *
-                               sm_scale)[:, None, :]
+            if pair:
+                scores = scores * _pair_scales(ks_ref[0, 0] * sm_scale,
+                                               nk, g)
+            else:
+                scores = scores * (ks_ref[0, 0] *
+                                   sm_scale)[:, None, :]
         else:
             qg = q_ref[0].astype(jnp.bfloat16)        # [Nk, G, H]
             k = k_ref[0, 0].astype(jnp.bfloat16)      # [Nk, C, H]
             scores = jax.lax.dot_general(
                 qg, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)   # [Nk, G, C] f32
-            if ks_ref is not None:
+            if ks_ref is None:
+                scores = scores * sm_scale
+            elif pair:
+                scores = scores * _pair_scales(ks_ref[0, 0] * sm_scale,
+                                               nk, g)
+            else:
                 scores = scores * (ks_ref[0, 0] *
                                    sm_scale)[:, None, :]
-            else:
-                scores = scores * sm_scale
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
         bound = pos if fk_ref is not None else pos + 1
         scores = jnp.where(col + c * chunk < bound, scores, NEG_INF)
@@ -147,7 +173,8 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         l_ref[:] = (l_ref[:].reshape(nk, g, 1) * alpha
                     + jnp.sum(p, axis=-1, keepdims=True)).reshape(nk * g, 1)
         if use_s8:
-            pvf = p * vs_ref[0, 0][:, None, :]
+            pvf = p * (_pair_scales(vs_ref[0, 0], nk, g) if pair
+                       else vs_ref[0, 0][:, None, :])
             pa = jnp.max(pvf, axis=-1, keepdims=True)  # p >= 0
             pscale = jnp.maximum(pa, 1e-30) * (1.0 / 127.0)
             p8 = jnp.round(pvf / pscale).astype(jnp.int8)
@@ -158,8 +185,12 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             contrib = ci.astype(jnp.float32) * pscale
         else:
             v = v_ref[0, 0].astype(jnp.bfloat16)      # [Nk, C, H]
-            pv = (p * vs_ref[0, 0][:, None, :]
-                  if vs_ref is not None else p)
+            if vs_ref is None:
+                pv = p
+            elif pair:
+                pv = p * _pair_scales(vs_ref[0, 0], nk, g)
+            else:
+                pv = p * vs_ref[0, 0][:, None, :]
             contrib = jax.lax.dot_general(
                 pv.astype(jnp.bfloat16), v,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -183,7 +214,12 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                 qg, kf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * sm_scale
             if tq > 1:
-                row_t = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1) // g0
+                rr = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1)
+                if pair:  # rows are (half, t, g): half-major
+                    rr = rr % (g // 2)
+                    row_t = rr // ((g // 2) // tq)
+                else:
+                    row_t = rr // g0
                 col_t = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 2)
                 sf = jnp.where(col_t <= row_t, sf, NEG_INF)
             m_old = m_ref[:].reshape(nk, g, 1)
@@ -201,20 +237,35 @@ def _flash_step(pos, c, chunk, nk, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                               preferred_element_type=jnp.float32)
                           ).reshape(nk * g, hd)
         out = acc_ref[:] / l_ref[:]                       # [Nk*TQ*G0, H]
-        o_ref[0] = out.reshape(nk, g, out.shape[-1]).astype(o_ref.dtype)
+        if pair:
+            # half-select: even-head rows carry their output in lanes
+            # [0, H), odd-head rows in [H, 2H) (the other half is junk
+            # accumulated through the zero rows of the block-diagonal q)
+            hd2 = out.shape[-1] // 2
+            o4 = out.reshape(nk, 2, g // 2, 2 * hd2)
+            osel = jnp.concatenate([o4[:, :1, :, :hd2],
+                                    o4[:, 1:, :, hd2:]], axis=1)
+            o_ref[0] = osel.reshape(nk, g, hd2).astype(o_ref.dtype)
+        else:
+            o_ref[0] = out.reshape(nk, g, out.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sm_scale", "out_dtype", "interpret",
-                                    "tq", "window", "use_s8"))
+                                    "tq", "window", "use_s8", "pair"))
 def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
                  scal, *, sm_scale: float, out_dtype, interpret: bool,
                  tq: int = 1, window: Optional[int] = None,
-                 use_s8: bool = False):
+                 use_s8: bool = False, pair: bool = False):
     """q4: [B, Nk, TQ*G, H]; k/v_cache: [L, B, Nk, S, H];
     k/v_scale: [L, B, Nk, 1, S] or None; fresh_k/v: [B, Nk, TQ, H] or
     None; scal: [B+1] i32 = positions ++ [layer]. tq > 1 = the
     speculative verify block (see _flash_step).
+
+    pair=True: the paired cache layout — q4 is the block-diagonal
+    [B, Nk/2, 2*TQ*G, 2H] (see _flash_step); k/v_cache [L, B, Nk/2, S, 2H];
+    scales stay per-head [L, B, Nk, S]; fresh [B, Nk/2, TQ, 2H]. Output is
+    [B, Nk/2, 2*TQ*G, H] (half-selected), rows half-major per pair.
 
     window: static upper bound on every slot's live context THIS call
     (caller-guaranteed). The chunk grid covers only ceil(window/CHUNK)
@@ -223,6 +274,8 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
     layer) — the chunk-skip index clamp saves the DMA but not the grid
     steps (VERDICT r2 weak #4)."""
     b, nk, g, h = q4.shape
+    nk_s = nk * 2 if pair else nk   # scale arrays stay per-head
+    h_out = h // 2 if pair else h   # output half-selected per row
     s = k_cache.shape[3]
     chunk = min(attn_chunk(), s)
     s_live = s if window is None else max(chunk, min(window, s))
@@ -257,9 +310,9 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
     args = [q4, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, nk, chunk), sc_map,
+            pl.BlockSpec((1, 1, nk_s, chunk), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk, chunk), sc_map,
+            pl.BlockSpec((1, 1, nk_s, chunk), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
@@ -282,13 +335,13 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
         _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), chunk, nk,
                     q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
                     o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq,
-                    use_s8=use_s8 and quant)
+                    use_s8=use_s8 and quant, pair=pair)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nk, g, h),
+        out_specs=pl.BlockSpec((1, nk, g, h_out),
                                lambda bb, cc, sc: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -301,7 +354,7 @@ def _decode_call(q4, k_cache, v_cache, k_scale, v_scale, fresh_k, fresh_v,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nk, g, h), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nk, g, h_out), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nk * g * s_live * h,
             bytes_accessed=kv_bytes + b * nk * g * h * 4,
@@ -513,6 +566,19 @@ def _pick_slot_block(b: int, nk: int, h: int, itemsize: int) -> int:
     return 1
 
 
+def _pair_q(q4: jnp.ndarray) -> jnp.ndarray:
+    """[B, Nk, R, H] grouped queries -> the block-diagonal
+    [B, Nk/2, 2R, 2H] the paired kernel wants: rows half-major (the even
+    head's R rows first), each row zero in the other head's lane half so
+    the 128-deep contraction picks out exactly its own head's keys."""
+    b, nk, r0, h = q4.shape
+    qv = q4.reshape(b, nk // 2, 2, r0, h)
+    z = jnp.zeros_like(qv[:, :, 0])
+    top = jnp.concatenate([qv[:, :, 0], z], axis=-1)
+    bot = jnp.concatenate([z, qv[:, :, 1]], axis=-1)
+    return jnp.concatenate([top, bot], axis=2)
+
+
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, positions: jnp.ndarray,
                      k_scale=None, v_scale=None, *,
@@ -535,7 +601,8 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         k_scale = k_scale[None] if k_scale is not None else None
         v_scale = v_scale[None] if v_scale is not None else None
         layer = jnp.int32(0)
-    nk = k_cache.shape[2]
+    paired = k_cache.shape[-1] == 2 * h  # kv_cache.create_cache(paired=)
+    nk = k_cache.shape[2] * (2 if paired else 1)
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = q[:, 0].reshape(b, nk, nq // nk, h)  # grouped heads, metadata-only
     ks = k_scale  # 4-D [L/P, B/L, Nk, S]: lane axis is S
@@ -545,6 +612,19 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     fk = fresh_k[:, :, None, :] if fresh_k is not None else None
     fv = fresh_v[:, :, None, :] if fresh_v is not None else None
     import os
+    if paired:
+        # block-diagonal queries + lane-paired fresh rows (free reshape:
+        # TQ=1 rows pair by flattening adjacent heads)
+        q4 = _pair_q(q4)
+        if fk is not None:
+            fk = fresh_k.reshape(b, nk // 2, 1, 2 * h)
+            fv = fresh_v.reshape(b, nk // 2, 1, 2 * h)
+        out = _decode_call(q4, k_cache, v_cache, ks, vs, fk, fv, scal,
+                           sm_scale=sm_scale, out_dtype=q.dtype,
+                           interpret=pk.interpret_mode(), window=window,
+                           use_s8=s8_attention() and ks is not None
+                           and fk is not None, pair=True)
+        return out.reshape(b, 1, nq, h)  # rows half-major == head-major
     sb = _pick_slot_block(b, nk, h, k_cache.dtype.itemsize)
     # slot-batched grid measured NEUTRAL on the v5e 1B bench (2.85 vs
     # 2.83 ms/step same-session): decode attention is MXU-throughput-bound
@@ -577,7 +657,8 @@ def verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     mask among themselves. One kernel pass over the cache serves all T
     queries (the whole point of verification). Returns [B, T, Nq, H]."""
     b, t, nq, h = q.shape
-    nk = k_cache.shape[2]
+    paired = k_cache.shape[-1] == 2 * h
+    nk = k_cache.shape[2] * (2 if paired else 1)
     g = nq // nk
     sm_scale = float(scale) if scale is not None else h ** -0.5
     # rows ordered (t, g) within each kv head: row // g == t
@@ -587,6 +668,17 @@ def verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     vs = v_scale
     scal = jnp.concatenate([positions.astype(jnp.int32),
                             jnp.asarray(layer, jnp.int32).reshape(1)])
+    if paired:
+        from gabby_tpu.runtime.kv_cache import pair_heads
+        q4 = _pair_q(q4)  # [B, Nk/2, 2*T*G, 2H], rows (half, t, g)
+        fresh_k = pair_heads(fresh_k)  # [B, Nk/2, T, 2H]
+        fresh_v = pair_heads(fresh_v)
+        out = _decode_call(q4, k_cache, v_cache, ks, vs, fresh_k, fresh_v,
+                           scal, sm_scale=sm_scale, out_dtype=q.dtype,
+                           interpret=pk.interpret_mode(), tq=t,
+                           window=window, pair=True)
+        out = out.reshape(b, nk, t, g, h)  # (pair, half) rows == head-major
+        return out.transpose(0, 2, 1, 3, 4).reshape(b, t, nq, h)
     out = _decode_call(q4, k_cache, v_cache, ks, vs, fresh_k, fresh_v, scal,
                        sm_scale=sm_scale, out_dtype=q.dtype,
                        interpret=pk.interpret_mode(), tq=t, window=window)

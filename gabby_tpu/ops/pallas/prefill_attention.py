@@ -34,14 +34,21 @@ CHUNK = 1024
 
 
 def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
-            chunk, t, quant):
+            chunk, t, quant, pair=False):
     """scal: [3] SMEM (slot, offset, layer); q: [1, G*T, H];
     k/v: [1, 1, 1, C, H] (PAST cache rows, read strictly j < offset);
     fk/fv: [1, T, H] — the chunk's OWN unquantized k/v for this head,
     attended causally as a final virtual block (so the kernel never reads
     rows written this step and the cache write can happen once, in place,
     after the layer scan); (quant: ks/vs [1, 1, 1, 1, C]);
-    out [1, G*T, H]; scratch m,l [G*T, 1] f32, acc [G*T, H] f32."""
+    out [1, G*T, H]; scratch m,l [G*T, 1] f32, acc [G*T, H] f32.
+
+    pair=True (paired cache layout): the grid runs per HEAD PAIR — q is
+    the block-diagonal [1, 2*G*T, 2H] (rows half-major, each row zero in
+    the other head's lane half), k/v blocks are [1, 1, 1, C, 2H], the
+    scale blocks carry BOTH heads ([1, 1, 2, 1, C]), and the output's
+    junk lane half is discarded at the final half-select — same
+    block-diagonal trick as the decode kernel (ops/pallas/attention)."""
     if quant:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -49,6 +56,15 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
         ks_ref = vs_ref = None
     offset = scal_ref[1]
     c = pl.program_id(1)
+    rows = q_ref.shape[1]
+
+    def row_scales(sc):
+        # [2, C] per-head -> per-row [rows, C] (rows half-major)
+        if not pair:
+            return sc.reshape(1, -1)
+        cdim = sc.shape[-1]
+        return jnp.broadcast_to(sc.reshape(2, 1, cdim),
+                                (2, rows // 2, cdim)).reshape(rows, cdim)
 
     @pl.when(c == 0)
     def _():
@@ -65,7 +81,7 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
             qg, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [G*T, C]
         if ks_ref is not None:
-            scores = scores * (ks_ref[0, 0, 0, 0, :] * sm_scale)[None, :]
+            scores = scores * row_scales(ks_ref[0, 0, :, 0, :] * sm_scale)
         else:
             scores = scores * sm_scale
         # past rows are visible to EVERY query (j < offset <= offset + i)
@@ -76,7 +92,7 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
         m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
         p = jnp.exp(scores - m_new)
-        pv = (p * vs_ref[0, 0, 0, 0, :][None, :]
+        pv = (p * row_scales(vs_ref[0, 0, :, 0, :])
               if vs_ref is not None else p)
         m_ref[:] = m_new
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -92,6 +108,8 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
         scores = jax.lax.dot_general(
             qg, kf, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [G*T, T]
+        # rows ordered (g, t) — (half, g, t) when paired — t minor either
+        # way, so row % t is the in-chunk query position
         row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % t
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col <= row, scores, NEG_INF)
@@ -102,19 +120,31 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
         l_new = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc_ref[:] * alpha + jnp.dot(
             p.astype(jnp.bfloat16), vf, preferred_element_type=jnp.float32)
-        o_ref[0] = (acc / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
+        out = acc / jnp.maximum(l_new, 1e-30)
+        if pair:
+            # even-head rows carry lanes [0, H), odd-head rows [H, 2H)
+            hd = out.shape[-1] // 2
+            o2 = out.reshape(2, rows // 2, 2 * hd)
+            osel = jnp.concatenate([o2[:1, :, :hd], o2[1:, :, hd:]], axis=0)
+            o_ref[0] = osel.reshape(rows, hd).astype(o_ref.dtype)
+        else:
+            o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("t", "sm_scale", "out_dtype",
-                                    "interpret"))
+                                    "interpret", "pair"))
 def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
                   scal, *, t: int, sm_scale: float, out_dtype,
-                  interpret: bool):
+                  interpret: bool, pair: bool = False):
     """q3: [Nk, G*T, H]; k/v_cache: [L, B, Nk, S, H] (full stacked cache);
     k/v_scale: [L, B, Nk, 1, S] or None;
-    scal: [3] i32 (slot, offset, layer)."""
+    scal: [3] i32 (slot, offset, layer). pair: paired layout — q3 is the
+    block-diagonal [Nk/2, 2*G*T, 2H], the cache [L, B, Nk/2, S, 2H],
+    scales stay per-head (blocks carry the pair's 2 heads)."""
     nk, gt, h = q3.shape
+    h_out = h // 2 if pair else h
+    nh_sc = 2 if pair else 1  # scale-block heads per grid step
     s = k_cache.shape[3]
     chunk = min(CHUNK, s)
     n_chunks = pl.cdiv(s, chunk)
@@ -146,12 +176,14 @@ def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
     ]
     if quant:
         def sc_map(hh, cc, scal_ref):
+            # index units are BLOCK counts: with a 2-head block (paired),
+            # index hh addresses heads [2hh, 2hh+2) — the pair's scales
             return (scal_ref[2], scal_ref[0], hh, 0,
                     jnp.minimum(cc, last_needed(scal_ref)))
         in_specs += [
-            pl.BlockSpec((1, 1, 1, 1, chunk), sc_map,
+            pl.BlockSpec((1, 1, nh_sc, 1, chunk), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, chunk), sc_map,
+            pl.BlockSpec((1, 1, nh_sc, 1, chunk), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
@@ -160,7 +192,7 @@ def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
         num_scalar_prefetch=1,
         grid=(nk, n_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, gt, h), lambda hh, cc, sc: (hh, 0, 0),
+        out_specs=pl.BlockSpec((1, gt, h_out), lambda hh, cc, sc: (hh, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((gt, 1), jnp.float32),
@@ -169,11 +201,11 @@ def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
         ],
     )
     kernel = functools.partial(_kernel, sm_scale=sm_scale, chunk=chunk,
-                               t=t, quant=quant)
+                               t=t, quant=quant, pair=pair)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nk, gt, h), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nk, gt, h_out), out_dtype),
         interpret=interpret,
     )(scal, *args)
 
@@ -195,7 +227,8 @@ def prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         k_scale = k_scale[None] if k_scale is not None else None
         v_scale = v_scale[None] if v_scale is not None else None
         layer = jnp.int32(0)
-    nk = k_cache.shape[2]
+    paired = k_cache.shape[-1] == 2 * h
+    nk = k_cache.shape[2] * (2 if paired else 1)
     g = nq // nk
     sm_scale = float(scale) if scale is not None else h ** -0.5
     # [1, T, Nq, H] -> [Nk, G, T, H] -> [Nk, G*T, H]
@@ -208,6 +241,18 @@ def prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         # derive the chunk's own rows from q-side caller instead: not
         # supported — the fresh block is required for this kernel
         raise ValueError("prefill kernel requires fresh_k/fresh_v")
+    if paired:
+        from gabby_tpu.ops.pallas.attention import _pair_q
+        from gabby_tpu.runtime.kv_cache import pair_heads
+        q3 = _pair_q(q3[None])[0]        # [Nk/2, 2*G*T, 2H] block-diagonal
+        fresh_k = pair_heads(fresh_k)    # [Nk/2, T, 2H]
+        fresh_v = pair_heads(fresh_v)
+        out = _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, ks, vs,
+                            scal, t=t, sm_scale=sm_scale, out_dtype=q.dtype,
+                            interpret=pk.interpret_mode(), pair=True)
+        # [Nk/2, 2*G*T, H]: half-major rows == head-major
+        return out.reshape(nk, g, t, h).transpose(2, 0, 1, 3).reshape(
+            1, t, nq, h)
     out = _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, ks, vs,
                         scal, t=t, sm_scale=sm_scale, out_dtype=q.dtype,
                         interpret=pk.interpret_mode())

@@ -98,6 +98,15 @@ class EngineConfig:
     # every multi-host controller flips at the identical plan. 0 =
     # sticky-off for the engine's lifetime.
     spec_reprobe_steps: int = 8192
+    # Paired kv-head cache layout (kv_cache.create_cache(paired=True)):
+    # adjacent head pairs interleaved on the lane axis so the flash decode
+    # kernel's dots run 128-deep contraction with 2x the rows — half the
+    # MXU passes on the structural GQA bottleneck (BASELINE.md round 3).
+    # Dense cache only; requires an even kv-head count (per shard, if the
+    # cache is TP-sharded). Chunked prefill takes the jnp fallback under
+    # pairing (ops/attention.slot_prefill_attention), so this is a decode-
+    # throughput knob; measure with `tools/ab_decode.py pair`.
+    pair_kv_heads: bool = False
     # Admission ordering when requests wait for a slot: "spf" = shortest
     # prompt first (a short prompt stuck behind a long one otherwise pays
     # that prompt's whole prefill in TTFT; classic SJF mean-latency win),
@@ -251,6 +260,8 @@ class Engine:
 
         self._paged = econfig.paged_pages > 0
         self._pt_sharding = None
+        if self._paged and econfig.pair_kv_heads:
+            raise ValueError("pair_kv_heads applies to the dense cache only")
         if self._paged:
             from gabby_tpu.runtime.paged import (PageAllocator,
                                                  create_paged_cache)
@@ -280,9 +291,12 @@ class Engine:
             # page grid
             self._buckets = tuple(sorted({ps, max(ps, 512)}))
         else:
+            if econfig.pair_kv_heads and cfg.num_kv_heads % 2:
+                raise ValueError("pair_kv_heads needs an even kv-head count")
             cache = create_cache(cfg, b, econfig.max_seq,
                                  dtype=jnp.dtype(econfig.cache_dtype),
-                                 quantized=econfig.kv_quantized)
+                                 quantized=econfig.kv_quantized,
+                                 paired=econfig.pair_kv_heads)
             if cache_shardings is not None:
                 cache = jax.device_put(cache, cache_shardings)
             self._buckets = PREFILL_BUCKETS

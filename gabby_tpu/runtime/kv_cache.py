@@ -58,17 +58,52 @@ class KVCache:
 
 
 def create_cache(cfg: ModelConfig, batch: int, max_seq: int,
-                 dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq, cfg.head_dim)
+                 dtype=jnp.bfloat16, quantized: bool = False,
+                 paired: bool = False) -> KVCache:
+    """paired=True stores adjacent kv-head PAIRS interleaved on the lane
+    axis — k/v become [L, B, Nk/2, S, 2H] (scales stay per-head
+    [L, B, Nk, S]). Decode GQA leaves the MXU at ~G/128 x H/128
+    utilization (G=4 query rows, H=64-deep contraction on the 1B); the
+    paired layout lets the flash kernel run block-diagonal [2G, 2H] dots —
+    128-deep contraction, half the MXU passes — with zero relayout cost
+    anywhere (writers pair by free reshape, heads being adjacent in
+    memory). Consumers detect pairing by shape: k.shape[-1] == 2*head_dim."""
+    if paired:
+        assert cfg.num_kv_heads % 2 == 0, "pairing needs an even kv-head count"
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads // 2, max_seq,
+                 2 * cfg.head_dim)
+    else:
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq,
+                 cfg.head_dim)
+    sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_seq)
     if quantized:
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
         )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    k_scale=None, v_scale=None)
+
+
+def pair_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., Nk, T, H] -> [..., Nk/2, T, 2H]: interleave adjacent head
+    pairs on the lane axis (the paired-cache storage transform). For T == 1
+    rows this is layout-free; T > 1 (prefill chunks, verify blocks) pays
+    one small transpose of the chunk, never of the cache."""
+    *lead, nk, t, h = x.shape
+    x = x.reshape(*lead, nk // 2, 2, t, h)
+    x = jnp.moveaxis(x, -3, -2)  # [..., Nk/2, T, 2, H]
+    return x.reshape(*lead, nk // 2, t, 2 * h)
+
+
+def unpair_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pair_heads: [..., Nk/2, T, 2H] -> [..., Nk, T, H]."""
+    *lead, np_, t, h2 = x.shape
+    x = x.reshape(*lead, np_, t, 2, h2 // 2)
+    x = jnp.moveaxis(x, -2, -3)  # [..., Nk/2, 2, T, H]
+    return x.reshape(*lead, np_ * 2, t, h2 // 2)
 
 
 # ---- per-layer helpers (used inside the layer scan; arrays lack the L dim) --

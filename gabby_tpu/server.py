@@ -110,6 +110,7 @@ def _build_engine(args, sync=None):
         speculate_tokens=args.speculate,
         spec_breakeven=args.spec_breakeven,
         spec_reprobe_steps=args.spec_reprobe_steps,
+        pair_kv_heads=args.pair_kv,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
     )
@@ -278,6 +279,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="rows per KV page in paged mode (512 measured "
                         "fastest; smaller pages = finer capacity "
                         "granularity)")
+    p.add_argument("--pair-kv", action="store_true",
+                   help="paired kv-head cache layout: half the MXU passes "
+                        "in flash decode attention (dense cache only; see "
+                        "EngineConfig.pair_kv_heads)")
     p.add_argument("--speculate", type=int, default=0,
                    help="speculative decoding: verify up to N n-gram "
                         "prompt-lookup drafts per forward for greedy "

@@ -934,3 +934,37 @@ def test_priority_validation(engine):
         engine.submit_ids([2, 3], priority=99)
     with pytest.raises(RequestError):
         engine.submit_ids([2, 3], deadline_s=0.0)
+
+
+def test_paired_kv_cache_engine_matches_reference(setup):
+    """EngineConfig.pair_kv_heads: serving through the PAIRED cache layout
+    (block-diagonal attention dots) must be byte-identical to the per-head
+    layout — same reference generation, same finish reason."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=4, max_seq=128, steps_per_call=4,
+                              default_max_tokens=8, cache_dtype="float32",
+                              pair_kv_heads=True))
+    try:
+        text, fin, _, n = eng.generate_sync(MSGS, max_tokens=6)
+    finally:
+        eng.shutdown()
+    ref_ids = reference_generation(cfg, params, tok, MSGS, 6)
+    assert fin in ("stop", "length")
+    assert text == tok.decode(ref_ids)
+
+
+def test_paired_rejects_paged_and_odd_heads(setup):
+    cfg, params, tok = setup
+    with pytest.raises(ValueError, match="dense"):
+        Engine(cfg, params, tok,
+               EngineConfig(batch_slots=2, max_seq=128, paged_pages=8,
+                            cache_dtype="float32", pair_kv_heads=True))
+    cfg_odd = cfglib.tiny(num_heads=3, num_kv_heads=1, head_dim=16,
+                          max_seq_len=128)
+    params_odd = llama.init_params(cfg_odd, jax.random.PRNGKey(0),
+                                   dtype=jnp.float32)
+    with pytest.raises(ValueError, match="even"):
+        Engine(cfg_odd, params_odd, tok,
+               EngineConfig(batch_slots=2, max_seq=128,
+                            cache_dtype="float32", pair_kv_heads=True))

@@ -703,3 +703,179 @@ def test_decode_attention_small_chunk_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_q, np.float32),
                                np.asarray(ref_q, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---- paired kv-head layout (kv_cache.create_cache(paired=True)) ----
+
+def _pair_cache(x):
+    """[B, Nk, S, H] head-major plane -> paired [B, Nk/2, S, 2H]."""
+    from gabby_tpu.runtime.kv_cache import pair_heads
+    return pair_heads(x)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_attention_paired_matches_unpaired(quantized):
+    """The paired layout's block-diagonal kernel must reproduce the
+    unpaired fresh-row decode contract exactly (same math, half the MXU
+    passes on hardware)."""
+    b, s, nq, nk, h = 3, 96, 8, 4, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kf_full = _rand(1, b, nk, s, h) * 0.5
+    vf_full = _rand(2, b, nk, s, h) * 0.5
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([0, s // 3, s - 1], jnp.int32)
+    if quantized:
+        kc, ks = quantize_kv(kf_full)
+        vc, vs = quantize_kv(vf_full)
+        ref = attn_ref.cache_attention_quantized(
+            q, kc, vc, ks, vs, positions, fresh_k=fresh_k, fresh_v=fresh_v)
+        out = pattn.decode_attention(q, _pair_cache(kc), _pair_cache(vc),
+                                     positions, ks, vs,
+                                     fresh_k=fresh_k, fresh_v=fresh_v)
+    else:
+        kc = kf_full.astype(jnp.bfloat16)
+        vc = vf_full.astype(jnp.bfloat16)
+        ref = attn_ref.cache_attention(q, kc, vc, positions,
+                                       fresh_k=fresh_k, fresh_v=fresh_v)
+        out = pattn.decode_attention(q, _pair_cache(kc), _pair_cache(vc),
+                                     positions,
+                                     fresh_k=fresh_k, fresh_v=fresh_v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_decode_attention_paired_s8_off(monkeypatch):
+    """Paired + bf16 dots (GABBY_ATTN_S8=0) on a quantized cache."""
+    monkeypatch.setenv("GABBY_ATTN_S8", "0")
+    b, s, nq, nk, h = 2, 130, 8, 4, 64
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kc, ks = quantize_kv(_rand(1, b, nk, s, h) * 0.5)
+    vc, vs = quantize_kv(_rand(2, b, nk, s, h) * 0.5)
+    fresh_k = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fresh_v = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([7, s - 1], jnp.int32)
+    ref = attn_ref.cache_attention_quantized(
+        q, kc, vc, ks, vs, positions, fresh_k=fresh_k, fresh_v=fresh_v)
+    out = pattn.decode_attention(q, _pair_cache(kc), _pair_cache(vc),
+                                 positions, ks, vs,
+                                 fresh_k=fresh_k, fresh_v=fresh_v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_verify_attention_paired_matches_unpaired():
+    """Speculative verify (TQ candidate rows) against a paired cache."""
+    b, s, nq, nk, h, t = 2, 96, 8, 4, 64, 3
+    q = (_rand(0, b, t, nq, h) * 0.5).astype(jnp.bfloat16)
+    kc, ks = quantize_kv(_rand(1, b, nk, s, h) * 0.5)
+    vc, vs = quantize_kv(_rand(2, b, nk, s, h) * 0.5)
+    fk = (_rand(3, b, nk, t, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, b, nk, t, h) * 0.5).astype(jnp.bfloat16)
+    positions = jnp.asarray([4, s - t - 1], jnp.int32)
+    layer = jnp.int32(0)
+    ref = pattn.verify_attention(q, kc[None], vc[None], positions,
+                                 ks[None], vs[None], layer=layer,
+                                 fresh_k=fk, fresh_v=fv)
+    out = pattn.verify_attention(q, _pair_cache(kc)[None],
+                                 _pair_cache(vc)[None], positions,
+                                 ks[None], vs[None], layer=layer,
+                                 fresh_k=fk, fresh_v=fv)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("kernels", [False, True])
+def test_decode_step_paired_cache_matches(kernels):
+    """End-to-end: prefill + decode with a PAIRED quantized cache produce
+    the same logits as the unpaired cache, with kernels on and off."""
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.runtime.kv_cache import create_cache
+
+    cfg = cfglib.tiny(num_heads=8, num_kv_heads=4, head_dim=64,
+                      hidden_size=256, intermediate_size=256, vocab_size=256,
+                      max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.bfloat16)
+    qparams = quant.quantize_tree(params, 8)
+    tokens_p = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]] * 2, jnp.int32)
+    dec_tokens = jnp.asarray([5, 9], jnp.int32)
+    positions = jnp.asarray([8, 8], jnp.int32)
+
+    if kernels:
+        pk.set_kernels(True)
+    try:
+        outs = {}
+        for paired in (False, True):
+            cache = create_cache(cfg, 2, 64, quantized=True, paired=paired)
+            _, cache = llama.prefill(qparams, cfg, tokens_p, cache)
+            logits, cache = llama.decode_step(qparams, cfg, dec_tokens,
+                                              positions, cache)
+            logits2, _ = llama.decode_step(qparams, cfg, dec_tokens,
+                                           positions + 1, cache)
+            outs[paired] = (np.asarray(logits), np.asarray(logits2))
+    finally:
+        pk.set_kernels(False)
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=5e-2, atol=5e-1)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=5e-2, atol=5e-1)
+
+
+def test_verify_step_paired_cache_matches():
+    """verify_step (the speculative macro-step) over a paired cache."""
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.runtime.kv_cache import create_cache
+
+    cfg = cfglib.tiny(num_heads=8, num_kv_heads=4, head_dim=64,
+                      hidden_size=256, intermediate_size=256, vocab_size=256,
+                      max_seq_len=64)
+    params = llama.init_params(cfg, jax.random.PRNGKey(1),
+                               dtype=jnp.bfloat16)
+    qparams = quant.quantize_tree(params, 8)
+    tokens_p = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]] * 2, jnp.int32)
+    tokens_bt = jnp.asarray([[5, 9, 2], [7, 1, 8]], jnp.int32)
+    positions = jnp.asarray([8, 8], jnp.int32)
+
+    pk.set_kernels(True)
+    try:
+        outs = {}
+        for paired in (False, True):
+            cache = create_cache(cfg, 2, 64, quantized=True, paired=paired)
+            _, cache = llama.prefill(qparams, cfg, tokens_p, cache)
+            logits, _ = llama.verify_step(qparams, cfg, tokens_bt,
+                                          positions, cache)
+            outs[paired] = np.asarray(logits)
+    finally:
+        pk.set_kernels(False)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=5e-2, atol=5e-1)
+
+
+@pytest.mark.parametrize("t,offset", [(16, 0), (8, 24)])
+def test_prefill_attention_paired_matches_reference(t, offset):
+    """Paired-layout flash prefill vs the unpaired jnp contract."""
+    from gabby_tpu.ops.pallas import prefill_attention as pfa
+
+    b, nk, g, h, s = 3, 4, 2, 64, 64
+    nq = nk * g
+    slot = 1
+    q = (_rand(0, 1, t, nq, h) * 0.5).astype(jnp.bfloat16)
+    kc, ks = quantize_kv(_rand(1, b, nk, s, h) * 0.5)
+    vc, vs = quantize_kv(_rand(2, b, nk, s, h) * 0.5)
+    fk = (_rand(3, nk, t, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, nk, t, h) * 0.5).astype(jnp.bfloat16)
+
+    ref = attn_ref.slot_prefill_attention(
+        q, kc, vc, jnp.int32(slot), jnp.int32(offset), ks, vs,
+        fresh_k=fk, fresh_v=fv)
+    out = pfa.prefill_attention(q, _pair_cache(kc), _pair_cache(vc),
+                                jnp.int32(slot), jnp.int32(offset), ks, vs,
+                                fresh_k=fk, fresh_v=fv)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)

@@ -80,7 +80,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["fused", "window", "attn", "s8",
                                     "dsem", "longwin", "unembed",
-                                    "rawdot", "i16", "chunk"])
+                                    "rawdot", "i16", "chunk", "pair"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -113,11 +113,11 @@ def main() -> int:
 
     state = {}
 
-    def make_runner(name, params, win, max_seq=None):
+    def make_runner(name, params, win, max_seq=None, paired=False):
         params = jax.tree.map(jax.device_put, params)
         cache = create_cache(cfg, b, max_seq or args.max_seq,
                              dtype=jnp.bfloat16,
-                             quantized=spec["kv_quant"])
+                             quantized=spec["kv_quant"], paired=paired)
         loops = generate.CacheLoops(cache)  # pinned boundary layouts
         sstate = generate.SamplingState.greedy(b)
         state[name] = (cache, sstate)
@@ -210,6 +210,17 @@ def main() -> int:
         c1024 = make_runner("chunk-1024", fusedp, None)
         c1024()
         variants = {"chunk-1024": c1024, "chunk-512": c512}
+    elif args.mode == "pair":
+        # paired kv-head cache layout: block-diagonal attention dots at
+        # 128-deep contraction — half the MXU passes on the structural
+        # GQA bottleneck (BASELINE.md r3 "why the attention gap is
+        # structural"). Distinct cache SHAPES, so the variants compile
+        # separate programs without any env knob.
+        fusedp = llama.fuse_projections(base)
+        variants = {
+            "per-head": make_runner("per-head", fusedp, window),
+            "paired": make_runner("paired", fusedp, window, paired=True),
+        }
     elif args.mode == "unembed":
         # int8 per-channel vs int4 group-scale unembed table (the [D, V]
         # stream is 29% of all decode bytes on the 1B; quality gated by
