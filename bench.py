@@ -161,7 +161,11 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
         kv_quantized=spec["kv_quant"],
         speculate_tokens=args.speculate,
         paged_pages=args.paged_pages,
-        page_size=args.page_size), cache_shardings=cache_sh)
+        page_size=args.page_size,
+        pair_kv_heads=(os.environ.get("GABBY_ATTN_PAIR") == "1"
+                       and mesh is None and not args.paged_pages),
+        prefill_int8_shadow=(os.environ.get("GABBY_PREFILL_SHADOW") == "1"
+                             and mesh is None)), cache_shardings=cache_sh)
 
     n_requests = args.requests or 3 * args.batch
 
@@ -393,16 +397,24 @@ def main() -> int:
 
     # ---- prefill (TTFT) ----
     b = args.batch
+    # GABBY_PREFILL_SHADOW=1: prefill through the exact int8 shadow of
+    # int4 weights (quant.promote_int4_to_int8 — same numbers, XLA's
+    # fast fused int8 dequant dot instead of a per-call unpack)
+    pf_params = params
+    if os.environ.get("GABBY_PREFILL_SHADOW") == "1" and mesh is None:
+        pf_params = quant.promote_int4_to_int8(params)
     prompt = jax.random.randint(jax.random.PRNGKey(1), (b, args.prefill_len),
                                 0, cfg.vocab_size, jnp.int32)
     if mesh is not None:
         prompt = jax.device_put(prompt, NamedSharding(mesh, P("data", None)))
-    last_logits, cache = generate.prefill_chunk(params, cfg, prompt, cache, 0)
+    last_logits, cache = generate.prefill_chunk(pf_params, cfg, prompt,
+                                                cache, 0)
     sync(last_logits)  # compile
     n_prefill = 8
     t0 = time.perf_counter()
     for _ in range(n_prefill):
-        last_logits, cache = generate.prefill_chunk(params, cfg, prompt, cache, 0)
+        last_logits, cache = generate.prefill_chunk(pf_params, cfg, prompt,
+                                                    cache, 0)
     sync(last_logits)
     ttft = (time.perf_counter() - t0 - rt) / n_prefill
     log(f"prefill({b}x{args.prefill_len}): {ttft*1e3:.1f} ms "

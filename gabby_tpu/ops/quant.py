@@ -305,6 +305,39 @@ def quantize_tree(params, bits: int, *, skip=("embed", "norm"),
     return out
 
 
+def promote_int4_to_int8(params):
+    """EXACT int8 shadow of an int4-quantized tree, for PREFILL-sized
+    matmuls.
+
+    int4 codes ([-7, 7]) are a subset of int8's range, so unpacking the
+    nibbles while keeping the same scales reproduces bit-identical
+    dequantized values at 2x the weight bytes. Why it exists: at
+    prefill-sized M the int4 path must either run the large-tile_m Pallas
+    kernel (UNSTABLE on the v5e toolchain — BASELINE.md round 3) or let
+    XLA materialize the unpacked weight in HBM per call (int4 prefill 44k
+    vs int8's 53k tok/s on the 1B). A persistent shadow pays that unpack
+    ONCE at load and prefill rides XLA's measured-fast fused int8 dequant
+    dot; decode keeps streaming the packed int4 codes. Zero quality
+    change — the shadow is the same numbers.
+
+    Group-scaled tensors (the unembed — prefill unembeds one row per
+    slot), int8 tensors, and unquantized leaves are returned AS-IS (same
+    arrays, no copy)."""
+    def visit(leaf):
+        if not (isinstance(leaf, QTensor) and leaf.bits == 4
+                and not leaf.group):
+            return leaf
+        if leaf.q.ndim == 3:  # stacked [L, in//2, out]
+            q8 = jnp.stack([unpack_int4(leaf.q[i])
+                            for i in range(leaf.q.shape[0])])
+        else:
+            q8 = unpack_int4(leaf.q)
+        return QTensor(q=q8, scale=leaf.scale, bits=8)
+
+    return jax.tree.map(visit, params,
+                        is_leaf=lambda x: isinstance(x, QTensor))
+
+
 def quantize_unembed_table(table, bits: int | None = None,
                            group: int = 256) -> QTensor:
     """Quantize the [D, V] unembed table: INT8 per-vocab-channel (default)

@@ -98,6 +98,14 @@ class EngineConfig:
     # every multi-host controller flips at the identical plan. 0 =
     # sticky-off for the engine's lifetime.
     spec_reprobe_steps: int = 8192
+    # Prefill through an EXACT int8 shadow of int4 weights
+    # (quant.promote_int4_to_int8): at prefill-sized M the int4 XLA path
+    # materializes the unpacked weight per call (44k vs int8's 53k tok/s
+    # prefill on the 1B) and the large-tile_m kernel is unstable on the
+    # v5e toolchain. The shadow costs 2x the int4 weight bytes of HBM,
+    # changes NO numerics (same codes, same scales), and decode keeps the
+    # packed int4 stream. No-op unless the params tree holds int4.
+    prefill_int8_shadow: bool = False
     # Paired kv-head cache layout (kv_cache.create_cache(paired=True)):
     # adjacent head pairs interleaved on the lane axis so the flash decode
     # kernel's dots run 128-deep contraction with 2x the rows — half the
@@ -246,6 +254,10 @@ class Engine:
         the shutdown plan that releases the followers."""
         self.cfg = cfg
         self.params = params
+        self._prefill_params = params
+        if econfig.prefill_int8_shadow:
+            from gabby_tpu.ops.quant import promote_int4_to_int8
+            self._prefill_params = promote_int4_to_int8(params)
         self.tokenizer = tokenizer
         self.chat = ChatFormat(tokenizer)
         self.ec = econfig
@@ -890,7 +902,7 @@ class Engine:
                 if take > 0:
                     chunk[slot_ix, :take] = p[offset:offset + take]
             logits, self._cache = self._gen.prefill_batch_chunk(
-                self.params, self.cfg, jnp.asarray(chunk),
+                self._prefill_params, self.cfg, jnp.asarray(chunk),
                 jnp.asarray(lengths), lane_mask, self._cache, offset)
 
         self._admit_key, sub = jax.random.split(self._admit_key)
@@ -949,7 +961,7 @@ class Engine:
         chunk = np.zeros((bucket,), np.int32)
         chunk[:take] = adm.ids[adm.offset:adm.offset + take]
         adm.last_logits, self._cache = self._gen.prefill_slot(
-            self.params, self.cfg, jnp.asarray(chunk),
+            self._prefill_params, self.cfg, jnp.asarray(chunk),
             jnp.int32(take), jnp.int32(adm.slot_ix), jnp.int32(adm.offset),
             self._cache)
         adm.offset += take

@@ -111,6 +111,7 @@ def _build_engine(args, sync=None):
         spec_breakeven=args.spec_breakeven,
         spec_reprobe_steps=args.spec_reprobe_steps,
         pair_kv_heads=args.pair_kv,
+        prefill_int8_shadow=args.prefill_int8_shadow,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
     )
@@ -279,6 +280,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="rows per KV page in paged mode (512 measured "
                         "fastest; smaller pages = finer capacity "
                         "granularity)")
+    p.add_argument("--prefill-int8-shadow", action="store_true",
+                   help="prefill through an exact int8 shadow of int4 "
+                        "weights (2x weight HBM, same numerics, int8-speed "
+                        "TTFT; see EngineConfig.prefill_int8_shadow)")
     p.add_argument("--pair-kv", action="store_true",
                    help="paired kv-head cache layout: half the MXU passes "
                         "in flash decode attention (dense cache only; see "

@@ -879,3 +879,59 @@ def test_prefill_attention_paired_matches_reference(t, offset):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---- int8 prefill shadow of int4 weights ----
+
+def test_promote_int4_to_int8_is_exact():
+    """The shadow must dequantize to EXACTLY the int4 values (same codes,
+    same scales) — it's a repack, not a requantization."""
+    w = _rand(7, 256, 128) * 0.3
+    qt4 = quant.quantize(w, 4)
+    tree = {"a": qt4, "embed": w,
+            "stacked": quant.quantize_tree(
+                {"blocks": {"w": jnp.stack([w, w * 0.5])}}, 4
+            )["blocks"]["w"]}
+    shadow = quant.promote_int4_to_int8(tree)
+    assert shadow["a"].bits == 8
+    assert shadow["embed"] is tree["embed"]          # shared, not copied
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(shadow["a"], jnp.float32)),
+        np.asarray(quant.dequantize(qt4, jnp.float32)))
+    np.testing.assert_array_equal(np.asarray(shadow["a"].scale),
+                                  np.asarray(qt4.scale))
+    assert shadow["stacked"].bits == 8
+    assert shadow["stacked"].q.shape[1] == tree["stacked"].q.shape[1] * 2
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(quant.unpack_int4(tree["stacked"].q[i])),
+            np.asarray(shadow["stacked"].q[i]))
+
+
+def test_prefill_shadow_engine_matches_plain_int4():
+    """Engine with prefill_int8_shadow=True generates the same stream as
+    plain int4 (prefill numerics are the identical dequant values)."""
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.runtime.engine import Engine, EngineConfig
+    from gabby_tpu.tokenizer import Tokenizer
+
+    cfg = cfglib.tiny(hidden_size=64, intermediate_size=128, max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5),
+                               dtype=jnp.float32)
+    qparams = quant.quantize_tree(params, 4)
+    tok = Tokenizer.byte_fallback(cfg.vocab_size)
+    msgs = [{"role": "user", "content": "shadow"}]
+    outs = {}
+    for shadow in (False, True):
+        eng = Engine(cfg, qparams, tok,
+                     EngineConfig(batch_slots=2, max_seq=128,
+                                  steps_per_call=4, default_max_tokens=6,
+                                  cache_dtype="float32",
+                                  prefill_int8_shadow=shadow))
+        try:
+            text, fin, _, _ = eng.generate_sync(msgs, max_tokens=6)
+        finally:
+            eng.shutdown()
+        outs[shadow] = (text, fin)
+    assert outs[True] == outs[False]
