@@ -164,8 +164,8 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
         page_size=args.page_size,
         pair_kv_heads=(os.environ.get("GABBY_ATTN_PAIR") == "1"
                        and mesh is None and not args.paged_pages),
-        prefill_int8_shadow=(os.environ.get("GABBY_PREFILL_SHADOW") == "1"
-                             and mesh is None)), cache_shardings=cache_sh)
+        prefill_int8_shadow=(os.environ.get("GABBY_PREFILL_SHADOW") == "1")),
+        cache_shardings=cache_sh)
 
     n_requests = args.requests or 3 * args.batch
 
@@ -401,7 +401,8 @@ def main() -> int:
     # int4 weights (quant.promote_int4_to_int8 — same numbers, XLA's
     # fast fused int8 dequant dot instead of a per-call unpack)
     pf_params = params
-    if os.environ.get("GABBY_PREFILL_SHADOW") == "1" and mesh is None:
+    # (sharding-preserving under a mesh — see the promote docstring)
+    if os.environ.get("GABBY_PREFILL_SHADOW") == "1":
         pf_params = quant.promote_int4_to_int8(params)
     prompt = jax.random.randint(jax.random.PRNGKey(1), (b, args.prefill_len),
                                 0, cfg.vocab_size, jnp.int32)

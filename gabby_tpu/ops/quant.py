@@ -322,7 +322,16 @@ def promote_int4_to_int8(params):
 
     Group-scaled tensors (the unembed — prefill unembeds one row per
     slot), int8 tensors, and unquantized leaves are returned AS-IS (same
-    arrays, no copy)."""
+    arrays, no copy).
+
+    Sharding-preserving: the int4 codes' PartitionSpec is the int8 spec
+    (parallel.sharding keys the rule on the weight, not the bit width, and
+    the packed in//2 axis shards exactly like the unpacked in axis since
+    unpack is shard-local — each shard's contiguous packed rows unpack to
+    its contiguous unpacked rows). So a mesh-sharded tree promotes by
+    re-pinning each shadow to its source's NamedSharding; no gather."""
+    from jax.sharding import NamedSharding
+
     def visit(leaf):
         if not (isinstance(leaf, QTensor) and leaf.bits == 4
                 and not leaf.group):
@@ -332,6 +341,9 @@ def promote_int4_to_int8(params):
                             for i in range(leaf.q.shape[0])])
         else:
             q8 = unpack_int4(leaf.q)
+        src_sh = getattr(leaf.q, "sharding", None)
+        if isinstance(src_sh, NamedSharding):
+            q8 = jax.device_put(q8, src_sh)
         return QTensor(q=q8, scale=leaf.scale, bits=8)
 
     return jax.tree.map(visit, params,

@@ -274,6 +274,12 @@ class Engine:
         self._pt_sharding = None
         if self._paged and econfig.pair_kv_heads:
             raise ValueError("pair_kv_heads applies to the dense cache only")
+        if econfig.pair_kv_heads and cache_shardings is not None:
+            # the paired layout halves the kv-head axis; cache_shardings'
+            # specs would still apply name-wise but the kernels' paired
+            # path has never been validated under a mesh — fail loudly
+            raise ValueError("pair_kv_heads is single-device only for now "
+                             "(unvalidated under cache shardings)")
         if self._paged:
             from gabby_tpu.runtime.paged import (PageAllocator,
                                                  create_paged_cache)

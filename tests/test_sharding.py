@@ -158,3 +158,41 @@ def test_cacheloops_formats_compile_over_mesh(setup, monkeypatch):
     ref, *_ = generate.decode_loop(sparams, cfg, tokens, positions, active,
                                    cache2, sstate, 2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_promote_int4_shadow_preserves_shardings(setup):
+    """promote_int4_to_int8 on a mesh-sharded tree: every shadow keeps its
+    source NamedSharding (the int4 codes' spec IS the int8 spec — unpack
+    is shard-local on the in axis) and prefill through the shadow matches
+    int4 prefill exactly (same codes, same scales)."""
+    cfg, params = setup
+    qparams = quant.quantize_tree(params, 4)
+    mesh = make_mesh(dp=2, tp=4)
+    sparams = shard_params(qparams, mesh)
+    shadow = quant.promote_int4_to_int8(sparams)
+
+    def leaves(t):
+        return [x for x in jax.tree.leaves(
+                    t, is_leaf=lambda y: isinstance(y, quant.QTensor))
+                if isinstance(x, quant.QTensor)]
+
+    n4 = 0
+    for src, sh in zip(leaves(sparams), leaves(shadow)):
+        if src.bits == 4 and not src.group:
+            n4 += 1
+            assert sh.bits == 8
+            assert sh.q.sharding == src.q.sharding
+            assert sh.q.shape[-2] == src.q.shape[-2] * 2
+            assert sh.scale is src.scale
+    assert n4 > 0
+
+    b = 4
+    prompt = jnp.tile(jnp.array([[3, 17, 42, 9, 101, 7]], jnp.int32), (b, 1))
+    csh = cache_shardings(mesh, quantized=False)
+    c1 = jax.device_put(create_cache(cfg, b, 16, dtype=jnp.float32), csh)
+    c2 = jax.device_put(create_cache(cfg, b, 16, dtype=jnp.float32), csh)
+    pf = jax.jit(lambda p, t, c: llama.prefill(p, cfg, t, c))
+    gold, _ = pf(sparams, prompt, c1)
+    out, _ = pf(shadow, prompt, c2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
+                               atol=1e-5, rtol=1e-5)
