@@ -26,6 +26,10 @@ run() { # run <name> <timeout_s> <cmd...>
 #    is contended (BASELINE.md measurement notes) — rerun later.
 run canary 900 python bench.py --json-only
 
+# 0b. paired kv-head layout (NEXT.md round-4 item 0 — the structural
+#     attention lever: half the MXU passes). Measure FIRST.
+run ab_pair 1500 python tools/ab_decode.py pair
+
 # 1. int4 unpack A/Bs (NEXT.md item 1) — flip the winner to default.
 run ab_rawdot 1500 python tools/ab_decode.py rawdot
 run ab_i16    1500 python tools/ab_decode.py i16
@@ -43,10 +47,13 @@ run serve_paged 1800 python bench.py --serving --workload mixed \
 run serve_paged256 1800 python bench.py --serving --workload mixed \
     --paged-pages 80 --page-size 256
 
-# 4. long-window + prefill records (regression checks)
+# 4. long-window + prefill records (regression checks), plus the int4
+#    prefill int8-shadow A/B (same bench invocation, shadow on)
 run ab_longwin 1500 python tools/ab_decode.py longwin
 run prefill 900 python bench.py --json-only --config int4_1b \
     --prefill-len 1024
+run prefill_shadow 900 env GABBY_PREFILL_SHADOW=1 python bench.py \
+    --json-only --config int4_1b --prefill-len 1024
 
 run canary3 600 python bench.py --json-only
 echo "session complete: $OUT"
