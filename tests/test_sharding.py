@@ -196,3 +196,19 @@ def test_promote_int4_shadow_preserves_shardings(setup):
     out, _ = pf(shadow, prompt, c2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pair_kv_rejected_under_cache_shardings(setup):
+    """pair_kv_heads + a mesh must fail loudly (unvalidated combination),
+    not silently mis-shard the halved kv-head axis."""
+    from gabby_tpu.runtime.engine import Engine, EngineConfig
+    from gabby_tpu.tokenizer import Tokenizer
+
+    cfg, params = setup
+    mesh = make_mesh(dp=2, tp=4)
+    with pytest.raises(ValueError, match="single-device"):
+        Engine(cfg, shard_params(params, mesh),
+               Tokenizer.byte_fallback(cfg.vocab_size),
+               EngineConfig(batch_slots=2, max_seq=64,
+                            cache_dtype="float32", pair_kv_heads=True),
+               cache_shardings=cache_shardings(mesh, quantized=False))
