@@ -56,4 +56,9 @@ run prefill_shadow 900 env GABBY_PREFILL_SHADOW=1 python bench.py \
     --json-only --config int4_1b --prefill-len 1024
 
 run canary3 600 python bench.py --json-only
+
+# 5. 3B re-record (BASELINE config 3; r2 stands at 6.01 ms/step — the
+#    r3 layout pins + window clamp should move it)
+run decode_3b 1800 python bench.py --json-only --config int4_3b
+
 echo "session complete: $OUT"
