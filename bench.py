@@ -59,6 +59,9 @@ CONFIGS = {
     "int4_3b": dict(preset=cfglib.llama32_3b, bits=4, kv_quant=True),
     "int4_8b": dict(preset=cfglib.llama3_8b, bits=4, kv_quant=True),
     "tiny": dict(preset=cfglib.tiny, bits=None, kv_quant=False),
+    # CPU-runnable smoke of the full int4 bench path (paired cache,
+    # grouped unembed, int8 kv) — for testing the harness, not a record
+    "tiny_int4": dict(preset=cfglib.tiny, bits=4, kv_quant=True),
 }
 
 _SYNC = None
@@ -125,7 +128,19 @@ def build_params(args, spec, cfg, mesh):
     skipped on a real model axis (llama.fuse_projections contract)."""
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if spec["bits"]:
-        params = quant.quantize_tree(params, spec["bits"])
+        # Grouped-scale INT4 unembed: default ON for single-device int4
+        # runs — the [D, V] int8 stream is ~29% of decode bytes on the 1B
+        # and the round-3 A/B measured the int4g table 2.6% faster
+        # end-to-end (2.660 vs 2.730 ms/step, tools/ab_decode.py unembed);
+        # NLL-gated by tests/test_ppl.py::test_int4_unembed_ppl_delta.
+        # Mesh runs keep the int8 table the vocab shardings are written
+        # for. GABBY_UNEMBED_INT4=0 reverts.
+        unembed4 = (spec["bits"] == 4 and mesh is None
+                    and os.environ.get("GABBY_UNEMBED_INT4", "1") != "0")
+        params = quant.quantize_tree(
+            params, spec["bits"],
+            **({"unembed_bits": 4, "unembed_group": 256} if unembed4
+               else {}))
     fuse_ok = mesh is None or mesh.shape.get("model", 1) == 1
     if fuse_ok and not args.no_fuse:
         params = llama.fuse_projections(params)
@@ -149,6 +164,12 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
     from gabby_tpu.tokenizer import Tokenizer
 
     params = build_params(args, spec, cfg, mesh)
+    # same opt-in as the decode bench (see there: the paired engine path
+    # is broken on real hardware — serve_mixed collapsed to 17.8 tok/s
+    # with truncated completions the one time it ran on-chip)
+    paired = (os.environ.get("GABBY_ATTN_PAIR") == "1"
+              and mesh is None and not args.paged_pages
+              and cfg.num_kv_heads % 2 == 0)
     cache_sh = None
     if mesh is not None:
         from gabby_tpu.parallel import cache_shardings
@@ -162,8 +183,7 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
         speculate_tokens=args.speculate,
         paged_pages=args.paged_pages,
         page_size=args.page_size,
-        pair_kv_heads=(os.environ.get("GABBY_ATTN_PAIR") == "1"
-                       and mesh is None and not args.paged_pages),
+        pair_kv_heads=paired,
         prefill_int8_shadow=(os.environ.get("GABBY_PREFILL_SHADOW") == "1")),
         cache_shardings=cache_sh)
 
@@ -273,6 +293,7 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
             "completion_tokens": total_tokens,
             "total_tok_s": round(tok_per_s * ndev, 1),
             "sol_tok_s": round(sol_tok_s, 0),
+            "paired_kv": paired,
             "mesh": {"dp": args.dp, "tp": args.tp},
             "device": jax.devices()[0].device_kind,
             "note": "vs_baseline = fraction of decode HBM speed-of-light "
@@ -370,9 +391,14 @@ def main() -> int:
     params = build_params(args, spec, cfg, mesh)
     # GABBY_ATTN_PAIR=1: paired kv-head cache layout (block-diagonal
     # attention dots at 128-deep contraction — see kv_cache.create_cache).
-    # Single-chip A/B knob; mesh runs keep the per-head layout the
-    # shardings are written for.
-    paired = os.environ.get("GABBY_ATTN_PAIR") == "1" and mesh is None
+    # The round-3 chip A/B measured the paired DECODE loop 11% faster
+    # (2.457 vs 2.769 ms/step, tools/ab_decode.py pair) but the first
+    # on-chip ENGINE run collapsed (serve_mixed 17.8 tok/s with early-EOS
+    # truncation — wrong logits and/or pathological prefill on real
+    # hardware only; CPU/interpret parity passes). Opt-in until
+    # tools/pair_chip_check.py passes on a quiet chip.
+    paired = (os.environ.get("GABBY_ATTN_PAIR") == "1"
+              and mesh is None and cfg.num_kv_heads % 2 == 0)
     cache = create_cache(cfg, args.batch, args.max_seq,
                          dtype=jnp.bfloat16, quantized=spec["kv_quant"],
                          paired=paired)
@@ -497,6 +523,10 @@ def main() -> int:
             "sol_tok_s": round(sol_tok_per_s, 0),
             "step_ms_samples": [round(s * 1e3, 3) for s in samples[:16]],
             "weight_gb": round(weight_bytes / 1e9, 3),
+            "paired_kv": paired,
+            "unembed": ("int4g" if isinstance(params, dict)
+                        and getattr(params.get("lm_head"), "group", 0)
+                        else ("int8" if spec["bits"] else "bf16")),
             "mesh": {"dp": args.dp, "tp": args.tp},
             "device": jax.devices()[0].device_kind,
             "note": "vs_baseline = fraction of HBM speed-of-light "

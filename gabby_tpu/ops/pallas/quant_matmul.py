@@ -317,34 +317,11 @@ def _int4_stacked_kernel(sc_ref, xe_ref, xo_ref, w_ref, s_ref, o_ref,
         o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
 
 
-def _int4_stacked_i16_kernel(sc_ref, xe_ref, xo_ref, w_ref, s_ref, o_ref,
-                             acc_ref):
-    """Two-plane unpack at i16 register width (GABBY_INT4_I16=1,
-    docs/NEXT.md item 1's untried lever): identical algebra to
-    _int4_stacked_kernel, but the widen/shift/mask run on int16 — if
-    Mosaic packs two i16 lanes per 32-bit VPU word, the unpack's
-    arithmetic throughput doubles. NLL-identical to the i32 path (the
-    values fit i16 exactly); keep whichever measures faster on a live
-    chip (tools/ab_decode.py i16)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    p = w_ref[0].astype(jnp.int16)
-    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)
-    lo8 = (p & 15).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(xe_ref[:], lo8,
-                          preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(xo_ref[:], hi,
-                          preferred_element_type=jnp.float32)
-    rowsum = jnp.sum(xe_ref[:].astype(jnp.float32), axis=1, keepdims=True)
-    acc_ref[:] -= 8.0 * rowsum
-
-    @pl.when(k == pl.num_programs(2) - 1)
-    def _():
-        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+# (An i16-register-width variant of the two-plane unpack was built and
+# measured in round 3 but REMOVED: Mosaic cannot legalize arith.shrsi on
+# i16 vectors on this toolchain — the kernel fails to compile on a real
+# TPU even though it passes in interpret mode. See BASELINE.md round-3
+# unpack A/Bs.)
 
 
 def _int4_stacked_rawdot_kernel(sc_ref, xo16_ref, xc_ref, w_ref, s_ref,
@@ -433,8 +410,6 @@ def _qmatmul_int4_stacked(x2d, packed, scale, layer, *, interpret=False):
         xc = (x_even.astype(jnp.float32)
               - xo16.astype(jnp.float32)).astype(jnp.bfloat16)
         kernel, slabs = _int4_stacked_rawdot_kernel, [xo16, xc]
-    elif os.environ.get("GABBY_INT4_I16") == "1":
-        kernel, slabs = _int4_stacked_i16_kernel, [x_even, x_odd]
     else:
         kernel, slabs = _int4_stacked_kernel, [x_even, x_odd]
     out = _stacked_call(

@@ -196,18 +196,32 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
             from gabby_tpu.ops.pallas import quant_matmul as pqm
             if pqm.grouped_supported(m, qt.shape[0], qt.shape[1], qt.group):
                 return pqm.qmatmul_grouped(x, qt.q, qt.scale, qt.group)
-        # fallback (CPU tests, prefill-sized m): per-group batched dot —
-        # codes stream quantized, the scale hits each group's accumulator
-        q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
-        gcount = qt.scale.shape[0]
-        xg = x.astype(jnp.bfloat16).reshape(*x.shape[:-1], gcount, qt.group)
-        qg = q.reshape(gcount, qt.group, q.shape[-1]).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            xg, qg,
-            dimension_numbers=(((x.ndim,), (1,)), ((x.ndim - 1,), (0,))),
-            preferred_element_type=jnp.float32)  # [G, ..., N]
-        acc = acc * qt.scale[(slice(None),) + (None,) * (x.ndim - 1)]
-        return jnp.sum(acc, axis=0).astype(x.dtype)
+        if m <= 64:
+            # decode-sized fallback (CPU tests, kernels off): per-group
+            # batched dot — codes stream quantized, the scale hits each
+            # group's accumulator; the [G, ..., N] partials are small at
+            # decode M
+            q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+            gcount = qt.scale.shape[0]
+            xg = x.astype(jnp.bfloat16).reshape(*x.shape[:-1], gcount,
+                                                qt.group)
+            qg = q.reshape(gcount, qt.group, q.shape[-1]).astype(
+                jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                xg, qg,
+                dimension_numbers=(((x.ndim,), (1,)), ((x.ndim - 1,), (0,))),
+                preferred_element_type=jnp.float32)  # [G, ..., N]
+            acc = acc * qt.scale[(slice(None),) + (None,) * (x.ndim - 1)]
+            return jnp.sum(acc, axis=0).astype(x.dtype)
+        # prefill-sized m: dequantize-then-dot. The per-group batched dot
+        # above materializes [G, ..., N] f32 partials — at a full-sequence
+        # prefill unembed that is [G, B, T, V] = 25 GB on the 3B (OOMed a
+        # real v5e, round 3); the dequantized [K, N] bf16 table is <1 GB
+        # and the matmul is compute-bound at this M anyway.
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), dequantize(qt, jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
     if layer is not None and qt.q.ndim == 3:
         in_dim = qt.q.shape[1] * (2 if qt.bits == 4 else 1)
         if kernel_ok:

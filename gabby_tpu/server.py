@@ -110,7 +110,12 @@ def _build_engine(args, sync=None):
         speculate_tokens=args.speculate,
         spec_breakeven=args.spec_breakeven,
         spec_reprobe_steps=args.spec_reprobe_steps,
-        pair_kv_heads=args.pair_kv,
+        # --pair-kv stays OPT-IN: the decode kernel measured 11% faster on
+        # chip (tools/ab_decode.py pair) but the paired ENGINE path is
+        # broken on real hardware — early-EOS truncation + 10 s TTFTs the
+        # one time it served on-chip (round 3). Run
+        # tools/pair_chip_check.py on a quiet chip before enabling.
+        pair_kv_heads=bool(args.pair_kv),
         prefill_int8_shadow=args.prefill_int8_shadow,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
@@ -284,10 +289,14 @@ def main(argv: Optional[list[str]] = None) -> int:
                    help="prefill through an exact int8 shadow of int4 "
                         "weights (2x weight HBM, same numerics, int8-speed "
                         "TTFT; see EngineConfig.prefill_int8_shadow)")
-    p.add_argument("--pair-kv", action="store_true",
+    p.add_argument("--pair-kv", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="paired kv-head cache layout: half the MXU passes "
                         "in flash decode attention (dense cache only; see "
-                        "EngineConfig.pair_kv_heads)")
+                        "EngineConfig.pair_kv_heads). Decode kernel "
+                        "measured 11%% faster on-chip, but the engine "
+                        "path misbehaved on real hardware in round 3 — "
+                        "verify with tools/pair_chip_check.py first")
     p.add_argument("--speculate", type=int, default=0,
                    help="speculative decoding: verify up to N n-gram "
                         "prompt-lookup drafts per forward for greedy "

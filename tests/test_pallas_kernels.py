@@ -650,31 +650,6 @@ def test_decode_attention_s8_dots_close_to_reference(monkeypatch):
                                rtol=6e-2, atol=6e-2)
 
 
-def test_qmatmul_stacked_i16_matches_plain(monkeypatch):
-    """GABBY_INT4_I16=1 (i16-width two-plane unpack) is bit-equivalent
-    algebra to the i32 kernel — outputs must match the dequantized
-    reference within the same bf16 noise."""
-    L, k, n, m = 3, 256, 256, 8
-    w = _rand(0, L * k, n).reshape(L, k, n) * 0.3
-    qts = [quant.quantize(w[i], 4) for i in range(L)]
-    codes = jnp.stack([t.q for t in qts])
-    scales = jnp.stack([t.scale for t in qts])
-    x = _rand(7, m, k).astype(jnp.bfloat16)
-    layer = jnp.int32(1)
-
-    ref = x.astype(jnp.float32) @ quant.dequantize(qts[1], jnp.float32)
-    monkeypatch.setenv("GABBY_INT4_I16", "1")
-    pqm._qmatmul_int4_stacked.clear_cache()
-    try:
-        got = pqm.qmatmul_stacked(x, codes, scales, layer, 4)
-    finally:
-        monkeypatch.delenv("GABBY_INT4_I16")
-        pqm._qmatmul_int4_stacked.clear_cache()
-    np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(ref, np.float32),
-                               rtol=3e-2, atol=3e-2)
-
-
 def test_decode_attention_small_chunk_matches(monkeypatch):
     """GABBY_ATTN_CHUNK (trace-time) shrinks the grid chunk so the
     kernel walks SEVERAL chunks incl. clamped trailing ones; numerics

@@ -80,7 +80,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["fused", "window", "attn", "s8",
                                     "dsem", "longwin", "unembed",
-                                    "rawdot", "i16", "chunk", "pair"])
+                                    "rawdot", "chunk", "pair"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -185,18 +185,6 @@ def main() -> int:
         plain = make_runner("two-plane", fusedp, None)
         plain()
         variants = {"two-plane": plain, "rawdot": raw}
-    elif args.mode == "i16":
-        # i16-width two-plane unpack vs the i32 one (docs/NEXT.md item 1
-        # untried lever: does Mosaic pack 2 i16 lanes per VPU word?)
-        import os
-        fusedp = llama.fuse_projections(base)
-        os.environ["GABBY_INT4_I16"] = "1"
-        k16 = make_runner("i16", fusedp, args.max_seq)
-        k16()
-        os.environ["GABBY_INT4_I16"] = "0"
-        plain = make_runner("i32", fusedp, None)
-        plain()
-        variants = {"i32": plain, "i16": k16}
     elif args.mode == "chunk":
         # decode-attention chunk size: a 2048-window at ctx ~1k DMAs a
         # mostly-masked trailing 1024-chunk; 512 trims the over-read at
