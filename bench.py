@@ -164,10 +164,10 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
     from gabby_tpu.tokenizer import Tokenizer
 
     params = build_params(args, spec, cfg, mesh)
-    # same opt-in as the decode bench (see there: the paired engine path
-    # is broken on real hardware — serve_mixed collapsed to 17.8 tok/s
-    # with truncated completions the one time it ran on-chip)
-    paired = (os.environ.get("GABBY_ATTN_PAIR") == "1"
+    # same default-on knob as the decode bench (see there; the paired
+    # prefill now takes the XLA fallback, so serving is safe and measured
+    # faster: mixed 1025 vs 947 tok/s, p50 TTFT 772 vs 892 ms on-chip)
+    paired = (os.environ.get("GABBY_ATTN_PAIR", "1") != "0"
               and mesh is None and not args.paged_pages
               and cfg.num_kv_heads % 2 == 0)
     cache_sh = None
@@ -389,15 +389,17 @@ def main() -> int:
     log(f"building {args.config}: ~{cfg.num_params()/1e9:.2f}B params"
         + (f" on mesh dp={args.dp} x tp={args.tp}" if mesh else ""))
     params = build_params(args, spec, cfg, mesh)
-    # GABBY_ATTN_PAIR=1: paired kv-head cache layout (block-diagonal
-    # attention dots at 128-deep contraction — see kv_cache.create_cache).
-    # The round-3 chip A/B measured the paired DECODE loop 11% faster
-    # (2.457 vs 2.769 ms/step, tools/ab_decode.py pair) but the first
-    # on-chip ENGINE run collapsed (serve_mixed 17.8 tok/s with early-EOS
-    # truncation — wrong logits and/or pathological prefill on real
-    # hardware only; CPU/interpret parity passes). Opt-in until
-    # tools/pair_chip_check.py passes on a quiet chip.
-    paired = (os.environ.get("GABBY_ATTN_PAIR") == "1"
+    # Paired kv-head cache layout (block-diagonal attention dots at
+    # 128-deep contraction — see kv_cache.create_cache): DEFAULT ON for
+    # single-device dense runs. The chip A/B measured the paired decode
+    # loop ~10.5% faster (2.457 vs 2.745 ms/step, tools/ab_decode.py
+    # pair) and mixed serving 1025 vs 947 tok/s. The round-3 "engine
+    # collapse" under pairing was the paired PREFILL kernel exceeding
+    # v5e's scoped-VMEM limit at compile time (fixed: pairing now takes
+    # the documented XLA prefill fallback — ops/attention.py; on-chip
+    # parity probes: tools/pair_chip_check.py,
+    # tools/pair_engine_chip_check.py). GABBY_ATTN_PAIR=0 reverts.
+    paired = (os.environ.get("GABBY_ATTN_PAIR", "1") != "0"
               and mesh is None and cfg.num_kv_heads % 2 == 0)
     cache = create_cache(cfg, args.batch, args.max_seq,
                          dtype=jnp.bfloat16, quantized=spec["kv_quant"],

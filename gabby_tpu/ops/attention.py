@@ -166,8 +166,17 @@ def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     paired = k_cache.shape[-1] == 2 * q.shape[-1]
     nk = k_cache.shape[2 if layer is not None else 1] * (2 if paired else 1)
     from gabby_tpu.ops import pallas as pk
+    # Paired caches take this jnp fallback (the EngineConfig.pair_kv_heads
+    # contract): the paired prefill kernel's footprint is 4x the per-head
+    # one (2x q/out rows x 2x lane width) and at the 512-token chunk
+    # bucket it exceeds v5e's 16 MB scoped-VMEM limit AT COMPILE TIME —
+    # the round-3 paired serving collapse was these compile failures
+    # erroring out every request whose prompt hit a large chunk
+    # (tools/pair_engine_chip_check.py reproduces; interpret mode passes,
+    # so no CPU test could see it). Pairing is a decode-throughput knob;
+    # prefill correctness/cost stays on XLA here.
     if (fresh_k is not None and pk.kernels_enabled()
-            and q.shape[2] % nk == 0):
+            and not paired and q.shape[2] % nk == 0):
         from gabby_tpu.ops.pallas import prefill_attention as pfa
         return pfa.prefill_attention(q, k_cache, v_cache, slot, offset,
                                      k_scale, v_scale, fresh_k=fresh_k,

@@ -110,12 +110,18 @@ def _build_engine(args, sync=None):
         speculate_tokens=args.speculate,
         spec_breakeven=args.spec_breakeven,
         spec_reprobe_steps=args.spec_reprobe_steps,
-        # --pair-kv stays OPT-IN: the decode kernel measured 11% faster on
-        # chip (tools/ab_decode.py pair) but the paired ENGINE path is
-        # broken on real hardware — early-EOS truncation + 10 s TTFTs the
-        # one time it served on-chip (round 3). Run
-        # tools/pair_chip_check.py on a quiet chip before enabling.
-        pair_kv_heads=bool(args.pair_kv),
+        # --pair-kv defaults to AUTO: on when eligible (dense cache, no
+        # mesh, even kv-head count). Decode measured ~10.5% faster and
+        # mixed serving 1025 vs 947 tok/s on-chip once the paired prefill
+        # was routed to its XLA fallback (the round-3 "collapse" was the
+        # paired prefill kernel failing v5e's scoped-VMEM COMPILE limit —
+        # ops/attention.slot_prefill_attention). --no-pair-kv reverts;
+        # on-chip parity probes: tools/pair_chip_check.py,
+        # tools/pair_engine_chip_check.py.
+        pair_kv_heads=(args.pair_kv if args.pair_kv is not None
+                       else (cache_shardings is None
+                             and args.paged_pages == 0
+                             and cfg.num_kv_heads % 2 == 0)),
         prefill_int8_shadow=args.prefill_int8_shadow,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
@@ -290,13 +296,13 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "weights (2x weight HBM, same numerics, int8-speed "
                         "TTFT; see EngineConfig.prefill_int8_shadow)")
     p.add_argument("--pair-kv", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=None,
                    help="paired kv-head cache layout: half the MXU passes "
                         "in flash decode attention (dense cache only; see "
-                        "EngineConfig.pair_kv_heads). Decode kernel "
-                        "measured 11%% faster on-chip, but the engine "
-                        "path misbehaved on real hardware in round 3 — "
-                        "verify with tools/pair_chip_check.py first")
+                        "EngineConfig.pair_kv_heads). Default: auto — on "
+                        "when eligible (no mesh/paged cache, even kv-head "
+                        "count); measured ~10%% faster decode and serving "
+                        "on-chip. --no-pair-kv reverts")
     p.add_argument("--speculate", type=int, default=0,
                    help="speculative decoding: verify up to N n-gram "
                         "prompt-lookup drafts per forward for greedy "
