@@ -238,6 +238,10 @@ void gabby_server_set_stats(GabbyServer* server, gabby_stats_fn stats,
     server->generator->set_stats(stats, user_data);
 }
 
+void gabby_server_set_ready(GabbyServer* server, int ready) {
+    server->service->SetReady(ready != 0);
+}
+
 int gabby_server_start(GabbyServer* server) {
     try {
         server->service->Start();

@@ -61,6 +61,11 @@ GabbyServer* gabby_server_create(const GabbyServerConfig* config,
 void gabby_server_set_stats(GabbyServer* server, gabby_stats_fn stats,
                             void* user_data);
 
+// Readiness gate: /readyz answers 503 while ready == 0, 200 once 1. The
+// server starts ready; an embedder that warms its engine first sets 0
+// before gabby_server_start and 1 after the warm-up. Thread-safe.
+void gabby_server_set_ready(GabbyServer* server, int ready);
+
 // Binds + starts listening. Returns the bound port, or -1 on error.
 int gabby_server_start(GabbyServer* server);
 

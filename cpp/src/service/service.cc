@@ -354,6 +354,10 @@ void InferenceService::Start() {
                                       http::ResponseWriter& resp) {
                 HealthCheck(req, resp);
             })
+            .route("/readyz", [this](http::Request& req,
+                                     http::ResponseWriter& resp) {
+                Readyz(req, resp);
+            })
             .route("/statusz", [this](http::Request& req,
                                       http::ResponseWriter& resp) {
                 Statusz(req, resp);
@@ -385,6 +389,22 @@ void InferenceService::HealthCheck(http::Request&, http::ResponseWriter& resp) {
     resp.WriteStatus(http::StatusCode::OK);
     resp.WriteHeader("Content-Type", "application/json");
     resp.WriteData("{\"status\":\"ok\"}");
+}
+
+void InferenceService::Readyz(http::Request&, http::ResponseWriter& resp) {
+    // 503 until the embedder flips SetReady(true): a load balancer must not
+    // route to an engine still compiling its serving programs. /healthz
+    // (above) stays pure process liveness, as in the reference
+    // (/root/reference/src/service.cc:131-135).
+    if (!ready()) {
+        resp.WriteStatus(http::StatusCode::SERVICE_UNAVAILABLE);
+        resp.WriteHeader("Content-Type", "application/json");
+        resp.WriteData("{\"status\":\"warming\"}");
+        return;
+    }
+    resp.WriteStatus(http::StatusCode::OK);
+    resp.WriteHeader("Content-Type", "application/json");
+    resp.WriteData("{\"status\":\"ready\"}");
 }
 
 void InferenceService::Statusz(http::Request&, http::ResponseWriter& resp) {

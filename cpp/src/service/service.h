@@ -129,10 +129,21 @@ class InferenceService {
     int port() const { return server_.port(); }
     const ServiceMetrics& metrics() const { return metrics_; }
 
+    // Readiness gate for /readyz. The service starts READY (a plain C++
+    // server with an injected generator can serve immediately); an embedder
+    // that must warm its engine first (compile the serving programs —
+    // gabby_tpu.server) calls SetReady(false) before Start() and flips it
+    // true after the rehearsal. /healthz stays pure liveness either way.
+    void SetReady(bool ready) {
+        ready_.store(ready, std::memory_order_relaxed);
+    }
+    bool ready() const { return ready_.load(std::memory_order_relaxed); }
+
     // Exposed for tests.
     void ChatCompletions(http::Request& req, http::ResponseWriter& resp);
     void Completions(http::Request& req, http::ResponseWriter& resp);
     void HealthCheck(http::Request& req, http::ResponseWriter& resp);
+    void Readyz(http::Request& req, http::ResponseWriter& resp);
     void Statusz(http::Request& req, http::ResponseWriter& resp);
     void Metricsz(http::Request& req, http::ResponseWriter& resp);
     void Models(http::Request& req, http::ResponseWriter& resp);
@@ -157,6 +168,7 @@ class InferenceService {
     std::shared_ptr<Generator> generator_;
     ServiceMetrics metrics_;
     std::atomic<uint64_t> next_id_{1};
+    std::atomic<bool> ready_{true};
 };
 
 // Parses + validates a chat-completion body (already-parsed JSON).

@@ -74,6 +74,7 @@ class TestService {
     }
     int port() const { return service_->port(); }
     SimpleGenerator& generator() { return *generator_; }
+    InferenceService& service() { return *service_; }
 
    private:
     std::shared_ptr<SimpleGenerator> generator_;
@@ -96,6 +97,24 @@ TEST(Service, HealthCheck) {
     // note: healthz accepts GET too; PostJson exercises POST routing
     EXPECT_EQ(status, 200);
     EXPECT_EQ(body->as_object().at("status")->as_string(), "ok");
+}
+
+TEST(Service, ReadyzGate) {
+    TestService svc;
+    // starts ready (plain C++ embedders serve immediately)
+    auto [s0, b0] = http::PostJson(svc.port(), "/readyz", "{}");
+    EXPECT_EQ(s0, 200);
+    EXPECT_EQ(b0->as_object().at("status")->as_string(), "ready");
+    // a warming embedder flips it off: 503, while /healthz stays 200
+    svc.service().SetReady(false);
+    auto [s1, b1] = http::PostJson(svc.port(), "/readyz", "{}");
+    EXPECT_EQ(s1, 503);
+    EXPECT_EQ(b1->as_object().at("status")->as_string(), "warming");
+    auto [s2, b2] = http::PostJson(svc.port(), "/healthz", "{}");
+    EXPECT_EQ(s2, 200);
+    svc.service().SetReady(true);
+    auto [s3, b3] = http::PostJson(svc.port(), "/readyz", "{}");
+    EXPECT_EQ(s3, 200);
 }
 
 TEST(Service, ChatCompletion) {

@@ -83,6 +83,7 @@ def load_library(path: Optional[str] = None) -> ctypes.CDLL:
     lib.gabby_last_error.restype = ctypes.c_char_p
     lib.gabby_server_set_stats.argtypes = [ctypes.c_void_p, _STATS_FN,
                                            ctypes.c_void_p]
+    lib.gabby_server_set_ready.argtypes = [ctypes.c_void_p, ctypes.c_int]
     return lib
 
 
@@ -165,6 +166,12 @@ class NativeServer:
             raise RuntimeError("gabby_server_start: " +
                                self._lib.gabby_last_error().decode())
         return port
+
+    def set_ready(self, ready: bool) -> None:
+        """Flips /readyz between 503 (warming) and 200. The server starts
+        ready; call set_ready(False) before start() when an engine warm-up
+        runs after the socket opens."""
+        self._lib.gabby_server_set_ready(self._server, 1 if ready else 0)
 
     @property
     def port(self) -> int:

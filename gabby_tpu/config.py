@@ -40,6 +40,11 @@ class ModelConfig:
     # Special token ids (Llama-3 tokenizer). Overridden by generation_config.json.
     bos_token_id: int = 128000
     eos_token_ids: tuple[int, ...] = (128001, 128008, 128009)
+    # Shard-block layout of fused projection weights: the `tp` the tree
+    # was fused with (llama.fuse_projections). 1 = plain concatenation.
+    # Static so the forward's _split_fused traces the matching reshape;
+    # set via dataclasses.replace when fusing for a model-axis mesh.
+    fused_tp: int = 1
 
     @property
     def q_dim(self) -> int:

@@ -67,7 +67,7 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     return params
 
 
-def fuse_projections(params: Params) -> Params:
+def fuse_projections(params: Params, tp: int = 1) -> Params:
     """Concatenate same-activation projections along the OUTPUT axis:
     wq|wk|wv -> wqkv and w_gate|w_up -> w_gup. The forward pass then runs
     ONE matmul per group — for quantized decode that means one stacked
@@ -76,23 +76,43 @@ def fuse_projections(params: Params) -> Params:
     barriers, more DMA for the unpack work to hide behind; the VERDICT-r2
     lever for the INT4 MFU gap).
 
+    tp: the mesh's model-axis size the fused tree will be column-sharded
+    over. The columns are laid out per-SHARD — [q0|k0|v0 | q1|k1|v1 | ...]
+    where x_i is shard i's slice of x — so a NamedSharding on the output
+    axis deals each device exactly its own q/k/v (gate/up) columns, and
+    `_split_fused` recovers the logical parts with shard-LOCAL reshapes
+    (no collectives under GSPMD). tp=1 is the plain concatenation. Every
+    per-projection output dim must divide by tp (the same constraint TP
+    itself imposes). Callers must set cfg.fused_tp = tp so the forward
+    splits on the matching layout.
+
     Valid on QTensor leaves (codes and per-channel scales concat along the
-    output axis) and dense [L, in, out] leaves. SINGLE-SHARD layouts only:
-    column-sharding a concatenated weight would deal each device a mix of
-    q/k/v columns, so callers fuse only when the mesh has no model axis
-    (engine/server guard). Returns a NEW params dict; the unfused leaves
-    are dropped."""
+    output axis) and dense [L, in, out] leaves. Returns a NEW params dict;
+    the unfused leaves are dropped."""
     from gabby_tpu.ops.quant import QTensor
+
+    def shard_cat(arrs):
+        if tp == 1:
+            return jnp.concatenate(arrs, axis=-1)
+        for a in arrs:
+            if a.shape[-1] % tp:
+                raise ValueError(
+                    f"fuse_projections(tp={tp}): output dim {a.shape[-1]} "
+                    f"does not divide by the model-axis size")
+        parts = [a.reshape(*a.shape[:-1], tp, a.shape[-1] // tp)
+                 for a in arrs]
+        out = jnp.concatenate(parts, axis=-1)  # [..., tp, block]
+        return out.reshape(*out.shape[:-2], -1)
 
     def cat(leaves):
         if isinstance(leaves[0], QTensor):
             bits = {l.bits for l in leaves}
             assert len(bits) == 1, "cannot fuse mixed-precision projections"
             return QTensor(
-                q=jnp.concatenate([l.q for l in leaves], axis=-1),
-                scale=jnp.concatenate([l.scale for l in leaves], axis=-1),
+                q=shard_cat([l.q for l in leaves]),
+                scale=shard_cat([l.scale for l in leaves]),
                 bits=leaves[0].bits)
-        return jnp.concatenate(leaves, axis=-1)
+        return shard_cat(leaves)
 
     blocks = dict(params["blocks"])
     if "wq" in blocks:
@@ -105,14 +125,37 @@ def fuse_projections(params: Params) -> Params:
     return out
 
 
+def _split_fused(y: jnp.ndarray, dims: tuple[int, ...],
+                 tp: int) -> list[jnp.ndarray]:
+    """Split a fused projection output back into its logical parts.
+    Fused weights are laid out per shard (see fuse_projections), so for
+    tp > 1 the global column order is [shard0: a0|b0|c0, shard1: ...];
+    the reshape exposes the shard axis (which carries the "model"
+    sharding), the slice is then shard-local, and the merge restores each
+    part's own column order."""
+    if tp == 1:
+        outs, off = [], 0
+        for d in dims:
+            outs.append(y[..., off:off + d])
+            off += d
+        return outs
+    block = sum(dims) // tp
+    ys = y.reshape(*y.shape[:-1], tp, block)
+    outs, off = [], 0
+    for d in dims:
+        part = ys[..., off:off + d // tp]
+        outs.append(part.reshape(*part.shape[:-2], d))
+        off += d // tp
+    return outs
+
+
 def _qkv(cfg: ModelConfig, blk: Params, x: jnp.ndarray, positions: jnp.ndarray,
          inv_freq, layer=None) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, t, _ = x.shape
     if "wqkv" in blk:
         qkv = linear(x, blk["wqkv"], layer)
-        q = qkv[..., :cfg.q_dim]
-        k = qkv[..., cfg.q_dim:cfg.q_dim + cfg.kv_dim]
-        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+        q, k, v = _split_fused(qkv, (cfg.q_dim, cfg.kv_dim, cfg.kv_dim),
+                               cfg.fused_tp)
         q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -128,10 +171,12 @@ def _qkv(cfg: ModelConfig, blk: Params, x: jnp.ndarray, positions: jnp.ndarray,
     return q, k, v
 
 
-def _mlp(blk: Params, x: jnp.ndarray, layer=None) -> jnp.ndarray:
+def _mlp(cfg: ModelConfig, blk: Params, x: jnp.ndarray,
+         layer=None) -> jnp.ndarray:
     if "w_gup" in blk:
         gu = linear(x, blk["w_gup"], layer).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
+        f = cfg.intermediate_size
+        gate, up = _split_fused(gu, (f, f), cfg.fused_tp)
         gate = jax.nn.silu(gate)
     else:
         gate = jax.nn.silu(linear(x, blk["w_gate"], layer).astype(jnp.float32))
@@ -267,7 +312,7 @@ def prefill_hidden(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     norms = (blocks["attn_norm"], blocks["mlp_norm"])
@@ -355,7 +400,7 @@ def _prefill_hidden_paged(params: Params, cfg: ModelConfig,
         h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     norms = (blocks["attn_norm"], blocks["mlp_norm"])
@@ -457,7 +502,7 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + linear(attn.reshape(b, 1, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     (h, _), ys = jax.lax.scan(
@@ -537,7 +582,7 @@ def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + linear(attn.reshape(b, 1, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     (h, _), ys = jax.lax.scan(
@@ -663,7 +708,7 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + linear(attn.reshape(1, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     (h, _), ys = jax.lax.scan(
@@ -810,7 +855,7 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
         h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     (h, _), ys = jax.lax.scan(
@@ -945,7 +990,7 @@ def _verify_step_paged(params: Params, cfg: ModelConfig,
         h = h + linear(attn.reshape(b, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     (h, _), ys = jax.lax.scan(
@@ -1056,7 +1101,7 @@ def _prefill_slot_paged(params: Params, cfg: ModelConfig,
         h = h + linear(attn.reshape(1, t, cfg.q_dim), blocks["wo"],
                        layer=layer)
         xn2 = rms_norm(h, mlp_norm, cfg.rms_norm_eps)
-        h = h + _mlp(blocks, xn2, layer=layer)
+        h = h + _mlp(cfg, blocks, xn2, layer=layer)
         return (h, layer + 1), ys
 
     norms = (blocks["attn_norm"], blocks["mlp_norm"])

@@ -40,10 +40,10 @@ PARAM_RULES: dict[str, P] = {
     "blocks/wq": _COL,
     "blocks/wk": _COL,
     "blocks/wv": _COL,
-    # fused projections (llama.fuse_projections): only valid when the mesh
-    # has no real model axis (size 1) — column-sharding a concatenated
-    # weight would deal each device a mix of q/k/v (or gate/up) columns.
-    # The specs exist so dp-only meshes can place fused trees.
+    # fused projections (llama.fuse_projections): column-shardable over a
+    # model axis of size tp ONLY when the tree was fused with that same tp
+    # (per-shard column blocks — see fuse_projections); param_shardings
+    # checks the match via its fused_tp argument.
     "blocks/wqkv": _COL,
     "blocks/w_gup": _COL,
     "blocks/wo": _ROW,
@@ -88,21 +88,27 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
     return walk(params)
 
 
-def param_shardings(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
+def param_shardings(params: dict[str, Any], mesh: Mesh,
+                    fused_tp: int = 1) -> dict[str, Any]:
     blocks = params.get("blocks") if isinstance(params, dict) else None
-    if (mesh.shape.get("model", 1) > 1 and isinstance(blocks, dict)
+    model = mesh.shape.get("model", 1)
+    if (model > 1 and fused_tp != model and isinstance(blocks, dict)
             and ("wqkv" in blocks or "w_gup" in blocks)):
         raise ValueError(
-            "fused projection weights (wqkv/w_gup) cannot be sharded over a "
-            "model axis > 1 — each shard would mix q/k/v (or gate/up) "
-            "columns; keep the tree unfused for tensor parallelism")
+            f"fused projection weights (wqkv/w_gup) fused with tp={fused_tp} "
+            f"cannot shard over a model axis of size {model}: each shard "
+            f"would mix q/k/v (or gate/up) columns. Re-fuse with "
+            f"fuse_projections(params, tp={model}) (and set cfg.fused_tp), "
+            f"or keep the tree unfused")
     return jax.tree.map(lambda spec: NamedSharding(mesh, spec), param_specs(params),
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_params(params: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
+def shard_params(params: dict[str, Any], mesh: Mesh,
+                 fused_tp: int = 1) -> dict[str, Any]:
     """Place (or re-place) every param leaf according to the TP rules."""
-    return jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+    return jax.tree.map(jax.device_put, params,
+                        param_shardings(params, mesh, fused_tp))
 
 
 def sharded_device_put_fn(mesh: Mesh):

@@ -606,6 +606,7 @@ class CacheLoops:
         from jax.sharding import SingleDeviceSharding
 
         pin = os.environ.get("GABBY_CACHE_LAYOUTS")
+        self.formats = None
         if (pin == "0") or (pin is None
                             and jax.default_backend() == "cpu"):
             self._decode = decode_loop
@@ -627,6 +628,7 @@ class CacheLoops:
             fmt = jax.tree.map(
                 lambda x, s: Format(Layout(tuple(range(x.ndim))), s),
                 cache, cache_shardings)
+        self.formats = fmt
         N = None
         self._decode = jax.jit(
             decode_loop.__wrapped__, static_argnums=(1, 7, 9, 10),
@@ -651,6 +653,18 @@ class CacheLoops:
         self._copy_prefix = jax.jit(
             copy_slot_prefix.__wrapped__, donate_argnums=(0,),
             in_shardings=(fmt, N, N), out_shardings=fmt)
+
+    def pin_cache(self, cache):
+        """Places a freshly created cache on the pinned boundary layout so
+        the first call's arg layout already matches the jit pins. A
+        default-layout initial cache would otherwise be relayouted at
+        dispatch — a one-time full-cache copy at warm start, and with a
+        persistent compilation cache (executable loaded from disk, relayout
+        step skipped) a hard 'Layout passed to jit does not match' error.
+        No-op on the CPU/unpinned path."""
+        if self.formats is None:
+            return cache
+        return jax.device_put(cache, self.formats)
 
     def decode_loop(self, params, cfg, tokens, positions, active, cache,
                     sstate, num_steps, eos_ids=None, window=None, n_top=0,

@@ -79,19 +79,26 @@ def _build_engine(args, sync=None):
 
     # tensor-parallel placement over local devices when asked
     cache_shardings = None
-    fused = mesh is None or mesh.shape.get("model", 1) == 1
-    if fused:
-        # no model-axis sharding: fuse qkv and gate/up into single matmuls
-        # (one kernel call streams the whole group; see llama.fuse_projections
-        # for why a model-sharded tree must stay unfused)
-        params = llama.fuse_projections(params)
+    tp_size = 1 if mesh is None else mesh.shape.get("model", 1)
+    fusable = (tp_size == 1
+               or (cfg.q_dim % tp_size == 0 and cfg.kv_dim % tp_size == 0
+                   and cfg.intermediate_size % tp_size == 0))
+    if fusable:
+        # fuse qkv and gate/up into single matmuls (one kernel call streams
+        # the whole group). Under a model axis the fusion is SHARD-AWARE:
+        # per-shard column blocks so the TP column sharding stays exact
+        # (llama.fuse_projections / cfg.fused_tp)
+        params = llama.fuse_projections(params, tp=tp_size)
+        if tp_size > 1:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, fused_tp=tp_size)
     if mesh is not None:
         from gabby_tpu.parallel import (cache_shardings as mk_cache_sh,
                                         paged_cache_shardings, shard_params)
-        if not args.model_dir or fused:
+        if not args.model_dir or fusable:
             # random weights were built replicated; fused leaves are fresh
             # concatenations that must be (re-)pinned to the mesh
-            params = shard_params(params, mesh)
+            params = shard_params(params, mesh, fused_tp=tp_size)
         if args.paged_pages > 0:
             cache_shardings = paged_cache_shardings(
                 mesh, quantized=args.kv_quant)
@@ -338,7 +345,27 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "requests fail (0 = wait forever)")
     p.add_argument("--profiler-port", type=int, default=0,
                    help="start a jax.profiler trace server on this port")
+    p.add_argument("--compile-cache", default="~/.cache/gabby_tpu/xla",
+                   metavar="DIR",
+                   help="persistent XLA compilation cache directory: every "
+                        "cold start after the first loads its serving "
+                        "programs from disk instead of recompiling "
+                        "(measured 6.8s -> 0.3s per program on this host). "
+                        "'' disables")
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="dress-rehearse the engine before /readyz reports "
+                        "ready (compiles the serving program set so the "
+                        "first real request never stalls on compilation; "
+                        "/healthz stays pure liveness). --no-warmup skips")
     args = p.parse_args(argv)
+
+    if args.compile_cache:
+        import os
+        cache_dir = os.path.expanduser(args.compile_cache)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     if args.profiler_port:
         jax.profiler.start_server(args.profiler_port)
@@ -371,8 +398,16 @@ def main(argv: Optional[list[str]] = None) -> int:
         model_id=model_id, read_timeout_millis=args.read_timeout_millis,
         write_timeout_millis=args.write_timeout_millis,
         log_level=args.log_level, stats_fn=engine.stats_snapshot)
+    if args.warmup:
+        server.set_ready(False)
     port = server.start()
     print(f"listening on port {port}", flush=True)
+    if args.warmup:
+        # /readyz answers 503 ("warming") while this runs; requests that
+        # arrive early still work — they just queue behind the rehearsal
+        secs = engine.warmup()
+        server.set_ready(True)
+        print(f"ready (warm-up {secs:.1f}s)", flush=True)
 
     stop = threading.Event()
 

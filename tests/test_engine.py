@@ -968,3 +968,18 @@ def test_paired_rejects_paged_and_odd_heads(setup):
         Engine(cfg_odd, params_odd, tok,
                EngineConfig(batch_slots=2, max_seq=128,
                             cache_dtype="float32", pair_kv_heads=True))
+
+
+def test_warmup_compiles_and_resets_stats(engine):
+    """warmup() runs the dress rehearsal (solo + concurrent wave over the
+    bucket ladder + a prefix-donor repeat), leaves a clean engine (stats
+    zeroed, no active slots), and a real request afterwards still works."""
+    secs = engine.warmup(concurrency=5)
+    assert secs > 0
+    s = engine.stats_snapshot()
+    assert s["requests"] == 0 and s["completion_tokens"] == 0
+    assert s["active_slots"] == 0 and s["queued"] == 0
+    assert "p50_ttft_ms" not in s  # warm-up TTFTs were cleared
+    text, fin, np_, nc = engine.generate_sync(MSGS, max_tokens=4)
+    assert fin in ("stop", "length")
+    assert engine.stats_snapshot()["requests"] == 1

@@ -37,9 +37,14 @@ def server():
                        model_id="tiny-test", log_level=0,
                        stats_fn=engine.stats_snapshot)
     port = srv.start()
+    _SRV["srv"] = srv  # test_readyz_gate toggles readiness on the object
     yield port
+    _SRV.clear()
     srv.close()
     engine.shutdown()
+
+
+_SRV: dict = {}
 
 
 def _post(port, path, payload):
@@ -246,3 +251,17 @@ def test_metricsz_prometheus(server):
     assert "# TYPE gabby_requests_total counter" in body
     assert "gabby_engine_decode_steps" in body
     assert "gabby_engine_requests" in body
+
+
+def test_readyz_gate(server):
+    """/readyz flips 200 <-> 503 via set_ready while /healthz stays pure
+    liveness (the warm-up readiness contract gabby_tpu.server relies on)."""
+    srv = _SRV["srv"]
+    status, body = _get(server, "/readyz")
+    assert status == 200 and json.loads(body)["status"] == "ready"
+    srv.set_ready(False)
+    status, body = _get(server, "/readyz")
+    assert status == 503 and json.loads(body)["status"] == "warming"
+    assert _get(server, "/healthz")[0] == 200  # liveness unaffected
+    srv.set_ready(True)
+    assert _get(server, "/readyz")[0] == 200

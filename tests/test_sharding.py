@@ -212,3 +212,50 @@ def test_pair_kv_rejected_under_cache_shardings(setup):
                EngineConfig(batch_slots=2, max_seq=64,
                             cache_dtype="float32", pair_kv_heads=True),
                cache_shardings=cache_shardings(mesh, quantized=False))
+
+
+@pytest.mark.parametrize("quant_bits", [None, 4])
+def test_fused_tp_matches_unfused(setup, quant_bits):
+    """Shard-aware projection fusion (fuse_projections(tp=N) + cfg.fused_tp):
+    the fused tree column-sharded over the model axis must produce the same
+    logits as the unfused sharded tree — the per-shard column-block layout
+    keeps every device's slice pure q/k/v (gate/up), and _split_fused
+    recovers the logical parts shard-locally (VERDICT r3 item 4)."""
+    import dataclasses
+
+    cfg, params = setup
+    if quant_bits:
+        params = quant.quantize_tree(params, quant_bits)
+    tp = 4
+    mesh = make_mesh(dp=2, tp=tp)
+    b = 4
+    prompt = jnp.tile(jnp.array([[3, 17, 42, 9, 101, 7]], jnp.int32), (b, 1))
+    tok = jnp.full((b,), 5, jnp.int32)
+    pos = jnp.full((b,), 6, jnp.int32)
+
+    def run(p, c):
+        cache = jax.device_put(create_cache(c, b, 16, dtype=jnp.float32),
+                               cache_shardings(mesh, quantized=False))
+        _, cache = jax.jit(
+            lambda pp, t, cc: llama.prefill(pp, c, t, cc))(p, prompt, cache)
+        out, _ = jax.jit(
+            lambda pp, t, q, cc: llama.decode_step(pp, c, t, q, cc))(
+                p, tok, pos, cache)
+        return np.asarray(out)
+
+    gold = run(shard_params(params, mesh), cfg)
+    fcfg = dataclasses.replace(cfg, fused_tp=tp)
+    fused = llama.fuse_projections(params, tp=tp)
+    sfused = shard_params(fused, mesh, fused_tp=tp)
+    got = run(sfused, fcfg)
+    np.testing.assert_allclose(got, gold, atol=2e-4, rtol=2e-3)
+
+    # the guard still rejects a tp-mismatched fused tree
+    with pytest.raises(ValueError, match="fused"):
+        shard_params(llama.fuse_projections(params), mesh)
+
+
+def test_fuse_projections_tp_requires_divisible_dims(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="divide"):
+        llama.fuse_projections(params, tp=3)
