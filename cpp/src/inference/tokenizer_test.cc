@@ -5,8 +5,13 @@
 // (tests/test_cpp_tokenizer.py).
 #include "inference/tokenizer.h"
 
+#include <cstdlib>
+#include <fstream>
+
+#include "inference/config.h"
 #include "json/parser.h"
 #include "test/test.h"
+#include "utils/logging.h"
 
 namespace gabby::inference {
 namespace {
@@ -91,6 +96,50 @@ TEST(Tokenizer, ChatFormat) {
     EXPECT_EQ(eots, 1);
     auto stops = t.StopIds();
     EXPECT_EQ(stops.size(), size_t{2});  // eot_id + end_of_text
+}
+
+// Real-asset gate (the reference's fixture-dependent tokenizer tests run
+// against the CI-downloaded checkpoint via GlobalConfig —
+// /root/reference/src/test/env.h:8, src/test/test_main.cc:9-19). This
+// test auto-discovers the model — GABBY_MODEL_DIR, then the HF hub
+// cache — and degrades to a no-op when absent, so it lights up wherever
+// the real 128k-vocab tokenizer.json exists without extra wiring.
+// Exact-id parity vs HF `tokenizers` lives in pytest
+// (tests/test_real_model.py); this covers the native loader + roundtrip.
+TEST(Tokenizer, RealVocabRoundTrip) {
+    std::string dir;
+    if (const char* env = std::getenv("GABBY_MODEL_DIR")) dir = env;
+    if (dir.empty()) {
+        if (auto found = FindDefaultModelDir()) dir = *found;
+    }
+    std::string path = dir + "/tokenizer.json";
+    if (dir.empty() || !std::ifstream(path).good()) {
+        LOG(INFO) << "Tokenizer.RealVocabRoundTrip: no real model assets "
+                     "(set GABBY_MODEL_DIR) — skipping";
+        return;
+    }
+    auto t = Tokenizer::FromJson(*json::ParseFile(path));
+    const std::string samples[] = {
+        "hello world",
+        "Hello, World! 123",
+        "naïve café — résumé",
+        "日本語のテキストと中文文本",
+        "Привет мир Γειά σου κόσμε",
+        "🙂🚀 emoji soup 🎉",
+        "x = f(x_1, y[2]) * 3.14159e-10",
+    };
+    for (const auto& s : samples) {
+        auto ids = t.Encode(s, /*allow_special=*/false);
+        EXPECT_TRUE(!ids.empty());
+        EXPECT_EQ(t.Decode(ids), s);
+    }
+    // Llama-3 specials must resolve to their published ids
+    auto bos = t.Encode("<|begin_of_text|>");
+    EXPECT_EQ(bos.size(), size_t{1});
+    EXPECT_EQ(bos[0], 128000);
+    auto eot = t.Encode("<|eot_id|>");
+    EXPECT_EQ(eot.size(), size_t{1});
+    EXPECT_EQ(eot[0], 128009);
 }
 
 }  // namespace

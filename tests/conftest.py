@@ -46,6 +46,19 @@ jax.config.update("jax_platforms", "cpu")
 # tests compare f32 logits against torch, so force exact f32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the suite is compile-bound on a 1-CPU
+# host (45+ min serial), and the per-module jax.clear_caches() defense
+# above forces recompiles of shapes shared across files. The disk cache
+# survives both clear_caches and process restarts, so every run after the
+# first loads executables instead of compiling them. GABBY_TEST_COMPILE_CACHE=''
+# disables (e.g. to measure true compile times).
+_cc = os.environ.get("GABBY_TEST_COMPILE_CACHE",
+                     os.path.expanduser("~/.cache/gabby_tpu/xla-tests"))
+if _cc:
+    os.makedirs(_cc, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import pytest  # noqa: E402
 
