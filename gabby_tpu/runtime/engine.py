@@ -91,6 +91,15 @@ class EngineConfig:
     # LOSES throughput. Exposed so operators can re-derive the constant
     # for their hardware from `tools/ab_decode.py`-style measurements.
     spec_breakeven: float = 1.2
+    # Measure the constant instead of trusting it: when True (single-host
+    # only — multi-host controllers must flip speculation at identical
+    # plans, and wall timings are local), the engine times its own plain
+    # and verify bursts and uses median(verify ms/step) / median(plain
+    # ms/step) as the break-even once both sides have enough samples.
+    # The configured spec_breakeven stays the cold-start prior and the
+    # multi-host value. Derived value surfaces as
+    # stats["spec_breakeven_derived"].
+    spec_auto_breakeven: bool = True
     # Workloads shift (a repetitive-text tenant arrives after a
     # disable): when > 0, a disabled engine RE-PROBES speculation after
     # this many plain decode steps — another fair 128-macro-step sample,
@@ -342,6 +351,12 @@ class Engine:
         # decode_steps count at which the disable happened (re-probe timer)
         self._spec_probe_base = (0, 0)
         self._spec_off_since: Optional[int] = None
+        # measured per-step wall costs (seconds) for the auto break-even:
+        # rolling windows so a drifting chip (contention, thermal) keeps
+        # the ratio current
+        import collections as _c
+        self._plain_step_s: "_c.deque[float]" = _c.deque(maxlen=32)
+        self._spec_step_s: "_c.deque[float]" = _c.deque(maxlen=32)
         # per-slot token history: the n-gram speculation corpus (prompt
         # placed at admission, generated tokens appended on device)
         self._history = jnp.zeros((b, econfig.max_seq), jnp.int32)
@@ -1488,6 +1503,7 @@ class Engine:
         # goes stale meanwhile; verification keeps later spec calls
         # correct, acceptance just dips)
         if self._spec_enabled and self._pstate is None:
+            t_call = time.perf_counter()
             dl = self.ec.speculate_tokens
             (out_em, out_n, out_lp, self._tokens, self._positions,
              self._active, self._cache, self._sstate, self._history,
@@ -1518,6 +1534,10 @@ class Engine:
                 .view(np.float32).reshape(steps, b, dl + 1, n_top)
             top_ids = packed[base + kbt + b + kbt * n_top:]\
                 .reshape(steps, b, dl + 1, n_top)
+            # packed fetch above synced the device: wall time covers the
+            # whole verify burst (auto break-even numerator). First call
+            # per shape compiles — the rolling window flushes it out.
+            self._spec_step_s.append((time.perf_counter() - t_call) / steps)
             with self._lock:
                 self.stats["decode_steps"] += steps
                 self.stats["spec_macro_steps"] += int(
@@ -1544,6 +1564,7 @@ class Engine:
                                  if n_top else None))
             self._maybe_disable_spec()
         else:
+            t_call = time.perf_counter()
             (out_tokens, out_active, out_lp, self._tokens,
              self._positions, self._active, self._cache, self._sstate,
              out_top_lp, out_top_ids, self._pstate) = self._gen.decode_loop(
@@ -1574,6 +1595,11 @@ class Engine:
                 .view(np.float32).reshape(steps, b, n_top)
             top_ids = packed[base + kb + b + kb * n_top:]\
                 .reshape(steps, b, n_top)
+            if self._pstate is None:
+                # penalty-free plain bursts only: the penalized program
+                # costs more and would skew the auto break-even denominator
+                self._plain_step_s.append(
+                    (time.perf_counter() - t_call) / steps)
 
             # deliver on-device-sampled first tokens of fresh admissions
             # BEFORE this call's decode outputs (generation order)
@@ -1602,6 +1628,22 @@ class Engine:
                 self._finish(slot_ix, "length")
         return admitting
 
+    def _spec_breakeven_now(self) -> float:
+        """The break-even in force: the measured verify/plain per-step
+        cost ratio once both rolling windows have enough samples
+        (spec_auto_breakeven, single-host), else the configured prior.
+        Multi-host always uses the configured constant — controllers must
+        flip speculation at identical plans, and wall timings are local."""
+        if (not self.ec.spec_auto_breakeven or self._multi
+                or len(self._plain_step_s) < 8
+                or len(self._spec_step_s) < 8):
+            return self.ec.spec_breakeven
+        import statistics
+        plain = statistics.median(self._plain_step_s)
+        if plain <= 0:
+            return self.ec.spec_breakeven
+        return max(1.0, statistics.median(self._spec_step_s) / plain)
+
     def _maybe_disable_spec(self) -> None:
         """Speculation must PAY for its wider verify pass: if measured
         tokens-per-macro-step stays below the break-even over a fair
@@ -1610,11 +1652,15 @@ class Engine:
         shift); 0 keeps the disable sticky. Deterministic across
         multi-host controllers: both the disable and the re-probe derive
         from replicated counters, so every controller flips at the
-        identical plan."""
+        identical plan (and the break-even stays the configured constant
+        there — see _spec_breakeven_now)."""
         with self._lock:
             ms = self.stats["spec_macro_steps"] - self._spec_probe_base[0]
             tk = self.stats["spec_tokens"] - self._spec_probe_base[1]
-        if ms >= 128 and tk < self.ec.spec_breakeven * ms:
+        breakeven = self._spec_breakeven_now()
+        with self._lock:
+            self.stats["spec_breakeven_derived"] = round(breakeven, 3)
+        if ms >= 128 and tk < breakeven * ms:
             self._spec_enabled = False
             with self._lock:
                 self._spec_off_since = self.stats["decode_steps"]
@@ -1623,7 +1669,7 @@ class Engine:
             import sys
             print(f"[engine] speculation disabled: acceptance "
                   f"{tk / max(ms, 1):.2f} tokens/verify over {ms} steps "
-                  f"(break-even {self.ec.spec_breakeven})",
+                  f"(break-even {breakeven:.2f})",
                   file=sys.stderr, flush=True)
 
     def _maybe_reprobe_spec(self) -> None:

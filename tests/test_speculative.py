@@ -376,3 +376,31 @@ def test_spec_sticky_disable_without_reprobe(setup):
         assert not eng._spec_enabled
     finally:
         eng.shutdown()
+
+
+def test_spec_auto_breakeven_derives_from_timings(setup):
+    """_spec_breakeven_now: configured prior until both rolling windows
+    fill, then the measured verify/plain per-step cost ratio (floored at
+    1.0); multi-host always keeps the configured constant."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128,
+                              cache_dtype="float32", speculate_tokens=3,
+                              spec_breakeven=1.7))
+    try:
+        assert eng._spec_breakeven_now() == 1.7  # windows empty -> prior
+        eng._plain_step_s.extend([0.010] * 8)
+        eng._spec_step_s.extend([0.013] * 8)
+        assert abs(eng._spec_breakeven_now() - 1.3) < 1e-9
+        # a verify that measures CHEAPER than plain floors at 1.0 (a
+        # macro-step always yields >= 1 token, so below 1.0 is noise)
+        eng._spec_step_s.clear()
+        eng._spec_step_s.extend([0.004] * 8)
+        assert eng._spec_breakeven_now() == 1.0
+        eng._multi = True  # multi-host: configured constant, always
+        assert eng._spec_breakeven_now() == 1.7
+        eng._multi = False
+        eng.ec.spec_auto_breakeven = False
+        assert eng._spec_breakeven_now() == 1.7
+    finally:
+        eng.shutdown()
