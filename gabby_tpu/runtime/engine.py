@@ -257,10 +257,11 @@ class Engine:
         replays the identical jitted calls on its shards of the global
         mesh. Followers keep full shadow slot state (stub Requests nobody
         reads), so host-side decisions (EOS, max_tokens, stop strings)
-        stay in lockstep without further communication. Requires dp=1
-        (host-fetched arrays must be fully replicated so each process can
-        device_get them locally). Shut down via the leader: it broadcasts
-        the shutdown plan that releases the followers."""
+        stay in lockstep without further communication. dp > 1 works: the
+        per-iteration host view is replicated at a jit boundary before the
+        fetch (_host_fetch), so data-sharded slot feedback reads
+        identically on every controller. Shut down via the leader: it
+        broadcasts the shutdown plan that releases the followers."""
         self.cfg = cfg
         self.params = params
         self._prefill_params = params
@@ -383,6 +384,22 @@ class Engine:
         )
         self._sync = sync
         self._multi = sync is not None and sync.num_processes > 1
+        # dp > 1 multi-host: per-slot feedback arrays shard over the data
+        # axis, so a raw device_get would only see this process's
+        # addressable half. Replicating the ONE packed host-view vector at
+        # a jit boundary (an all-gather of a few KB over the data axis)
+        # makes every controller's fetch identical — the plan-replay
+        # contract dp=1 used to get for free.
+        self._fetch_replicate = None
+        if self._multi and cache_shardings is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            leaves = [s for s in jax.tree.leaves(
+                cache_shardings, is_leaf=lambda x: isinstance(x, NamedSharding))
+                if isinstance(s, NamedSharding)]
+            if leaves and leaves[0].mesh.shape.get("data", 1) > 1:
+                rep = NamedSharding(leaves[0].mesh, PartitionSpec())
+                self._fetch_replicate = jax.jit(lambda x: x,
+                                                out_shardings=rep)
         # leader-side handoff between plan composition and execution
         self._pending_admit: Optional[Request] = None
         self._burst_reqs: Optional[list[Request]] = None
@@ -674,6 +691,14 @@ class Engine:
         self._thread.join(timeout=30)
 
     # ---- engine loop ----
+
+    def _host_fetch(self, vec) -> np.ndarray:
+        """The single per-iteration host transfer. Under dp > 1 multi-host
+        the vector is replicated first (see _fetch_replicate) so every
+        controller fetches identical bytes."""
+        if self._fetch_replicate is not None:
+            vec = self._fetch_replicate(vec)
+        return np.asarray(jax.device_get(vec))
 
     def _free_slots(self) -> list[int]:
         return [i for i, s in enumerate(self._slots) if s is None]
@@ -1511,7 +1536,7 @@ class Engine:
                 self.params, self.cfg, self._tokens, self._positions,
                 self._active, self._cache, self._sstate, self._history,
                 steps, dl, self._eos_ids, window=window, n_top=n_top)
-            packed = np.asarray(jax.device_get(jnp.concatenate([
+            packed = self._host_fetch(jnp.concatenate([
                 out_em.reshape(-1).astype(jnp.int32),
                 out_n.reshape(-1).astype(jnp.int32),
                 self._active.astype(jnp.int32),
@@ -1520,7 +1545,7 @@ class Engine:
                 jax.lax.bitcast_convert_type(self._first_lp, jnp.int32),
                 jax.lax.bitcast_convert_type(
                     out_top_lp.reshape(-1), jnp.int32),
-                out_top_ids.reshape(-1)])))
+                out_top_ids.reshape(-1)]))
             kbt = steps * b * (dl + 1)
             em = packed[:kbt].reshape(steps, b, dl + 1)
             counts = packed[kbt:kbt + steps * b].reshape(steps, b)
@@ -1580,9 +1605,9 @@ class Engine:
             # mode every process fetches identical values and decides
             # identically)
             kb = steps * b
-            packed = np.asarray(jax.device_get(generate.pack_host_view(
+            packed = self._host_fetch(generate.pack_host_view(
                 out_tokens, out_active, self._active, pre_tokens,
-                out_lp, self._first_lp, out_top_lp, out_top_ids)))
+                out_lp, self._first_lp, out_top_lp, out_top_ids))
             toks = packed[:kb].reshape(steps, -1)               # [K, B]
             emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
             active_host = packed[2 * kb:2 * kb + b] != 0         # [B]

@@ -39,12 +39,18 @@ def _build_engine(args, sync=None):
     multi = sync is not None and sync.num_processes > 1
     if multi:
         # multi-controller: one global mesh spanning every process's
-        # devices; TP over all of them (dp must be 1 — the engine fetches
-        # replicated host views each iteration)
+        # devices. dp > 1 shards the slot batch over the data axis (the
+        # engine replicates its packed host view before each fetch, so
+        # controllers stay in lockstep — Engine._host_fetch)
         from gabby_tpu.parallel import make_mesh
-        if args.dp != 1:
-            sys.exit("--dp > 1 is not supported with multi-host serving")
-        mesh = make_mesh(dp=1, tp=jax.device_count())
+        n = jax.device_count()
+        if n % args.dp != 0:
+            sys.exit(f"--dp {args.dp} must divide the global device count "
+                     f"{n}")
+        if args.slots % args.dp != 0:
+            sys.exit(f"--slots {args.slots} must be divisible by --dp "
+                     f"{args.dp} (slots shard over the data axis)")
+        mesh = make_mesh(dp=args.dp, tp=n // args.dp)
     elif args.tp > 1 or args.dp > 1:
         from gabby_tpu.parallel import make_mesh
         n = args.dp * args.tp

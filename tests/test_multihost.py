@@ -94,8 +94,10 @@ from gabby_tpu.runtime.engine import Engine, EngineConfig
 from gabby_tpu.tokenizer import Tokenizer
 
 sync = HostSync()
-mesh = make_mesh(dp=1, tp=jax.device_count())
-cfg = tiny(num_heads=2 * jax.device_count(), num_kv_heads=jax.device_count(),
+dp = int(os.environ.get("GABBY_TEST_DP", "1"))
+tp = jax.device_count() // dp
+mesh = make_mesh(dp=dp, tp=tp)
+cfg = tiny(num_heads=2 * tp, num_kv_heads=tp,
            head_dim=8, hidden_size=32, intermediate_size=64,
            vocab_size=256, max_seq_len=128)
 params = shard_params(
@@ -163,16 +165,20 @@ print("RECORDS", pid, json.dumps(sorted(records)), flush=True)
 '''
 
 
-@pytest.mark.parametrize("nprocs", [2])
-def test_two_process_engine_serving(tmp_path, nprocs):
+@pytest.mark.parametrize("nprocs,dp", [(2, 1), (2, 2)])
+def test_two_process_engine_serving(tmp_path, nprocs, dp):
     """End-to-end multi-host serving THROUGH the Engine: the leader's HTTP
     side submits requests, followers replay its plan broadcasts, and both
     controllers must walk through byte-identical slot streams (VERDICT r1
     item 1). Covers single admission, multi-chunk chunked prefill
     interleaved with decode, concurrent requests, and the full
     per-request sampling surface (seeded + unseeded sampling, penalties,
-    logit_bias, top_logprobs) riding the plan broadcast."""
-    outs = _run_workers(tmp_path, ENGINE_WORKER, nprocs)
+    logit_bias, top_logprobs) riding the plan broadcast. dp=2 shards the
+    slot batch over the data axis ACROSS the two processes — the engine
+    must replicate its packed host view before each fetch
+    (Engine._host_fetch, VERDICT r3 item 4)."""
+    outs = _run_workers(tmp_path, ENGINE_WORKER, nprocs,
+                        extra_env={"GABBY_TEST_DP": str(dp)})
     rec_lines = {}
     for out in outs:
         for line in out.splitlines():
@@ -189,7 +195,7 @@ def test_two_process_engine_serving(tmp_path, nprocs):
         assert 1 <= len(emitted) <= 5
 
 
-def _run_workers(tmp_path, worker_src, nprocs, timeout=420):
+def _run_workers(tmp_path, worker_src, nprocs, timeout=420, extra_env=None):
     import socket
 
     with socket.socket() as s:
@@ -200,6 +206,7 @@ def _run_workers(tmp_path, worker_src, nprocs, timeout=420):
     script.write_text(worker_src)
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen([sys.executable, str(script), str(port), str(i),
                           str(nprocs)],
