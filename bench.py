@@ -168,8 +168,7 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
     # prefill now takes the XLA fallback, so serving is safe and measured
     # faster: mixed 1025 vs 947 tok/s, p50 TTFT 772 vs 892 ms on-chip)
     paired = (os.environ.get("GABBY_ATTN_PAIR", "1") != "0"
-              and mesh is None and not args.paged_pages
-              and cfg.num_kv_heads % 2 == 0)
+              and mesh is None and cfg.num_kv_heads % 2 == 0)
     cache_sh = None
     if mesh is not None:
         from gabby_tpu.parallel import cache_shardings

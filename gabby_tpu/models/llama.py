@@ -354,6 +354,7 @@ def _prefill_hidden_paged(params: Params, cfg: ModelConfig,
     h = jnp.take(params["embed"], tokens, axis=0)
     quantized = cache.quantized
     blocks = params["blocks"]
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim
     mask = (jnp.ones((b,), bool) if lane_mask is None else lane_mask)
 
     xs_prior = ()
@@ -379,6 +380,10 @@ def _prefill_hidden_paged(params: Params, cfg: ModelConfig,
             kk, vv = k, v  # fresh prompt: the chunk attends itself
         else:
             kc, vc = prior[0], prior[1]
+            if paired:
+                # paired pool rows -> head-major for the dense reference
+                # attention (a per-admission chunk cost, never per-step)
+                kc, vc = unpair_heads(kc), unpair_heads(vc)
             if quantized:
                 kk = dequantize_kv(kc, prior[2], k.dtype)
                 vv = dequantize_kv(vc, prior[3], v.dtype)
@@ -406,11 +411,15 @@ def _prefill_hidden_paged(params: Params, cfg: ModelConfig,
     norms = (blocks["attn_norm"], blocks["mlp_norm"])
     (h, _), ys = jax.lax.scan(body, (h, jnp.int32(0)), (norms,) + xs_prior)
 
+    kw, vw = ys[0], ys[1]
+    if paired:
+        # [L, B, Nk, T, H] -> [L, B, Nk/2, T, 2H] (one chunk transpose)
+        kw, vw = pair_heads(kw), pair_heads(vw)
     if quantized:
-        new_cache = write_batch_chunk(cache, offset, ys[0], ys[1], ys[2],
+        new_cache = write_batch_chunk(cache, offset, kw, vw, ys[2],
                                       ys[3], mask)
     else:
-        new_cache = write_batch_chunk(cache, offset, ys[0], ys[1], None,
+        new_cache = write_batch_chunk(cache, offset, kw, vw, None,
                                       None, mask)
     return h, new_cache
 
@@ -594,6 +603,7 @@ def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     # (physical page, row-in-page) resolved through the page table
     ps = cache.page_size
     zero = jnp.int32(0)
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim
 
     max_seq = cache.page_table.shape[1] * ps
 
@@ -610,7 +620,13 @@ def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             phys = jnp.where(pos_i < max_seq, cache.page_table[i, lp], 0)
             row = pos_i % ps
             if with_h:
-                upd = rows[:, i][None, :, :, None, :]  # [1, L, Nk, 1, H]
+                r = rows[:, i]                         # [L, Nk, H]
+                if paired:
+                    # single rows pair by free reshape (adjacent heads
+                    # contiguous): [L, Nk, H] -> [L, Nk/2, 2H]
+                    r = r.reshape(r.shape[0], r.shape[1] // 2,
+                                  2 * r.shape[2])
+                upd = r[None, :, :, None, :]           # [1, L, Nk', 1, H']
                 pool = jax.lax.dynamic_update_slice(
                     pool, upd, (phys, zero, zero, row, zero))
             else:
@@ -937,6 +953,7 @@ def _verify_step_paged(params: Params, cfg: ModelConfig,
     quantized = cache.quantized
     blocks = params["blocks"]
     use_kernel = pk.kernels_enabled() and cfg.num_heads % cfg.num_kv_heads == 0
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim
 
     def body(carry, norms):
         h, layer = carry
@@ -963,6 +980,8 @@ def _verify_step_paged(params: Params, cfg: ModelConfig,
                 return g.reshape(g.shape[0], g.shape[1], -1, *g.shape[4:])
 
             kk, vv = dense(cache.k), dense(cache.v)
+            if paired:
+                kk, vv = unpair_heads(kk), unpair_heads(vv)
             if quantized:
                 kk = dequantize_kv(kk, dense(cache.k_scale), q.dtype)
                 vv = dequantize_kv(vv, dense(cache.v_scale), q.dtype)
@@ -1021,7 +1040,11 @@ def _verify_step_paged(params: Params, cfg: ModelConfig,
                                  cache.page_table[i, lp], 0)
                 row = pos_it % ps
                 if with_h:
-                    upd = rows[:, i, :, tt][None, :, :, None, :]
+                    r = rows[:, i, :, tt]              # [L, Nk, H]
+                    if paired:
+                        r = r.reshape(r.shape[0], r.shape[1] // 2,
+                                      2 * r.shape[2])
+                    upd = r[None, :, :, None, :]
                     pool = jax.lax.dynamic_update_slice(
                         pool, upd, (phys, zero, zero, row, zero))
                 else:
@@ -1062,6 +1085,7 @@ def _prefill_slot_paged(params: Params, cfg: ModelConfig,
     h = jnp.take(params["embed"], tokens[None, :], axis=0)
     quantized = cache.quantized
     blocks = params["blocks"]
+    paired = cache.k.shape[-1] == 2 * cfg.head_dim
     zero = jnp.zeros((), jnp.int32)
 
     phys = cache.page_table[slot]  # [max_pages]
@@ -1112,11 +1136,14 @@ def _prefill_slot_paged(params: Params, cfg: ModelConfig,
         h, (zero, length - 1, zero), (1, 1, cfg.hidden_size))
     logits = _unembed(params, cfg, h_last)[0, 0]
 
+    kw, vw = ys[0], ys[1]
+    if paired:
+        kw, vw = pair_heads(kw), pair_heads(vw)
     if quantized:
-        new_cache = write_slot_chunk(cache, slot, offset, ys[0], ys[1],
+        new_cache = write_slot_chunk(cache, slot, offset, kw, vw,
                                      ys[2], ys[3])
     else:
-        new_cache = write_slot_chunk(cache, slot, offset, ys[0], ys[1],
+        new_cache = write_slot_chunk(cache, slot, offset, kw, vw,
                                      None, None)
     return logits, new_cache
 

@@ -287,7 +287,8 @@ def paged_cache_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
     reference — is the contract it is tested against.
     """
     b, t, nq, h = q.shape
-    nk = k_pool.shape[2]
+    paired = k_pool.shape[-1] == 2 * h
+    nk = k_pool.shape[2] * (2 if paired else 1)
     quantized = k_scale is not None
     from gabby_tpu.ops import pallas as pk
     if t == 1 and nq % nk == 0 and pk.kernels_enabled():
@@ -296,18 +297,21 @@ def paged_cache_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
             q, k_pool, v_pool, page_table, positions, k_scale, v_scale,
             layer=layer, fresh_k=fresh_k, fresh_v=fresh_v, scale=scale)
 
-    def dense(pool):
-        # [P, L, Nk, page, *] -> this layer, gathered: [B, Nk, S, *]
+    def dense(pool, heads):
+        # [P, L, heads, page, *] -> this layer, gathered: [B, heads, S, *]
         plane = jax.lax.dynamic_index_in_dim(pool, layer, 1, False)
-        g = jnp.take(plane, page_table, axis=0)  # [B, mp, Nk, page, *]
-        g = jnp.moveaxis(g, 1, 2)                # [B, Nk, mp, page, *]
-        return g.reshape(g.shape[0], nk, -1, *g.shape[4:])
+        g = jnp.take(plane, page_table, axis=0)  # [B, mp, heads, page, *]
+        g = jnp.moveaxis(g, 1, 2)                # [B, heads, mp, page, *]
+        return g.reshape(g.shape[0], heads, -1, *g.shape[4:])
 
-    kk, vv = dense(k_pool), dense(v_pool)
+    kk, vv = dense(k_pool, k_pool.shape[2]), dense(v_pool, v_pool.shape[2])
+    if paired:
+        from gabby_tpu.runtime.kv_cache import unpair_heads
+        kk, vv = unpair_heads(kk), unpair_heads(vv)
     if quantized:
         from gabby_tpu.runtime.kv_cache import dequantize_kv
-        kk = dequantize_kv(kk, dense(k_scale), q.dtype)
-        vv = dequantize_kv(vv, dense(v_scale), q.dtype)
+        kk = dequantize_kv(kk, dense(k_scale, nk), q.dtype)
+        vv = dequantize_kv(vv, dense(v_scale, nk), q.dtype)
     return cache_attention(q, kk.astype(q.dtype), vv.astype(q.dtype),
                            positions, scale=scale, fresh_k=fresh_k,
                            fresh_v=fresh_v)

@@ -692,10 +692,11 @@ def supported(nq: int, nk: int, h: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("sm_scale", "out_dtype", "interpret",
-                                    "tq"))
+                                    "tq", "use_s8", "pair"))
 def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
                        fresh_v, scal, *, sm_scale: float, out_dtype,
-                       interpret: bool, tq: int = 1):
+                       interpret: bool, tq: int = 1, use_s8: bool = False,
+                       pair: bool = False):
     """Paged variant of _decode_call. q4: [B, Nk, TQ*G, H]; k/v_pool:
     [P, L, Nk, page, H]; k/v_scale: [P, L, Nk, 1, page] or None;
     scal: [B + 1 + B*max_pages] i32 = positions ++ [layer] ++
@@ -703,12 +704,20 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
     slot's next PHYSICAL page plane straight from the pool — the page
     table is consulted only inside the scalar-prefetched index maps, so
     paging costs no gathers and no extra HBM traffic. tq > 1 = the
-    speculative VERIFY block (fresh_k/v: [B, Nk, TQ, H])."""
+    speculative VERIFY block (fresh_k/v: [B, Nk, TQ, H]).
+
+    pair=True: the paired pool layout [P, L, Nk/2, page, 2H] — 'nk'/'h'
+    below are the PAIR count and doubled lane, q4 is block-diagonal
+    (_pair_q), scales stay per-HEAD (block head count reads from the
+    scale pool) — same _flash_step contract as the dense paired kernel.
+    use_s8: both dots on the MXU's 2x-rate s8 path (quantized pools)."""
     b, nk, g, h = q4.shape
     page = k_pool.shape[3]
     max_pages = (scal.shape[0] - b - 1) // b
     quant = k_scale is not None
     fresh = fresh_k is not None
+    nks = nk * 2 if pair else nk    # scale pools stay per-head
+    h_out = h // 2 if pair else h   # output half-selected per row
 
     def last_page(scal_ref, bb):
         p = scal_ref[bb] - 1 if fresh else scal_ref[bb]
@@ -735,9 +744,9 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
     args = [q4, k_pool, v_pool]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, nk, page), sc_map,
+            pl.BlockSpec((1, 1, nks, page), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk, page), sc_map,
+            pl.BlockSpec((1, 1, nks, page), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
@@ -759,13 +768,14 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
         o_ref, m_ref, l_ref, acc_ref = rest
         _flash_step(scal_ref[pl.program_id(0)], pl.program_id(1), page, nk,
                     q_ref, k_ref, v_ref, ks_ref, vs_ref, fk_ref, fv_ref,
-                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq)
+                    o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale, tq=tq,
+                    use_s8=use_s8 and quant, pair=pair)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, max_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nk, g, h),
+        out_specs=pl.BlockSpec((1, nk, g, h_out),
                                lambda bb, cc, sc: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -778,7 +788,7 @@ def _paged_decode_call(q4, k_pool, v_pool, k_scale, v_scale, fresh_k,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nk, g, h), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nk, g, h_out), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nk * g * max_pages * page * h,
             bytes_accessed=kv_bytes + b * nk * g * h * 4,
@@ -792,12 +802,14 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
                            positions: jnp.ndarray, k_scale=None, v_scale=None,
                            *, layer, fresh_k, fresh_v,
                            scale=None) -> jnp.ndarray:
-    """q: [B, 1, Nq, H]; pools [P, L, Nk, page, H] (+ scales
-    [P, L, Nk, page]); page_table [B, max_pages]. Same contract as
+    """q: [B, 1, Nq, H]; pools [P, L, Nk, page, H] — or the paired layout
+    [P, L, Nk/2, page, 2H] (+ scales [P, L, Nk, page] either way);
+    page_table [B, max_pages]. Same contract as
     ops/attention.paged_cache_attention (fresh-row form)."""
     b, t, nq, h = q.shape
     assert t == 1
-    nk = k_pool.shape[2]
+    paired = k_pool.shape[-1] == 2 * h
+    nk = k_pool.shape[2] * (2 if paired else 1)
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = q[:, 0].reshape(b, nk, nq // nk, h)
     ks = k_scale  # 4-D [L/P, B/L, Nk, S]: lane axis is S
@@ -807,11 +819,23 @@ def paged_decode_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
         jnp.asarray(layer, jnp.int32).reshape(1),
         page_table.astype(jnp.int32).reshape(-1),
     ])
+    use_s8 = (s8_attention() and ks is not None and fresh_k is not None)
+    if paired:
+        q4 = _pair_q(q4)
+        fk = (fresh_k.reshape(b, nk // 2, 1, 2 * h)
+              if fresh_k is not None else None)
+        fv = (fresh_v.reshape(b, nk // 2, 1, 2 * h)
+              if fresh_v is not None else None)
+        out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fk, fv,
+                                 scal, sm_scale=sm_scale, out_dtype=q.dtype,
+                                 interpret=pk.interpret_mode(),
+                                 use_s8=use_s8, pair=True)
+        return out.reshape(b, 1, nq, h)  # rows half-major == head-major
     fk = fresh_k[:, :, None, :] if fresh_k is not None else None
     fv = fresh_v[:, :, None, :] if fresh_v is not None else None
     out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fk, fv,
                              scal, sm_scale=sm_scale, out_dtype=q.dtype,
-                             interpret=pk.interpret_mode())
+                             interpret=pk.interpret_mode(), use_s8=use_s8)
     return out.reshape(b, 1, nq, h)
 
 
@@ -824,9 +848,11 @@ def paged_verify_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
     """verify_attention against the paged pool: q [B, T, Nq, H] candidate
     queries read pool rows j < positions[b] (physical pages via the
     scalar-prefetched table) plus the block's own k/v causally. One pool
-    pass serves all T candidates. fresh_k/v: [B, Nk, T, H]."""
+    pass serves all T candidates. fresh_k/v: [B, Nk, T, H]. Handles the
+    paired pool layout like the dense verify kernel."""
     b, t, nq, h = q.shape
-    nk = k_pool.shape[2]
+    paired = k_pool.shape[-1] == 2 * h
+    nk = k_pool.shape[2] * (2 if paired else 1)
     g = nq // nk
     sm_scale = float(scale) if scale is not None else h ** -0.5
     q4 = (q.reshape(b, t, nk, g, h).transpose(0, 2, 1, 3, 4)
@@ -839,6 +865,16 @@ def paged_verify_attention(q: jnp.ndarray, k_pool: jnp.ndarray,
         page_table.astype(jnp.int32).reshape(-1),
     ])
     from gabby_tpu.ops import pallas as pk
+    if paired:
+        from gabby_tpu.runtime.kv_cache import pair_heads
+        q4 = _pair_q(q4)  # [B, Nk/2, 2*T*G, 2H], rows (half, t, g)
+        out = _paged_decode_call(q4, k_pool, v_pool, ks, vs,
+                                 pair_heads(fresh_k), pair_heads(fresh_v),
+                                 scal, sm_scale=sm_scale, out_dtype=q.dtype,
+                                 interpret=pk.interpret_mode(), tq=t,
+                                 pair=True)
+        out = out.reshape(b, nk, t, g, h)  # (pair, half) rows == head-major
+        return out.transpose(0, 2, 1, 3, 4).reshape(b, t, nq, h)
     out = _paged_decode_call(q4, k_pool, v_pool, ks, vs, fresh_k, fresh_v,
                              scal, sm_scale=sm_scale, out_dtype=q.dtype,
                              interpret=pk.interpret_mode(), tq=t)

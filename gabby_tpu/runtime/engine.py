@@ -115,13 +115,15 @@ class EngineConfig:
     # changes NO numerics (same codes, same scales), and decode keeps the
     # packed int4 stream. No-op unless the params tree holds int4.
     prefill_int8_shadow: bool = False
-    # Paired kv-head cache layout (kv_cache.create_cache(paired=True)):
-    # adjacent head pairs interleaved on the lane axis so the flash decode
-    # kernel's dots run 128-deep contraction with 2x the rows — half the
-    # MXU passes on the structural GQA bottleneck (BASELINE.md round 3).
-    # Dense cache only; requires an even kv-head count (per shard, if the
-    # cache is TP-sharded). Chunked prefill takes the jnp fallback under
-    # pairing (ops/attention.slot_prefill_attention), so this is a decode-
+    # Paired kv-head cache layout (kv_cache.create_cache(paired=True) /
+    # paged.create_paged_cache(paired=True)): adjacent head pairs
+    # interleaved on the lane axis so the flash decode kernel's dots run
+    # 128-deep contraction with 2x the rows — half the MXU passes on the
+    # structural GQA bottleneck (BASELINE.md round 3). Dense AND paged
+    # caches; requires an even kv-head count (per shard, if the cache is
+    # TP-sharded — shardings + pairing still unvalidated together).
+    # Chunked prefill takes the jnp fallback under pairing
+    # (ops/attention.slot_prefill_attention), so this is a decode-
     # throughput knob; measure with `tools/ab_decode.py pair`.
     pair_kv_heads: bool = False
     # Admission ordering when requests wait for a slot: "spf" = shortest
@@ -282,8 +284,6 @@ class Engine:
 
         self._paged = econfig.paged_pages > 0
         self._pt_sharding = None
-        if self._paged and econfig.pair_kv_heads:
-            raise ValueError("pair_kv_heads applies to the dense cache only")
         if econfig.pair_kv_heads and cache_shardings is not None:
             # the paired layout halves the kv-head axis; cache_shardings'
             # specs would still apply name-wise but the kernels' paired
@@ -297,10 +297,13 @@ class Engine:
             if econfig.max_seq % ps != 0:
                 raise ValueError(f"max_seq must be a multiple of "
                                  f"page_size={ps} in paged mode")
+            if econfig.pair_kv_heads and cfg.num_kv_heads % 2:
+                raise ValueError("pair_kv_heads needs an even kv-head count")
             cache = create_paged_cache(
                 cfg, b, econfig.max_seq, econfig.paged_pages,
                 dtype=jnp.dtype(econfig.cache_dtype),
-                quantized=econfig.kv_quantized, page_size=ps)
+                quantized=econfig.kv_quantized, page_size=ps,
+                paired=econfig.pair_kv_heads)
             if cache_shardings is not None:
                 # TP-sharded page pools (parallel.paged_cache_shardings):
                 # the caller passes PagedKVCache-shaped shardings; the

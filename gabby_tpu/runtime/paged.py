@@ -89,17 +89,30 @@ class PagedKVCache:
 def create_paged_cache(cfg: ModelConfig, batch: int, max_seq: int,
                        num_pages: int, dtype=jnp.bfloat16,
                        quantized: bool = False,
-                       page_size: int = PAGE_SIZE) -> PagedKVCache:
+                       page_size: int = PAGE_SIZE,
+                       paired: bool = False) -> PagedKVCache:
+    """paired=True stores adjacent kv-head PAIRS lane-interleaved, exactly
+    like the dense cache's paired layout (kv_cache.create_cache): pools
+    become [P, L, Nk/2, page, 2H] while scales stay per-head
+    [P, L, Nk, page]. The paged flash kernel then runs the same
+    block-diagonal 128-deep dots — half the MXU passes — as dense paired
+    decode. Consumers detect pairing by shape (lane == 2*head_dim)."""
     assert max_seq % page_size == 0
     max_pages = max_seq // page_size
-    shape = (num_pages, cfg.num_layers, cfg.num_kv_heads, page_size,
-             cfg.head_dim)
+    if paired:
+        assert cfg.num_kv_heads % 2 == 0, "pairing needs an even kv-head count"
+        shape = (num_pages, cfg.num_layers, cfg.num_kv_heads // 2,
+                 page_size, 2 * cfg.head_dim)
+    else:
+        shape = (num_pages, cfg.num_layers, cfg.num_kv_heads, page_size,
+                 cfg.head_dim)
     pt = jnp.zeros((batch, max_pages), jnp.int32)
+    sshape = (num_pages, cfg.num_layers, cfg.num_kv_heads, page_size)
     if quantized:
         return PagedKVCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32), page_table=pt)
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32), page_table=pt)
     return PagedKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                         k_scale=None, v_scale=None, page_table=pt)
 

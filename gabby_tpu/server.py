@@ -133,7 +133,6 @@ def _build_engine(args, sync=None):
         # tools/pair_engine_chip_check.py.
         pair_kv_heads=(args.pair_kv if args.pair_kv is not None
                        else (cache_shardings is None
-                             and args.paged_pages == 0
                              and cfg.num_kv_heads % 2 == 0)),
         prefill_int8_shadow=args.prefill_int8_shadow,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
@@ -311,9 +310,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--pair-kv", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="paired kv-head cache layout: half the MXU passes "
-                        "in flash decode attention (dense cache only; see "
-                        "EngineConfig.pair_kv_heads). Default: auto — on "
-                        "when eligible (no mesh/paged cache, even kv-head "
+                        "in flash decode attention (dense AND paged "
+                        "caches; see EngineConfig.pair_kv_heads). Default: "
+                        "auto — on when eligible (no mesh, even kv-head "
                         "count); measured ~10%% faster decode and serving "
                         "on-chip. --no-pair-kv reverts")
     p.add_argument("--speculate", type=int, default=0,

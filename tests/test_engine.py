@@ -954,12 +954,8 @@ def test_paired_kv_cache_engine_matches_reference(setup):
     assert text == tok.decode(ref_ids)
 
 
-def test_paired_rejects_paged_and_odd_heads(setup):
+def test_paired_rejects_odd_heads(setup):
     cfg, params, tok = setup
-    with pytest.raises(ValueError, match="dense"):
-        Engine(cfg, params, tok,
-               EngineConfig(batch_slots=2, max_seq=128, paged_pages=8,
-                            cache_dtype="float32", pair_kv_heads=True))
     cfg_odd = cfglib.tiny(num_heads=3, num_kv_heads=1, head_dim=16,
                           max_seq_len=128)
     params_odd = llama.init_params(cfg_odd, jax.random.PRNGKey(0),

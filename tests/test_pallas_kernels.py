@@ -910,3 +910,68 @@ def test_prefill_shadow_engine_matches_plain_int4():
             eng.shutdown()
         outs[shadow] = (text, fin)
     assert outs[True] == outs[False]
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_decode_attention_paired_matches_unpaired(quantized):
+    """The PAGED paired pool ([P, L, Nk/2, page, 2H], scales per-head)
+    must reproduce the unpaired paged decode contract — the same
+    block-diagonal trick as the dense paired kernel, riding the
+    scalar-prefetched page table."""
+    L, b, nk, g, h = 3, 2, 2, 4, 16
+    page, mp, npages = 16, 4, 10
+    nq = nk * g
+    q = (_rand(0, b, 1, nq, h) * 0.5).astype(jnp.bfloat16)
+    kp = _rand(1, npages, L, nk, page, h) * 0.5
+    vp = _rand(2, npages, L, nk, page, h) * 0.5
+    fk = (_rand(3, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, b, nk, h) * 0.5).astype(jnp.bfloat16)
+    pt = jnp.asarray([[3, 5, 1, 7], [2, 8, 9, 4]], jnp.int32)
+    positions = jnp.asarray([19, 55], jnp.int32)
+    layer = jnp.int32(2)
+    if quantized:
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        ref = pattn.paged_decode_attention(q, kq, vq, pt, positions, ks, vs,
+                                           layer=layer, fresh_k=fk,
+                                           fresh_v=fv)
+        got = pattn.paged_decode_attention(
+            q, _pair_cache(kq), _pair_cache(vq), pt, positions, ks, vs,
+            layer=layer, fresh_k=fk, fresh_v=fv)
+    else:
+        kpb, vpb = kp.astype(jnp.bfloat16), vp.astype(jnp.bfloat16)
+        ref = pattn.paged_decode_attention(q, kpb, vpb, pt, positions,
+                                           layer=layer, fresh_k=fk,
+                                           fresh_v=fv)
+        got = pattn.paged_decode_attention(
+            q, _pair_cache(kpb), _pair_cache(vpb), pt, positions,
+            layer=layer, fresh_k=fk, fresh_v=fv)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_paged_verify_attention_paired_matches_unpaired():
+    """Speculative verify against a PAIRED paged pool (TQ candidate rows,
+    causal self-block) must match the unpaired paged verify."""
+    L, b, nk, g, h, tq = 2, 2, 2, 4, 16, 3
+    page, mp, npages = 16, 4, 9
+    nq = nk * g
+    q = (_rand(0, b, tq, nq, h) * 0.5).astype(jnp.bfloat16)
+    kp = _rand(1, npages, L, nk, page, h) * 0.5
+    vp = _rand(2, npages, L, nk, page, h) * 0.5
+    fk = (_rand(3, b, nk, tq, h) * 0.5).astype(jnp.bfloat16)
+    fv = (_rand(4, b, nk, tq, h) * 0.5).astype(jnp.bfloat16)
+    pt = jnp.asarray([[3, 5, 1, 7], [2, 8, 6, 4]], jnp.int32)
+    positions = jnp.asarray([13, 47], jnp.int32)
+    layer = jnp.int32(1)
+    kq, ks = quantize_kv(kp)
+    vq, vs = quantize_kv(vp)
+    ref = pattn.paged_verify_attention(q, kq, vq, pt, positions, ks, vs,
+                                       layer=layer, fresh_k=fk, fresh_v=fv)
+    got = pattn.paged_verify_attention(
+        q, _pair_cache(kq), _pair_cache(vq), pt, positions, ks, vs,
+        layer=layer, fresh_k=fk, fresh_v=fv)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)

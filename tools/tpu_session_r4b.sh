@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 follow-up measurement session: paged+paired serving (the r4a
+# session measured paged WITHOUT pairing — pairing was dense-only until
+# this round), the page-size ladder under pairing, and decode A/B of
+# paged-paired vs dense-paired. Run after tpu_session.sh completes.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_session_r4b_$(date +%H%M%S)}
+mkdir -p "$OUT"
+echo "logging to $OUT"
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name: $* (timeout ${tmo}s)" | tee -a "$OUT/session.log"
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc" | tee -a "$OUT/session.log"
+  tail -5 "$OUT/$name.log" | tee -a "$OUT/session.log"
+}
+
+# canary first (contention bracket)
+run canary 900 python bench.py --json-only
+
+# paged+paired serving ladder (r4a: dense 908.9, paged512-unpaired 791.2,
+# paged256-unpaired 829.6 tok/s — pairing was the missing ~10%)
+run serve_paged512_pair 1800 python bench.py --serving --workload mixed \
+    --paged-pages 40 --page-size 512
+run serve_paged256_pair 1800 python bench.py --serving --workload mixed \
+    --paged-pages 80 --page-size 256
+run serve_paged128_pair 1800 python bench.py --serving --workload mixed \
+    --paged-pages 160 --page-size 128
+
+# dense re-record in the same session for an honest ladder comparison
+run serve_dense 1800 python bench.py --serving --workload mixed
+
+run canary2 600 python bench.py --json-only
+echo "session complete: $OUT"
