@@ -259,6 +259,17 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
         if pqm.supported(m, qt.shape[0], qt.shape[1], qt.bits):
             return pqm.qmatmul(x, qt.q, qt.scale, qt.bits)
     q = unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    if (qt.bits == 4 and m > 64
+            and os.environ.get("GABBY_INT4_PREFILL_PROMOTE") == "1"):
+        # A/B knob (VERDICT r3 item 3): materialize the unpacked int8
+        # plane instead of letting XLA fuse the nibble unpack into the
+        # dot's operand pipeline — decouples the VPU unpack from the MXU
+        # feed at the cost of one [in, out] int8 HBM round-trip (1/L of
+        # the model per layer, released after the dot). If this reaches
+        # int8-prefill speed it replaces the 2x-HBM resident shadow
+        # (EngineConfig.prefill_int8_shadow). Measure: tools A/B
+        # `GABBY_INT4_PREFILL_PROMOTE=1 python bench.py --prefill-len ...`
+        q = jax.lax.optimization_barrier(q)
     acc = jax.lax.dot_general(
         x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),

@@ -33,5 +33,16 @@ run serve_paged128_pair 1800 python bench.py --serving --workload mixed \
 # dense re-record in the same session for an honest ladder comparison
 run serve_dense 1800 python bench.py --serving --workload mixed
 
+# int4 prefill: fused-unpack (default) vs materialized int8 plane
+# (GABBY_INT4_PREFILL_PROMOTE=1) vs the resident shadow
+# (GABBY_PREFILL_SHADOW=1) — VERDICT r3 item 3's ladder
+run prefill_plain 900 python bench.py --json-only --prefill-len 1024
+run prefill_promote 900 env GABBY_INT4_PREFILL_PROMOTE=1 \
+    python bench.py --json-only --prefill-len 1024
+run prefill_shadow 900 env GABBY_PREFILL_SHADOW=1 \
+    python bench.py --json-only --prefill-len 1024
+run prefill_int8 900 python bench.py --json-only --config int8_1b \
+    --prefill-len 1024
+
 run canary2 600 python bench.py --json-only
 echo "session complete: $OUT"
