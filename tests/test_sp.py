@@ -1,0 +1,111 @@
+"""Sequence-parallel prefill (parallel/sp.py) on the 8-virtual-device
+mesh: numerics vs the unsharded prefill, token-axis sharding actually
+applied, chunked multi-call use, and quantized/paired cache variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gabby_tpu import config as cfglib
+from gabby_tpu.models import llama
+from gabby_tpu.parallel import make_mesh
+from gabby_tpu.parallel.sp import sp_prefill_slot
+from gabby_tpu.runtime import generate
+from gabby_tpu.runtime.kv_cache import create_cache
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = cfglib.tiny(max_seq_len=128)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    return cfg, params
+
+
+@pytest.mark.parametrize("quantized,paired", [(False, False), (True, False),
+                                              (True, True)])
+def test_sp_prefill_matches_dense(setup, quantized, paired):
+    """Token-sharded prefill must reproduce the unsharded prefill's
+    logits AND cache rows exactly (annotations move placement, not
+    math)."""
+    cfg, params = setup
+    mesh = make_mesh(dp=8, tp=1)
+    ids = jnp.asarray(list(range(2, 2 + 64)), jnp.int32)  # 8 tokens/shard
+
+    ref_cache = create_cache(cfg, 2, 128, dtype=jnp.float32,
+                             quantized=quantized, paired=paired)
+    ref_logits, ref_cache = generate.prefill_slot(
+        params, cfg, ids, jnp.int32(64), jnp.int32(1), jnp.int32(0),
+        ref_cache)
+
+    sp_cache = create_cache(cfg, 2, 128, dtype=jnp.float32,
+                            quantized=quantized, paired=paired)
+    sp_logits, sp_cache = sp_prefill_slot(
+        params, cfg, ids, jnp.int32(64), jnp.int32(1), jnp.int32(0),
+        sp_cache, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sp_cache.k[:, 1]),
+                               np.asarray(ref_cache.k[:, 1]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sp_cache.v[:, 1]),
+                               np.asarray(ref_cache.v[:, 1]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sp_prefill_chunked_then_decode(setup):
+    """Multi-chunk SP prefill (offset > 0 reads prior cache rows) feeding
+    the ordinary decode loop: the greedy continuation must match a plain
+    single-call prefill's."""
+    cfg, params = setup
+    mesh = make_mesh(dp=8, tp=1)
+    ids = list(range(3, 3 + 80))
+
+    ref_cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    ref_logits, ref_cache = generate.prefill_slot(
+        params, cfg, jnp.asarray(ids + [0] * 16, jnp.int32),
+        jnp.int32(80), jnp.int32(0), jnp.int32(0), ref_cache)
+
+    cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    logits = None
+    for off in (0, 48):  # 48 + 48-bucket chunks (padded tail)
+        chunk = ids[off:off + 48] + [0] * max(0, 48 - len(ids[off:off + 48]))
+        take = min(48, 80 - off)
+        logits, cache = sp_prefill_slot(
+            params, cfg, jnp.asarray(chunk, jnp.int32), jnp.int32(take),
+            jnp.int32(0), jnp.int32(off), cache, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-5)
+
+    tok = jnp.asarray([int(jnp.argmax(logits))], jnp.int32)
+    rtok = jnp.asarray([int(jnp.argmax(ref_logits))], jnp.int32)
+    pos = jnp.asarray([80], jnp.int32)
+    for _ in range(6):
+        l1, cache = llama.decode_step(params, cfg, tok, pos, cache)
+        l2, ref_cache = llama.decode_step(params, cfg, rtok, pos, ref_cache)
+        tok = jnp.argmax(l1, -1).astype(jnp.int32)
+        rtok = jnp.argmax(l2, -1).astype(jnp.int32)
+        assert int(tok[0]) == int(rtok[0])
+        pos = pos + 1
+
+
+def test_sp_prefill_shards_token_axis(setup):
+    """The compiled SP program must actually distribute the token axis:
+    the hidden-state constraint shows up as a sharded intermediate (check
+    via the compiled HLO containing a data-axis collective OR the input
+    resharding — on a 1-device-per-shard CPU mesh the all-gather is the
+    observable artifact)."""
+    cfg, params = setup
+    mesh = make_mesh(dp=8, tp=1)
+    ids = jnp.asarray(list(range(2, 66)), jnp.int32)
+    cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    from gabby_tpu.parallel.sp import _build_sp_prefill
+    run = _build_sp_prefill(mesh)
+    with mesh:
+        lowered = run.lower(params, cfg, ids, jnp.int32(64), jnp.int32(0),
+                            jnp.int32(0), cache)
+        hlo = lowered.compile().as_text()
+    assert "all-gather" in hlo or "all-to-all" in hlo or "collective" in hlo, (
+        "expected a cross-shard collective in the SP prefill HLO")
