@@ -37,17 +37,26 @@ def main() -> int:
     p.add_argument("--top", type=int, default=28)
     args = p.parse_args()
 
+    import os
     spec = CONFIGS[args.config]
     cfg = spec["preset"](max_seq_len=args.max_seq)
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     if spec["bits"]:
-        params = quant.quantize_tree(params, spec["bits"])
+        # mirror bench.py's serving layout: int4-grouped unembed default
+        params = quant.quantize_tree(
+            params, spec["bits"],
+            unembed_bits=4 if spec["bits"] == 4 else None,
+            unembed_group=256)
     if not args.no_fuse:
         params = llama.fuse_projections(params)
     params = jax.tree.map(jax.device_put, params)
     b = args.batch
+    paired = (os.environ.get("GABBY_ATTN_PAIR", "1") != "0"
+              and cfg.num_kv_heads % 2 == 0)
     cache = create_cache(cfg, b, args.max_seq, dtype=jnp.bfloat16,
-                         quantized=spec["kv_quant"])
+                         quantized=spec["kv_quant"], paired=paired)
+    loops = generate.CacheLoops(cache)  # pinned boundary layouts
+    cache = loops.pin_cache(cache)
     tokens = jnp.full((b,), 17, jnp.int32)
     positions = jnp.full((b,), args.context, jnp.int32)
     active = jnp.ones((b,), bool)
@@ -58,7 +67,7 @@ def main() -> int:
     window = min(window, args.max_seq)
 
     def run(cache, sstate):
-        out, _, _, _, _, _, cache, sstate, _, _, _ = generate.decode_loop(
+        out, _, _, _, _, _, cache, sstate, _, _, _ = loops.decode_loop(
             params, cfg, tokens, positions, active, cache, sstate,
             args.steps, window=window)
         return out, cache, sstate

@@ -45,4 +45,9 @@ run prefill_int8 900 python bench.py --json-only --config int8_1b \
     --prefill-len 1024
 
 run canary2 600 python bench.py --json-only
+
+# profile the CURRENT serving decode layout (paired + int4g unembed +
+# pinned boundary layouts) for the round-4 byte-level account
+run profile 900 python tools/profile_decode.py --config int4_1b
+
 echo "session complete: $OUT"
