@@ -96,7 +96,6 @@ def _build_sp_prefill(mesh: Mesh):
         positions = offset + jnp.arange(t, dtype=jnp.int32)
         h = pin(jnp.take(params["embed"], tokens[None, :], axis=0))
         blocks = params["blocks"]
-        zero = jnp.zeros((), jnp.int32)
 
         def body(carry, norms):
             h, layer = carry
@@ -135,13 +134,11 @@ def _build_sp_prefill(mesh: Mesh):
             s = kcd.shape[1]
             # mask: cache rows j < offset; chunk rows causal at q_offset
             from gabby_tpu.ops.attention import _gqa_core, _split_groups
-            qpos = offset + jnp.arange(t)[None, :, None]       # [1, T, 1]
             cache_mask = jnp.arange(s)[None, None, :] < offset
             cache_mask = jnp.broadcast_to(cache_mask, (1, t, s))
             self_mask = (jnp.arange(t)[None, :, None]
                          >= jnp.arange(t)[None, None, :])
             self_mask = jnp.broadcast_to(self_mask, (1, t, t))
-            del qpos
             mask = jnp.concatenate([cache_mask, self_mask], axis=2)
             attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv,
                              mask, cfg.head_dim ** -0.5).astype(q.dtype)
