@@ -41,6 +41,11 @@ run prefill_promote 900 env GABBY_INT4_PREFILL_PROMOTE=1 \
     python bench.py --json-only --prefill-len 1024
 run prefill_shadow 900 env GABBY_PREFILL_SHADOW=1 \
     python bench.py --json-only --prefill-len 1024
+# decompose: is prefill now UNEMBED-bound? (int4g group-scale unembed at
+# prefill M materializes the dequantized [D, V] table per call; the r4a
+# shadow leg gained only +6% over plain, far below int8's r2 margin)
+run prefill_shadow_u8 900 env GABBY_PREFILL_SHADOW=1 GABBY_UNEMBED_INT4=0 \
+    python bench.py --json-only --prefill-len 1024
 run prefill_int8 900 python bench.py --json-only --config int8_1b \
     --prefill-len 1024
 
