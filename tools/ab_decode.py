@@ -119,6 +119,7 @@ def main() -> int:
                              dtype=jnp.bfloat16,
                              quantized=spec["kv_quant"], paired=paired)
         loops = generate.CacheLoops(cache)  # pinned boundary layouts
+        cache = loops.pin_cache(cache)
         sstate = generate.SamplingState.greedy(b)
         state[name] = (cache, sstate)
 
