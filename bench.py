@@ -167,8 +167,17 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
     # same default-on knob as the decode bench (see there; the paired
     # prefill now takes the XLA fallback, so serving is safe and measured
     # faster: mixed 1025 vs 947 tok/s, p50 TTFT 772 vs 892 ms on-chip)
+    # pairing measured a LOSS for paged serving at production page sizes
+    # (r4b mixed ladder: 512-row pages 694 paired vs 791 unpaired tok/s,
+    # 256: 672 vs 830; only 128-row pages gained, 848) — the paired
+    # prefill fallback (no flash prefill kernel under pairing) eats the
+    # decode win at page-grid chunk sizes. Dense keeps pairing (+10%);
+    # paged defaults unpaired. GABBY_ATTN_PAIR=1 with --paged-pages
+    # re-measures.
     paired = (os.environ.get("GABBY_ATTN_PAIR", "1") != "0"
-              and mesh is None and cfg.num_kv_heads % 2 == 0)
+              and mesh is None and cfg.num_kv_heads % 2 == 0
+              and (not args.paged_pages
+                   or os.environ.get("GABBY_ATTN_PAIR") == "1"))
     cache_sh = None
     if mesh is not None:
         from gabby_tpu.parallel import cache_shardings

@@ -131,8 +131,12 @@ def _build_engine(args, sync=None):
         # ops/attention.slot_prefill_attention). --no-pair-kv reverts;
         # on-chip parity probes: tools/pair_chip_check.py,
         # tools/pair_engine_chip_check.py.
+        # auto-pair: dense only — the r4b on-chip ladder measured paired
+        # PAGED serving slower at 512/256-row pages (prefill falls back
+        # off-kernel under pairing); --pair-kv forces it for re-measures
         pair_kv_heads=(args.pair_kv if args.pair_kv is not None
                        else (cache_shardings is None
+                             and args.paged_pages == 0
                              and cfg.num_kv_heads % 2 == 0)),
         prefill_int8_shadow=args.prefill_int8_shadow,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
