@@ -411,9 +411,18 @@ def write_history(history: jnp.ndarray, row: jnp.ndarray, ids: jnp.ndarray,
 def prefill_chunk(params, cfg: ModelConfig, tokens: jnp.ndarray,
                   cache: KVCache, offset: int):
     """Jitted prefill of one [B, T] chunk at static offset; returns the
-    LAST-position logits only (what sampling needs) and the cache."""
-    logits, cache = llama.prefill(params, cfg, tokens, cache, offset=offset)
-    return logits[:, -1], cache
+    LAST-position logits only (what sampling needs) and the cache.
+
+    The unembed runs on the [B, 1, D] last-row slice, NOT the full
+    [B, T, D] hidden block: at prefill M the grouped-scale int4 unembed's
+    fallback materializes the dequantized [D, V] table per call (measured
+    ~6% of 8x1024 prefill, r4b `prefill_shadow` vs `prefill_shadow_u8`),
+    while at decode-sized M it streams int4 codes through the grouped
+    kernel — slicing first turns prefill's unembed into the cheap decode
+    form."""
+    h, cache = llama.prefill_hidden(params, cfg, tokens, cache,
+                                    offset=offset)
+    return llama._unembed(params, cfg, h[:, -1:])[:, 0], cache
 
 
 @jax.jit
