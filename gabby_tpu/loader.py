@@ -202,6 +202,11 @@ def save_quantized(out_dir: str, cfg: ModelConfig, params: dict,
     write_safetensors(os.path.join(out_dir, "model.safetensors"), flat)
     with open(os.path.join(out_dir, GABBY_META), "w") as f:
         json.dump({"format": "gabby-quant", "bits": bits, "qbits": qbits,
+                   # int4 nibble pairing of quant.pack_int4 (round 4
+                   # switched interleaved -> halfsplit); loaders reject
+                   # mismatched checkpoints instead of silently decoding
+                   # garbage weights
+                   "int4_packing": "halfsplit",
                    "config": {k: v for k, v in cfg.__dict__.items()
                               if k != "rope_scaling"},
                    "rope_scaling": (cfg.rope_scaling.__dict__
@@ -221,6 +226,15 @@ def load_quantized(model_dir: str, *, max_seq_len: Optional[int] = None,
     with open(os.path.join(model_dir, GABBY_META)) as f:
         meta = json.load(f)
     assert meta.get("format") == "gabby-quant", "not a gabby checkpoint"
+    has_int4 = any(bg[0] == 4 for bg in meta.get("qbits", {}).values()) \
+        or meta.get("bits") == 4
+    if has_int4:
+        packing = meta.get("int4_packing", "interleaved")
+        if packing != "halfsplit":
+            raise ValueError(
+                f"checkpoint uses int4 packing '{packing}' but this build "
+                f"reads 'halfsplit' (round-4 layout change) — re-run "
+                f"tools/quantize.py from the original weights")
     from gabby_tpu.config import RopeScaling
     cfg_kv = dict(meta["config"])
     cfg_kv["rope_scaling"] = (RopeScaling(**meta["rope_scaling"])

@@ -8,12 +8,13 @@ a matmul, but for int4 it first materializes the UNPACKED int8 weight in HBM
 doubling the bytes decode must stream. Here the packed bytes go straight
 from HBM to VMEM and nibbles are expanded in-register.
 
-INT4 layout note: bytes pack ADJACENT logical rows (2i lo, 2i+1 hi; see
-ops/quant.QTensor) so tensor-parallel shards stay contiguous. The kernel
-never interleaves sublanes — instead the ACTIVATION's lanes are
-de-interleaved once outside the kernel (x_even/x_odd views of a [M, K]
-tensor, fused by XLA into whatever produced x), and each packed tile
-contributes dot(x_even_tile, lo) + dot(x_odd_tile, hi).
+INT4 layout note: bytes pack HALF-SPLIT row pairs (row j lo, row j+K/2
+hi; see ops/quant.pack_int4) so the two nibble planes' activation slabs
+are CONTIGUOUS halves x[:, :K/2] / x[:, K/2:] — plain slices, no
+de-interleave copies (the old adjacent-row pairing's [M, K/2, 2]
+reshape measured ~82 us/step of layout-hostile copies in the compiled
+decode loop). Each packed tile contributes
+dot(x_even_tile, lo) + dot(x_odd_tile, hi).
 
 Accumulation is always f32 on the MXU; the per-output-channel scale hits
 the accumulator once, on the last K step.
@@ -199,10 +200,11 @@ def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
     tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
-    # de-interleave activation lanes once: columns [0::2] then [1::2]
-    xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
-    x_even = xs[:, :, 0]  # pairs with low nibbles (logical rows 2i)
-    x_odd = xs[:, :, 1]   # pairs with high nibbles (logical rows 2i+1)
+    # half-split pairing (quant.pack_int4): the nibble planes' activation
+    # slabs are CONTIGUOUS halves — no de-interleave copy
+    xb = xp.astype(jnp.bfloat16)
+    x_even = xb[:, :kp]  # pairs with low nibbles (rows [0, k/2))
+    x_odd = xb[:, kp:]   # pairs with high nibbles (rows [k/2, k))
 
     out = pl.pallas_call(
         _int4_kernel,
@@ -401,8 +403,11 @@ def _qmatmul_int4_stacked(x2d, packed, scale, layer, *, interpret=False):
     tile_kp, tile_n = _pick_tiles(kp, n, tile_m, 4)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
-    xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
-    x_even, x_odd = xs[:, :, 0], xs[:, :, 1]
+    # half-split pairing: contiguous activation halves, no de-interleave
+    # copy (the r4b profile measured the old [mp, kp, 2] reshape at
+    # ~82 us/step of layout-hostile copies across the four matmuls)
+    xb = xp.astype(jnp.bfloat16)
+    x_even, x_odd = xb[:, :kp], xb[:, kp:]
     if os.environ.get("GABBY_INT4_RAWDOT") == "1":
         # env read at trace time (same jit-cache hazard/pattern as
         # GABBY_QMM_DSEM: flip only with clear_cache or a fresh process)
@@ -479,48 +484,54 @@ def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
 GROUPED_TILE_N = (1024, 768, 512, 384, 256, 128)
 
 
-def _grouped_tile_n(kp: int, n: int, tile_m: int, gkp: int) -> int:
-    gcount = kp // gkp
+def _grouped_tile_n(kp: int, n: int, tile_m: int, gh: int, g: int) -> int:
     for tile_n in GROUPED_TILE_N:
         if n % tile_n:
             continue
         vmem = (2 * kp * tile_n                    # weight, double-buffered
-                + 2 * 2 * gcount * tile_m * gkp * 2  # xe+xo slabs (bf16)
-                + 2 * gcount * tile_n * 4          # scale tiles
-                + 2 * tile_m * gcount * 4          # rowsums
+                + 2 * 2 * gh * tile_m * g * 2      # xe+xo slabs (bf16)
+                + 2 * 2 * gh * tile_n * 4          # scale tiles
+                + 2 * tile_m * gh * 4              # rowsums
                 + 2 * tile_m * tile_n * 2          # output
-                + gcount * tile_m * tile_n * 4)    # batched-dot transient
+                + gh * tile_m * tile_n * 4)        # batched-dot transient
         if vmem <= 9 * 1024 * 1024:
             return tile_n
     return 0
 
 
 def grouped_supported(m: int, k: int, n: int, group: int) -> bool:
-    if group % 2 or k % group or m > 256:
+    # half-split pairing needs whole groups per nibble plane: group | k/2
+    if group % 2 or k % group or (k // 2) % group or m > 256:
         return False
-    kp, gkp = k // 2, group // 2
+    kp = k // 2
     tile_m = min(_round_up(max(m, 1), 16), 256)
-    return _grouped_tile_n(kp, n, tile_m, gkp) != 0
+    return _grouped_tile_n(kp, n, tile_m, kp // group, group) != 0
 
 
-def _int4_grouped_kernel(xe_ref, xo_ref, rs_ref, w_ref, s_ref, o_ref):
-    gcount, _, gkp = xe_ref.shape
+def _int4_grouped_kernel(xe_ref, xo_ref, rs_ref, w_ref, sl_ref, sh_ref,
+                         o_ref):
+    # half-split pairing: the lo plane covers original rows [0, k/2) =
+    # scale groups [0, gh), the hi plane rows [k/2, k) = groups [gh, 2gh).
+    # The two scale halves arrive as SEPARATE refs (an in-kernel s[gh:]
+    # slice hit a Mosaic gather-lowering bug on this toolchain).
+    gh, _, g = xe_ref.shape
     tn = o_ref.shape[1]
     # same biased-nibble algebra as _int4_kernel
     p = w_ref[:].astype(jnp.int32)
-    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16).reshape(gcount, gkp, tn)
-    lo8 = (p & 15).astype(jnp.bfloat16).reshape(gcount, gkp, tn)
-    dims = (((2,), (1,)), ((0,), (0,)))  # contract gkp, batch over groups
-    d = jax.lax.dot_general(xe_ref[:], lo8, dimension_numbers=dims,
-                            preferred_element_type=jnp.float32)
-    d += jax.lax.dot_general(xo_ref[:], hi, dimension_numbers=dims,
-                             preferred_element_type=jnp.float32)
-    s = s_ref[:]  # [gcount, tn]
-    out = jnp.sum(d * s[:, None, :], axis=0)
-    # the +8 low-nibble bias contracts to rank-1 per group; with grouped
-    # scales the correction is a [tm, G] x [G, tn] dot
+    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16).reshape(gh, g, tn)
+    lo8 = (p & 15).astype(jnp.bfloat16).reshape(gh, g, tn)
+    dims = (((2,), (1,)), ((0,), (0,)))  # contract g, batch over groups
+    d_lo = jax.lax.dot_general(xe_ref[:], lo8, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+    d_hi = jax.lax.dot_general(xo_ref[:], hi, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+    s_lo = sl_ref[:]  # [gh, tn]
+    s_hi = sh_ref[:]
+    out = jnp.sum(d_lo * s_lo[:, None, :], axis=0)
+    out += jnp.sum(d_hi * s_hi[:, None, :], axis=0)
+    # the +8 bias rides the LO nibbles only: rank-1 per lo group
     out -= 8.0 * jax.lax.dot_general(
-        rs_ref[:], s, dimension_numbers=(((1,), (0,)), ((), ())),
+        rs_ref[:], s_lo, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[:] = out.astype(o_ref.dtype)
 
@@ -529,32 +540,33 @@ def _int4_grouped_kernel(xe_ref, xo_ref, rs_ref, w_ref, s_ref, o_ref):
 def _qmatmul_int4_grouped(x2d, packed, scale, group, *, interpret=False):
     m, k = x2d.shape
     kp, n = packed.shape  # kp == k // 2
-    gkp = group // 2
-    gcount = kp // gkp
+    gh = kp // group      # whole scale groups per nibble plane
     tile_m = min(_round_up(m, 16), 256)
-    tile_n = _grouped_tile_n(kp, n, tile_m, gkp)
+    tile_n = _grouped_tile_n(kp, n, tile_m, gh, group)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x2d, ((0, mp - m), (0, 0))) if mp != m else x2d
-    xs = xp.astype(jnp.bfloat16).reshape(mp, kp, 2)
-    xe = xs[:, :, 0].reshape(mp, gcount, gkp)
-    xo = xs[:, :, 1].reshape(mp, gcount, gkp)
-    rs = jnp.sum(xe.astype(jnp.float32), axis=2)  # [mp, gcount]
-    xe = xe.transpose(1, 0, 2)  # [gcount, mp, gkp] — kernel batch axis
+    xb = xp.astype(jnp.bfloat16)
+    xe = xb[:, :kp].reshape(mp, gh, group)  # contiguous half-split slabs
+    xo = xb[:, kp:].reshape(mp, gh, group)
+    rs = jnp.sum(xe.astype(jnp.float32), axis=2)  # [mp, gh]
+    xe = xe.transpose(1, 0, 2)  # [gh, mp, group] — kernel batch axis
     xo = xo.transpose(1, 0, 2)
 
     out = pl.pallas_call(
         _int4_grouped_kernel,
         grid=(mp // tile_m, n // tile_n),
         in_specs=[
-            pl.BlockSpec((gcount, tile_m, gkp), lambda i, j: (0, i, 0),
+            pl.BlockSpec((gh, tile_m, group), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gcount, tile_m, gkp), lambda i, j: (0, i, 0),
+            pl.BlockSpec((gh, tile_m, group), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, gcount), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_m, gh), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, tile_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gcount, tile_n), lambda i, j: (0, j),
+            pl.BlockSpec((gh, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, tile_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
@@ -563,18 +575,24 @@ def _qmatmul_int4_grouped(x2d, packed, scale, group, *, interpret=False):
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * n,
             bytes_accessed=mp * k * 4 + kp * n + mp * n * 2
-            + gcount * n * 4,
+            + 2 * gh * n * 4,
             transcendentals=0),
         interpret=interpret,
-    )(xe, xo, rs, packed, scale)
+    )(xe, xo, rs, packed, scale[:gh], scale[gh:])
     return out[:m] if mp != m else out
 
 
 def qmatmul_grouped(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
                     group: int) -> jnp.ndarray:
     """x: [..., K] @ int4-packed [K//2, N] with group-wise scales
-    [K//group, N] -> [..., N] in x.dtype."""
+    [K//group, N] -> [..., N] in x.dtype. Requires group | K/2 (half-split
+    pairing: each nibble plane must hold whole scale groups) — callers
+    gate on grouped_supported."""
     *lead, k_in = x.shape
+    if (k_in // 2) % group:
+        raise ValueError(
+            f"qmatmul_grouped: group={group} must divide K/2={k_in // 2} "
+            f"(half-split int4 pairing); use the qlinear fallback")
     n = codes.shape[1]
     out = _qmatmul_int4_grouped(x.reshape(-1, k_in), codes, scale, group,
                                 interpret=pk.interpret_mode())
@@ -629,8 +647,7 @@ def _qmatmul_int4_w4a8_stacked(x2d, packed, scale, layer, *,
     xs = jnp.maximum(absmax / 127.0, 1e-8)
     xq = jnp.clip(jnp.round(xp.astype(jnp.float32) / xs),
                   -127, 127).astype(jnp.int8)
-    xqs = xq.reshape(mp, kp, 2)
-    x_even, x_odd = xqs[:, :, 0], xqs[:, :, 1]
+    x_even, x_odd = xq[:, :kp], xq[:, kp:]  # half-split pairing
 
     in_specs = [
         pl.BlockSpec((tile_m, tile_kp), lambda i, j, kk, sc: (i, kk),

@@ -61,15 +61,16 @@ class QTensor:
     """Quantized 2-D weight of logical shape [in_dim, out_dim].
 
     q: int8. For bits=8, shape [in_dim, out_dim], values in [-127, 127].
-       For bits=4, shape [in_dim // 2, out_dim]; each byte packs ADJACENT
-       logical rows 2i (low nibble) and 2i+1 (high nibble), values [-7, 7].
-       Adjacent-row packing keeps every tensor-parallel shard of the packed
-       axis expanding to its own contiguous logical rows (a row-sharded
-       contraction axis stays local, no cross-chip gathers). The Pallas
-       fused matmul avoids the in-kernel sublane interleave this layout
-       would imply by de-interleaving the ACTIVATION's lanes instead
-       (tiny [M, K] permute, fused by XLA) and contracting the two nibble
-       planes separately — see ops/pallas/quant_matmul.py.
+       For bits=4, shape [in_dim // 2, out_dim]; each byte packs rows i
+       (low nibble) and i + in_dim/2 (high nibble), values [-7, 7] —
+       HALF-SPLIT pairing (see pack_int4: the matching activation planes
+       are then contiguous halves, killing ~82 us/step of de-interleave
+       copies the old adjacent-row pairing cost in the decode loop).
+       Under a row-sharded contraction axis (TP wo/w_down) the unpack is
+       a concatenate of the two nibble planes — numerically exact under
+       GSPMD; if a real multi-chip profile ever shows the concat
+       breaking the local-partial-dot + psum pattern, revisit with
+       per-shard half-split packing.
     scale: f32. Per-output-channel [out_dim] when group == 0; per
        (input-group, output-channel) [in_dim // group, out_dim] when
        group > 0 — group-wise scales recover most of int4's quality loss
@@ -96,8 +97,17 @@ class QTensor:
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """[in, out] int8 in [-7, 7] -> [in//2, out] packed bytes (byte i holds
-    row 2i in the low nibble, row 2i+1 in the high).
+    """[in, out] int8 in [-7, 7] -> [in//2, out] packed bytes — byte i
+    holds row i in the low nibble and row i + in//2 in the high
+    (HALF-SPLIT pairing).
+
+    Half-split (vs the round-1..3 interleaved 2i/2i+1 pairing): the
+    matmul kernels feed each nibble plane the matching HALF of the
+    activation vector, and with half-split pairing those halves are
+    CONTIGUOUS slices x[:, :k/2] / x[:, k/2:] — the interleaved layout's
+    [m, k/2, 2] de-interleave reshape cost ~82 us/step of layout-hostile
+    copies in the compiled decode loop (r4b profile: copy.401/399/397/391,
+    bf16[*,*,2] minor-dim-2 windows moving bytes at ~5 GB/s).
 
     The low nibble is stored BIASED by +8 (values 1..15), so a packed byte
     read as signed int8 decomposes with pure float math:
@@ -105,20 +115,23 @@ def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
     The Pallas kernel exploits this: one int8->bf16 hardware convert plus
     mul/floor/fma per byte instead of i32 widening + four vector shifts
     (Mosaic has no sub-i32 shifts), and the -8 bias folds into a rank-1
-    correction (8 * rowsum(x_even)) applied to the accumulator — the
+    correction (8 * rowsum(x_lo)) applied to the accumulator — the
     measured fix for the round-1 kernel being VPU-bound on the unpack."""
     assert q.shape[0] % 2 == 0, "int4 packing needs an even input dim"
-    lo = (q[0::2].astype(jnp.int32) + 8).astype(jnp.uint8) & 0xF
-    hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+    kp = q.shape[0] // 2
+    lo = (q[:kp].astype(jnp.int32) + 8).astype(jnp.uint8) & 0xF
+    hi = (q[kp:].astype(jnp.uint8) & 0xF) << 4
     return (lo | hi).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """[in//2, out] packed -> [in, out] int8, undoing the low-nibble bias."""
+    """[in//2, out] packed -> [in, out] int8, undoing the low-nibble bias
+    (half-split pairing: low nibbles are rows [0, in/2), high nibbles the
+    rest — a concatenate, which XLA fuses better than the old interleave
+    stack ever did)."""
     lo = (packed.astype(jnp.int32) & 0xF).astype(jnp.int8) - 8
     hi = jnp.right_shift(packed, 4)  # arithmetic: sign-extends the nibble
-    inter = jnp.stack([lo, hi], axis=1)  # [in//2, 2, out]
-    return inter.reshape(packed.shape[0] * 2, packed.shape[1])
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def quantize(w: jnp.ndarray, bits: int, group: int = 0) -> QTensor:

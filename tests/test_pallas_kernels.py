@@ -59,7 +59,7 @@ def test_qmatmul_leading_dims():
 
 
 @pytest.mark.parametrize("m,k,n,g", [(8, 256, 256, 64), (5, 512, 384, 128),
-                                     (16, 256, 128, 256)])
+                                     (16, 512, 128, 256)])
 def test_qmatmul_grouped_matches_qlinear(m, k, n, g):
     """Grouped-scale int4 kernel (the unembed path) vs the jnp per-group
     batched-dot contract in quant.qlinear."""
