@@ -31,14 +31,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gabby_tpu.ops import pallas as pk
 
-TILE_N_CANDIDATES = (512, 256, 128)
+import os
+
+if os.environ.get("GABBY_QMM_BIGTILES", "1") != "0":
+    # Round-4 default: after the half-split repack removed the activation
+    # copies, the stacked matmuls still ran ~1.57x their DMA floor — the
+    # grid arithmetic points at per-tile overhead (the 1B streams ~60
+    # weight tiles per LAYER across the four calls at 512-wide tile_n;
+    # ~960 grid steps/decode-step at a few hundred ns each is the whole
+    # residual). Wider tile_n + a 4 MB budget quarters the step count at
+    # the same bytes. GABBY_QMM_BIGTILES=0 restores the round-1 tiling
+    # for A/Bs.
+    TILE_N_CANDIDATES = (2048, 1024, 512, 256, 128)
+    TILE_BYTES = 4 * 1024 * 1024
+else:
+    TILE_N_CANDIDATES = (512, 256, 128)
+    TILE_BYTES = 2 * 1024 * 1024
 TILE_K_CANDIDATES = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32)
-# Weight-tile byte budget. Decode streams the whole weight matrix every
-# step, so per-grid-step overhead must be amortized against DMA time:
-# ~2 MB per tile ≈ 2.4 us of HBM time on v5e vs sub-us step overhead.
-# (First cut used 128 KB tiles; the overhead of ~8k grid steps per decode
-# step cost more than the kernel saved.)
-TILE_BYTES = 2 * 1024 * 1024
 
 
 def _pick(total: int, candidates) -> int:
