@@ -33,19 +33,29 @@ from gabby_tpu.ops import pallas as pk
 
 import os
 
-if os.environ.get("GABBY_QMM_BIGTILES", "1") != "0":
-    # Round-4 default: after the half-split repack removed the activation
-    # copies, the stacked matmuls still ran ~1.57x their DMA floor — the
-    # grid arithmetic points at per-tile overhead (the 1B streams ~60
-    # weight tiles per LAYER across the four calls at 512-wide tile_n;
-    # ~960 grid steps/decode-step at a few hundred ns each is the whole
-    # residual). Wider tile_n + a 4 MB budget quarters the step count at
-    # the same bytes. GABBY_QMM_BIGTILES=0 restores the round-1 tiling
-    # for A/Bs.
+_TILES = os.environ.get("GABBY_QMM_BIGTILES", "mid")
+if _TILES in ("1", "big"):
+    # Aggressive 4 MB tiles: measured 1.655 ms/step / 56.0% SOL on the 1B
+    # bench (vs 1.919 / 48.3% with the round-1 tiling, same session) —
+    # but the compile is at the mercy of the terminal's scoped-VMEM
+    # limit: after a terminal restart the identical program OOM'd at
+    # compile ("Scoped allocation 24.26M, limit 16.00M"). Opt-in until a
+    # toolchain with a stable higher limit is the norm.
     TILE_N_CANDIDATES = (2048, 1024, 512, 256, 128)
     TILE_BYTES = 4 * 1024 * 1024
-else:
+elif _TILES == "0":
     TILE_N_CANDIDATES = (512, 256, 128)
+    TILE_BYTES = 2 * 1024 * 1024
+else:
+    # Default: after the half-split repack removed the activation copies,
+    # the stacked matmuls still ran ~1.57x their DMA floor on
+    # per-grid-step overhead (~960 weight tiles per decode step at
+    # 512-wide tile_n). Wide tile_n under the PROVEN-SAFE 2 MB block
+    # budget (the round-1 tiling already shipped 2 MB w_down blocks
+    # through every terminal restart) cuts the step count ~4x at the
+    # same bytes — most of the "big" variant's win without its
+    # scoped-VMEM compile risk.
+    TILE_N_CANDIDATES = (2048, 1024, 512, 256, 128)
     TILE_BYTES = 2 * 1024 * 1024
 TILE_K_CANDIDATES = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32)
 
