@@ -44,6 +44,10 @@ from gabby_tpu.tokenizer import ChatFormat, Tokenizer
 
 # chunk-length ladder for slot prefill: smallest bucket >= remaining,
 # repeating the largest for long prompts. Few buckets = few compiles.
+# (16, 64, 256, 512, 1024) was A/B'd on-chip in round 4: the 1024 bucket
+# TANKED mixed serving (797 tok/s @ 2.18 s TTFT vs 1162 @ 0.67 s) —
+# single-slot 1024-token chunks hit a slow prefill regime, and the
+# coarser ladder wastes more padded rows. 512 stays the ceiling.
 PREFILL_BUCKETS = (16, 64, 256, 512)
 
 
