@@ -226,8 +226,11 @@ def load_quantized(model_dir: str, *, max_seq_len: Optional[int] = None,
     with open(os.path.join(model_dir, GABBY_META)) as f:
         meta = json.load(f)
     assert meta.get("format") == "gabby-quant", "not a gabby checkpoint"
-    has_int4 = any(bg[0] == 4 for bg in meta.get("qbits", {}).values()) \
-        or meta.get("bits") == 4
+    # qbits values: [bits, group] (current) or bare int bits (round-2
+    # files) — normalize BEFORE inspecting, or legacy files TypeError here
+    has_int4 = any(
+        (bg[0] if isinstance(bg, (list, tuple)) else bg) == 4
+        for bg in meta.get("qbits", {}).values()) or meta.get("bits") == 4
     if has_int4:
         packing = meta.get("int4_packing", "interleaved")
         if packing != "halfsplit":

@@ -33,7 +33,8 @@ from gabby_tpu.ops.attention import (cache_attention,
 from gabby_tpu.ops.linear import linear
 from gabby_tpu.ops.norms import rms_norm
 from gabby_tpu.ops.rope import apply_rope, rope_inv_freq
-from gabby_tpu.runtime.kv_cache import (KVCache, dequantize_kv, pair_heads,
+from gabby_tpu.runtime.kv_cache import (KVCache, cache_is_paired,
+                                        dequantize_kv, pair_heads,
                                         quantize_kv, unpair_heads)
 
 Params = dict[str, Any]
@@ -354,7 +355,7 @@ def _prefill_hidden_paged(params: Params, cfg: ModelConfig,
     h = jnp.take(params["embed"], tokens, axis=0)
     quantized = cache.quantized
     blocks = params["blocks"]
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim
+    paired = cache_is_paired(cache, cfg)
     mask = (jnp.ones((b,), bool) if lane_mask is None else lane_mask)
 
     xs_prior = ()
@@ -457,7 +458,7 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos2d = positions[:, None]  # [B, 1]
     h = jnp.take(params["embed"], tokens[:, None], axis=0)  # [B, 1, D]
     quantized = cache.quantized
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim  # kv_cache.create_cache
+    paired = cache_is_paired(cache, cfg)  # kv_cache.create_cache
 
     # Cache-traffic design (profiled; the naive forms were the bottleneck):
     # the stacked cache is READ-ONLY inside the layer scan — attention takes
@@ -603,7 +604,7 @@ def _decode_step_paged(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     # (physical page, row-in-page) resolved through the page table
     ps = cache.page_size
     zero = jnp.int32(0)
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim
+    paired = cache_is_paired(cache, cfg)
 
     max_seq = cache.page_table.shape[1] * ps
 
@@ -681,7 +682,7 @@ def prefill_slot(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     positions = offset + jnp.arange(t, dtype=jnp.int32)  # [T]
     h = jnp.take(params["embed"], tokens[None, :], axis=0)  # [1, T, D]
     quantized = cache.quantized
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim
+    paired = cache_is_paired(cache, cfg)
     zero = jnp.zeros((), jnp.int32)
 
     # Same cache-traffic design as decode_step: the stacked cache is
@@ -793,7 +794,7 @@ def verify_step(params: Params, cfg: ModelConfig, tokens_bt: jnp.ndarray,
     positions = positions0[:, None] + jnp.arange(t, dtype=jnp.int32)  # [B,T]
     h = jnp.take(params["embed"], tokens_bt, axis=0)  # [B, T, D]
     quantized = cache.quantized
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim
+    paired = cache_is_paired(cache, cfg)
     blocks = params["blocks"]
     s_max = cache.max_seq
     # a [T]-row write at the slot's position: clamp so the block can never
@@ -953,7 +954,7 @@ def _verify_step_paged(params: Params, cfg: ModelConfig,
     quantized = cache.quantized
     blocks = params["blocks"]
     use_kernel = pk.kernels_enabled() and cfg.num_heads % cfg.num_kv_heads == 0
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim
+    paired = cache_is_paired(cache, cfg)
 
     def body(carry, norms):
         h, layer = carry
@@ -1085,7 +1086,7 @@ def _prefill_slot_paged(params: Params, cfg: ModelConfig,
     h = jnp.take(params["embed"], tokens[None, :], axis=0)
     quantized = cache.quantized
     blocks = params["blocks"]
-    paired = cache.k.shape[-1] == 2 * cfg.head_dim
+    paired = cache_is_paired(cache, cfg)
     zero = jnp.zeros((), jnp.int32)
 
     phys = cache.page_table[slot]  # [max_pages]

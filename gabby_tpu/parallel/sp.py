@@ -90,7 +90,8 @@ def _build_sp_prefill(mesh: Mesh):
     def run(params, cfg, tokens, length, slot, offset, cache):
         t = tokens.shape[0]
         quantized = cache.quantized
-        paired = cache.k.shape[-1] == 2 * cfg.head_dim
+        from gabby_tpu.runtime.kv_cache import cache_is_paired
+        paired = cache_is_paired(cache, cfg)
         inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta,
                                  cfg.rope_scaling)
         positions = offset + jnp.arange(t, dtype=jnp.int32)

@@ -365,6 +365,7 @@ class Engine:
         import collections as _c
         self._plain_step_s: "_c.deque[float]" = _c.deque(maxlen=32)
         self._spec_step_s: "_c.deque[float]" = _c.deque(maxlen=32)
+        self._plain_probe_ctr = 0
         # per-slot token history: the n-gram speculation corpus (prompt
         # placed at admission, generated tokens appended on device)
         self._history = jnp.zeros((b, econfig.max_seq), jnp.int32)
@@ -609,9 +610,21 @@ class Engine:
         multi-chunk prefill, the busy/drained decode-burst step ladder, and
         one prefix-donor copy (a repeat of the solo prompt). Synthetic token
         ids, no tokenizer dependence; serving stats are reset afterwards so
-        warm-up TTFTs never pollute /statusz. Returns seconds elapsed."""
+        warm-up TTFTs never pollute /statusz. Speculation state is
+        restored afterwards too — synthetic prompts would otherwise feed
+        the acceptance probe garbage and could disable speculation for
+        real traffic. Single-host only: in multi-host mode the followers
+        replay plans but never run this method, so the leader-side stat
+        reset would desynchronize the replicated counters the speculation
+        flip depends on. Returns seconds elapsed."""
+        if self._multi:
+            raise RuntimeError(
+                "Engine.warmup is single-host only (a leader-side stats "
+                "reset would desynchronize the replicated counters "
+                "multi-host speculation decisions derive from)")
         t0 = time.monotonic()
         ec = self.ec
+        spec_was = self._spec_enabled
         gen = max(4, min(max(ec.steps_per_call, ec.steps_per_call_busy) + 2,
                          ec.max_seq // 4))
         limit = max(1, ec.max_seq - 1 - gen)
@@ -644,6 +657,13 @@ class Engine:
             t.start()
         for t in threads:
             t.join()
+        # restore speculation exactly as configured: the rehearsal's
+        # synthetic token streams are not evidence about real traffic
+        self._spec_enabled = spec_was
+        if spec_was:
+            self._spec_off_since = None
+        self._plain_step_s.clear()   # compile-laden wall times out of the
+        self._spec_step_s.clear()    # auto-break-even windows
         self.reset_stats()
         return time.monotonic() - t0
 
@@ -1534,7 +1554,8 @@ class Engine:
         # — not worth the complexity for a rarely-combined pair (history
         # goes stale meanwhile; verification keeps later spec calls
         # correct, acceptance just dips)
-        if self._spec_enabled and self._pstate is None:
+        if (self._spec_enabled and self._pstate is None
+                and not self._probe_plain_now()):
             t_call = time.perf_counter()
             dl = self.ec.speculate_tokens
             (out_em, out_n, out_lp, self._tokens, self._positions,
@@ -1659,6 +1680,21 @@ class Engine:
             if slot is not None and not active_host[slot_ix]:
                 self._finish(slot_ix, "length")
         return admitting
+
+    def _probe_plain_now(self) -> bool:
+        """spec_auto_breakeven needs PLAIN-burst wall samples, but with
+        speculation enabled every burst takes the spec branch — so until
+        the plain window has enough samples, every 16th burst runs plain.
+        Output-safe: the two loops are interchangeable per iteration (the
+        disable/re-probe flips already rely on that; history staleness is
+        tolerated exactly like the penalized-batch plain path). Single-
+        host only — multi-host uses the configured constant and must
+        dispatch identical programs on every controller."""
+        if (not self.ec.spec_auto_breakeven or self._multi
+                or len(self._plain_step_s) >= 8):
+            return False
+        self._plain_probe_ctr += 1
+        return self._plain_probe_ctr % 16 == 0
 
     def _spec_breakeven_now(self) -> float:
         """The break-even in force: the measured verify/plain per-step

@@ -87,6 +87,14 @@ def create_cache(cfg: ModelConfig, batch: int, max_seq: int,
                    k_scale=None, v_scale=None)
 
 
+def cache_is_paired(cache, cfg) -> bool:
+    """True when `cache` (dense KVCache or PagedKVCache) stores
+    lane-interleaved kv-head PAIRS (created with paired=True). Lane width
+    is the single source of truth — use this instead of inlining the
+    shape test at call sites."""
+    return cache.k.shape[-1] == 2 * cfg.head_dim
+
+
 def pair_heads(x: jnp.ndarray) -> jnp.ndarray:
     """[..., Nk, T, H] -> [..., Nk/2, T, 2H]: interleave adjacent head
     pairs on the lane axis (the paired-cache storage transform). For T == 1

@@ -407,16 +407,22 @@ def main(argv: Optional[list[str]] = None) -> int:
         model_id=model_id, read_timeout_millis=args.read_timeout_millis,
         write_timeout_millis=args.write_timeout_millis,
         log_level=args.log_level, stats_fn=engine.stats_snapshot)
-    if args.warmup:
+    # multi-host: warmup is single-host only (Engine.warmup docstring —
+    # a leader-side stats reset would desynchronize the replicated
+    # counters the speculation flip derives from)
+    do_warmup = args.warmup and sync is None
+    if do_warmup:
         server.set_ready(False)
     port = server.start()
     print(f"listening on port {port}", flush=True)
-    if args.warmup:
+    if do_warmup:
         # /readyz answers 503 ("warming") while this runs; requests that
         # arrive early still work — they just queue behind the rehearsal
         secs = engine.warmup()
         server.set_ready(True)
         print(f"ready (warm-up {secs:.1f}s)", flush=True)
+    elif args.warmup:
+        print("warm-up skipped (multi-host)", flush=True)
 
     stop = threading.Event()
 

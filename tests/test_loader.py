@@ -192,3 +192,36 @@ def test_quantized_checkpoint_roundtrip_grouped_unembed(tmp_path,
     b = llama.forward(q2, cfg2, tokens)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_load_quantized_legacy_bare_int_qbits(tmp_path):
+    """Round-2 checkpoints stored qbits values as bare ints; the int4
+    packing gate must not TypeError on them — legacy INT8 loads fine,
+    legacy INT4 fails with the re-quantize message (its packed bytes are
+    the old interleaved layout)."""
+    import json
+
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.loader import load_quantized, save_quantized
+    from gabby_tpu.models import llama
+    from gabby_tpu.ops import quant
+
+    cfg = cfglib.tiny()
+    params = quant.quantize_tree(
+        llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32), 8)
+    d = tmp_path / "ckpt"
+    save_quantized(str(d), cfg, params, 8)
+    meta_path = d / "gabby.json"
+    meta = json.loads(meta_path.read_text())
+    # rewrite as a round-2 file: bare int bits, no packing field
+    meta["qbits"] = {k: (v[0] if isinstance(v, list) else v)
+                     for k, v in meta["qbits"].items()}
+    meta.pop("int4_packing", None)
+    meta_path.write_text(json.dumps(meta))
+    cfg2, params2, bits = load_quantized(str(d))  # int8: must load
+    assert bits == 8
+
+    meta["bits"] = 4  # legacy INT4: clear error, not a TypeError
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="re-run"):
+        load_quantized(str(d))

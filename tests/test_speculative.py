@@ -404,3 +404,22 @@ def test_spec_auto_breakeven_derives_from_timings(setup):
         assert eng._spec_breakeven_now() == 1.7
     finally:
         eng.shutdown()
+
+
+def test_warmup_preserves_speculation_state(setup):
+    """Engine.warmup must not let the synthetic rehearsal's acceptance
+    probe disable speculation for real traffic (and must flush the
+    compile-laden timing windows)."""
+    cfg, params, tok = setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(batch_slots=2, max_seq=128,
+                              cache_dtype="float32", speculate_tokens=3,
+                              spec_breakeven=99.0))  # force a mid-warmup disable
+    try:
+        eng.warmup(concurrency=3)
+        assert eng._spec_enabled is True
+        assert eng.stats["spec_on"] == 1
+        assert eng.stats["spec_disables"] == 0
+        assert len(eng._spec_step_s) == 0 and len(eng._plain_step_s) == 0
+    finally:
+        eng.shutdown()

@@ -57,6 +57,7 @@ def main() -> int:
         cache = create_cache(cfg, b, args.max_seq, dtype=jnp.bfloat16,
                              quantized=True, paired=paired)
         loops = generate.CacheLoops(cache)
+        cache = loops.pin_cache(cache)
         lengths = jnp.full((b,), args.context, jnp.int32)
         lane_mask = jnp.ones((b,), bool)
         logits, cache = loops.prefill_batch_chunk(

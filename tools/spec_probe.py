@@ -33,10 +33,17 @@ import jax.numpy as jnp
 
 
 def load_corpus(path: str) -> list[str]:
+    """Each `=== DOC: <title> ===\\n<body>` section -> its BODY text."""
     with open(path, encoding="utf-8") as f:
         text = f.read()
-    docs = [d.strip() for d in text.split("=== DOC:") if d.strip()]
-    return [d.split("===")[0].strip() for d in docs]
+    docs = []
+    for frag in text.split("=== DOC:"):
+        if "===" not in frag:
+            continue
+        body = frag.split("===", 1)[1].strip()
+        if body:
+            docs.append(body)
+    return docs
 
 
 def run_engine(args, speculate: int, docs: list[str]) -> dict:
