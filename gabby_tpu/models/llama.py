@@ -189,7 +189,11 @@ def _unembed(params: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     if params.get("lm_head") is not None:
         w = params["lm_head"]
-        return linear(h, w).astype(jnp.float32)
+        out = linear(h, w).astype(jnp.float32)
+        # the int4-grouped unembed table may be vocab-PADDED for wide
+        # kernel tiles (quant.quantize_unembed_table pad_to); junk
+        # columns must never reach sampling/penalties
+        return out[..., :cfg.vocab_size]
     # tied embeddings: contract h [.., D] with embed [V, D] on D
     return jax.lax.dot_general(
         h, params["embed"],

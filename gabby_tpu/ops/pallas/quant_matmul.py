@@ -500,7 +500,7 @@ def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
 # per group with ONE batched dot over the group axis (small per-group dots
 # pay MXU issue/drain latency — the round-2 flash-attention lesson).
 
-GROUPED_TILE_N = (1024, 768, 512, 384, 256, 128)
+GROUPED_TILE_N = (2048, 1024, 768, 512, 384, 256, 128)
 
 
 def _grouped_tile_n(kp: int, n: int, tile_m: int, gh: int, g: int) -> int:

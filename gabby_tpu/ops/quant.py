@@ -389,16 +389,27 @@ def promote_int4_to_int8(params):
 
 
 def quantize_unembed_table(table, bits: int | None = None,
-                           group: int = 256) -> QTensor:
+                           group: int = 256,
+                           pad_to: int = 2048) -> QTensor:
     """Quantize the [D, V] unembed table: INT8 per-vocab-channel (default)
     or INT4 with group-wise scales along D (see quantize_tree). Shared by
     quantize_tree and the checkpoint loader so GABBY_UNEMBED_BITS behaves
-    identically on both load paths."""
+    identically on both load paths.
+
+    pad_to (int4 only): the vocab axis pads with zero columns to the next
+    multiple, so the grouped kernel can run WIDE n tiles — Llama-3's
+    V=128256 only divides 768-wide tiles (167 grid steps per unembed);
+    padded to 129024 = 63 x 2048 the grid runs 2048-wide 2 MB tiles at
+    +0.6% junk bytes. Consumers slice logits back to the true vocab
+    (llama._unembed) — padded columns never reach sampling."""
     if bits is None:
         bits = int(os.environ.get("GABBY_UNEMBED_BITS", "8"))
     assert bits in (4, 8)
     table = jnp.asarray(table, jnp.float32)
     if bits == 4:
+        v = table.shape[1]
+        if pad_to and v % pad_to:
+            table = jnp.pad(table, ((0, 0), (0, pad_to - v % pad_to)))
         while group > 1 and table.shape[0] % group:
             group //= 2
         return quantize(table, 4, group=group)

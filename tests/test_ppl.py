@@ -187,3 +187,31 @@ def test_s8_attention_decode_nll_delta(setup):
         pk.set_kernels(None)
         jax.clear_caches()
     assert abs(s8 - base) / max(base, 1e-6) < 0.05, (base, s8)
+
+
+def test_padded_unembed_matches_unpadded():
+    """quantize_unembed_table's vocab padding (wide grouped-kernel tiles)
+    must be invisible: logits on the true vocab identical, junk columns
+    sliced before sampling (llama._unembed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gabby_tpu import config as cfglib
+    from gabby_tpu.models import llama
+    from gabby_tpu.ops import quant
+
+    cfg = cfglib.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32)
+    q_pad = quant.quantize_tree(params, 4, unembed_bits=4, unembed_group=16)
+    assert q_pad["lm_head"].q.shape[1] == 2048  # padded from 256
+    q_nopad = dict(q_pad)
+    q_nopad["lm_head"] = quant.quantize_unembed_table(
+        params["lm_head"], bits=4, group=16, pad_to=0)
+    h = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.hidden_size))
+    a = llama._unembed(q_pad, cfg, h)
+    b = llama._unembed(q_nopad, cfg, h)
+    assert a.shape == (1, 3, cfg.vocab_size)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
