@@ -109,3 +109,31 @@ def test_sp_prefill_shards_token_axis(setup):
         hlo = lowered.compile().as_text()
     assert "all-gather" in hlo or "all-to-all" in hlo or "collective" in hlo, (
         "expected a cross-shard collective in the SP prefill HLO")
+
+
+def test_sp_prefill_composes_with_fused_tp(setup):
+    """Sequence-parallel prefill over the data axis COMPOSED with
+    shard-aware fused projections over the model axis (dp=4 x tp=2):
+    the token constraint and the per-shard fused column layout must not
+    interfere — logits match the plain unfused, unsharded prefill."""
+    import dataclasses
+
+    cfg, params = setup
+    mesh = make_mesh(dp=4, tp=2)
+    ids = jnp.asarray(list(range(2, 2 + 64)), jnp.int32)
+
+    ref_cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    ref_logits, _ = generate.prefill_slot(
+        params, cfg, ids, jnp.int32(64), jnp.int32(0), jnp.int32(0),
+        ref_cache)
+
+    from gabby_tpu.parallel import shard_params
+    fcfg = dataclasses.replace(cfg, fused_tp=2)
+    fused = shard_params(llama.fuse_projections(params, tp=2), mesh,
+                         fused_tp=2)
+    cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    sp_logits, _ = sp_prefill_slot(
+        fused, fcfg, ids, jnp.int32(64), jnp.int32(0), jnp.int32(0),
+        cache, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-5)
