@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 
 def _honor_jax_platforms_env() -> None:
     import os
+    import sys
 
     want = os.environ.get("JAX_PLATFORMS", "").strip().lower()
     if not want or "axon" in want or "tpu" in want or "proxy" in want:
@@ -41,9 +42,18 @@ def _honor_jax_platforms_env() -> None:
 
         if jax.config.jax_platforms != want:
             jax.config.update("jax_platforms", want)
-    except Exception:
-        pass  # backends already initialized (caller imported jax first
-        # and ran a computation) — leave them be
+    except Exception as e:
+        # Most likely: backends already initialized (caller imported jax
+        # first and ran a computation before importing gabby_tpu). That
+        # recreates exactly the silent-override failure this hook exists
+        # to fix — so say so instead of silently giving up (ADVICE r4):
+        # the operator sees WHY JAX_PLATFORMS was not honored and can
+        # reorder imports or pass --platform explicitly.
+        print(
+            f"gabby_tpu: WARNING: could not re-assert JAX_PLATFORMS="
+            f"{want!r} over the sitecustomize override ({type(e).__name__}"
+            f": {e}); JAX may dial a platform you did not ask for",
+            file=sys.stderr)
 
 
 _honor_jax_platforms_env()

@@ -196,6 +196,12 @@ class Request:
     # composition, admission order, or device-call fusion (the lane draws
     # from fold_in(PRNGKey(seed), position)).
     seed: Optional[int] = None
+    # engine-originated rehearsal traffic (Engine.warmup): excluded from
+    # request counters, TTFT samples, and tracing spans at the recording
+    # sites, so a REAL request that completes while the rehearsal runs
+    # keeps its stats (ADVICE r4: warmup's blanket reset_stats erased
+    # them)
+    internal: bool = False
 
     @property
     def penalized(self) -> bool:
@@ -502,7 +508,8 @@ class Engine:
                    frequency_penalty: float = 0.0,
                    logit_bias: Optional[dict] = None,
                    repetition_penalty: float = 1.0,
-                   seed: Optional[int] = None) -> Request:
+                   seed: Optional[int] = None,
+                   internal: bool = False) -> Request:
         ec = self.ec
         if not 0 <= (top_logprobs or 0) <= 20:
             raise RequestError("top_logprobs must be in [0, 20]")
@@ -567,6 +574,7 @@ class Engine:
             logit_bias=bias,
             repetition_penalty=float(repetition_penalty or 1.0),
             seed=seed,
+            internal=internal,
         )
         # a STOPPED engine (shutdown, loop death, or the multi-host
         # watchdog declaring the cluster dead) must not accept work into a
@@ -609,8 +617,13 @@ class Engine:
         lengths cover the prefill bucket ladder — burst admissions,
         multi-chunk prefill, the busy/drained decode-burst step ladder, and
         one prefix-donor copy (a repeat of the solo prompt). Synthetic token
-        ids, no tokenizer dependence; serving stats are reset afterwards so
-        warm-up TTFTs never pollute /statusz. Speculation state is
+        ids, no tokenizer dependence; rehearsal requests are tagged
+        internal=True so they never touch the request counters, TTFT
+        samples, or tracing spans — a REAL request that completes while
+        the rehearsal runs (the HTTP socket is already open) keeps its
+        stats (ADVICE r4: the old blanket reset_stats erased them).
+        Rehearsal-thread failures propagate: a broken rehearsal raises
+        instead of returning a success duration. Speculation state is
         restored afterwards too — synthetic prompts would otherwise feed
         the acceptance probe garbage and could disable speculation for
         real traffic. Single-host only: in multi-host mode the followers
@@ -640,10 +653,16 @@ class Engine:
             # prefix donor (i == 0 repeated exercises exactly that path)
             return [(i * 7919 + j * 104729) % vocab + 1 for j in range(n)]
 
+        errs: list[BaseException] = []
+
         def run(i: int, n: int) -> None:
-            req = self.submit_ids(ids_for(i, n), max_tokens=gen)
-            while req.out.get()[1] is None:
-                pass
+            try:
+                req = self.submit_ids(ids_for(i, n), max_tokens=gen,
+                                      internal=True)
+                while req.out.get()[1] is None:
+                    pass
+            except BaseException as e:  # propagated after join
+                errs.append(e)
 
         run(0, lens[0])  # solo: admission/decode/finish compile first
         n = concurrency if concurrency else 2 * ec.batch_slots
@@ -657,6 +676,10 @@ class Engine:
             t.start()
         for t in threads:
             t.join()
+        if errs:
+            raise RuntimeError(
+                f"warmup rehearsal failed ({len(errs)} request(s); "
+                f"first: {errs[0]!r})") from errs[0]
         # restore speculation exactly as configured: the rehearsal's
         # synthetic token streams are not evidence about real traffic
         self._spec_enabled = spec_was
@@ -664,7 +687,6 @@ class Engine:
             self._spec_off_since = None
         self._plain_step_s.clear()   # compile-laden wall times out of the
         self._spec_step_s.clear()    # auto-break-even windows
-        self.reset_stats()
         return time.monotonic() - t0
 
     def cancel(self, req: Request) -> None:
@@ -1064,13 +1086,15 @@ class Engine:
                         logits[slot_ix], n_top=req.top_logprobs)
                     slot.first_top = (np.asarray(id_t), np.asarray(lp_t))
                 self._slots[slot_ix] = slot
-                self.stats["requests"] += 1
-                self.stats["prompt_tokens"] += len(req.prompt_ids)
                 req.first_token_ts = now
-                self._ttfts.append(now - req.submit_ts)
+                if not req.internal:
+                    self.stats["requests"] += 1
+                    self.stats["prompt_tokens"] += len(req.prompt_ids)
+                    self._ttfts.append(now - req.submit_ts)
             if len(self._ttfts) > 1024:
                 del self._ttfts[:512]
-            self.stats["burst_admissions"] += len(group)
+            self.stats["burst_admissions"] += sum(
+                1 for r in group if not r.internal)
 
     def _prefill_one_chunk(self, adm: "_Admission") -> bool:
         """Advance an in-flight admission by ONE prefill chunk; returns True
@@ -1171,10 +1195,11 @@ class Engine:
         # for prefix reuse by later admissions
         self._slot_prompts[slot_ix] = [int(t) for t in adm.ids]
         with self._lock:
-            self.stats["requests"] += 1
-            self.stats["prompt_tokens"] += n
             req.first_token_ts = time.monotonic()
-            self._ttfts.append(req.first_token_ts - req.submit_ts)
+            if not req.internal:
+                self.stats["requests"] += 1
+                self.stats["prompt_tokens"] += n
+                self._ttfts.append(req.first_token_ts - req.submit_ts)
             if len(self._ttfts) > 1024:
                 del self._ttfts[:512]
 
@@ -1263,8 +1288,10 @@ class Engine:
             "total_ms": round((now - req.submit_ts) * 1e3, 1),
         }
         with self._lock:
-            self.stats["completion_tokens"] += len(slot.request.token_ids)
-            self._spans.append(span)
+            if not slot.request.internal:
+                self.stats["completion_tokens"] += len(
+                    slot.request.token_ids)
+                self._spans.append(span)
         self._slots[slot_ix] = None
         self._active = self._active.at[slot_ix].set(False)
         # park the freed slot's write position (see __init__); update all
@@ -1496,9 +1523,10 @@ class Engine:
                         self._cache, jnp.int32(donor), jnp.int32(dst))
             if donor >= 0 and common > 0:
                 admitting.offset = common
-                with self._lock:
-                    self.stats["prefix_hits"] += 1
-                    self.stats["prefix_tokens_reused"] += common
+                if not admitting.req.internal:
+                    with self._lock:
+                        self.stats["prefix_hits"] += 1
+                        self.stats["prefix_tokens_reused"] += common
 
         # advance the in-flight admission by ONE chunk, then fall through
         # to decode: prefill and decode interleave so a long prompt never
@@ -1684,17 +1712,22 @@ class Engine:
     def _probe_plain_now(self) -> bool:
         """spec_auto_breakeven needs PLAIN-burst wall samples, but with
         speculation enabled every burst takes the spec branch — so until
-        the plain window has enough samples, every 16th burst runs plain.
-        Output-safe: the two loops are interchangeable per iteration (the
-        disable/re-probe flips already rely on that; history staleness is
-        tolerated exactly like the penalized-batch plain path). Single-
-        host only — multi-host uses the configured constant and must
-        dispatch identical programs on every controller."""
-        if (not self.ec.spec_auto_breakeven or self._multi
-                or len(self._plain_step_s) >= 8):
+        the plain window has enough samples, every 16th burst runs plain;
+        once it is full, every 128th burst STILL runs plain so the rolling
+        denominator tracks current batch occupancy and chip contention
+        instead of freezing at the engine's first minutes (ADVICE r4: the
+        deque is maxlen-bounded, so each refresh displaces the oldest
+        sample). Output-safe: the two loops are interchangeable per
+        iteration (the disable/re-probe flips already rely on that;
+        history staleness is tolerated exactly like the penalized-batch
+        plain path). Single-host only — multi-host uses the configured
+        constant and must dispatch identical programs on every
+        controller."""
+        if not self.ec.spec_auto_breakeven or self._multi:
             return False
         self._plain_probe_ctr += 1
-        return self._plain_probe_ctr % 16 == 0
+        period = 16 if len(self._plain_step_s) < 8 else 128
+        return self._plain_probe_ctr % period == 0
 
     def _spec_breakeven_now(self) -> float:
         """The break-even in force: the measured verify/plain per-step

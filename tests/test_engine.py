@@ -966,16 +966,25 @@ def test_paired_rejects_odd_heads(setup):
                             cache_dtype="float32", pair_kv_heads=True))
 
 
-def test_warmup_compiles_and_resets_stats(engine):
+def test_warmup_compiles_and_keeps_stats_clean(engine):
     """warmup() runs the dress rehearsal (solo + concurrent wave over the
-    bucket ladder + a prefix-donor repeat), leaves a clean engine (stats
-    zeroed, no active slots), and a real request afterwards still works."""
+    bucket ladder + a prefix-donor repeat) with internal-tagged requests,
+    so it leaves the request counters/TTFTs untouched WITHOUT a blanket
+    reset — a real request that completed beforehand (or concurrently,
+    once the HTTP socket is open) keeps its stats (ADVICE r4)."""
+    text, fin, np_, nc = engine.generate_sync(MSGS, max_tokens=4)
+    assert fin in ("stop", "length")
+    pre = engine.stats_snapshot()
+    assert pre["requests"] == 1 and pre["completion_tokens"] > 0
+
     secs = engine.warmup(concurrency=5)
     assert secs > 0
     s = engine.stats_snapshot()
-    assert s["requests"] == 0 and s["completion_tokens"] == 0
+    # rehearsal traffic recorded nothing; the real request's stats survive
+    assert s["requests"] == 1
+    assert s["completion_tokens"] == pre["completion_tokens"]
+    assert s["prompt_tokens"] == pre["prompt_tokens"]
     assert s["active_slots"] == 0 and s["queued"] == 0
-    assert "p50_ttft_ms" not in s  # warm-up TTFTs were cleared
     text, fin, np_, nc = engine.generate_sync(MSGS, max_tokens=4)
     assert fin in ("stop", "length")
-    assert engine.stats_snapshot()["requests"] == 1
+    assert engine.stats_snapshot()["requests"] == 2

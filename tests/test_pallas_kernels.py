@@ -975,3 +975,63 @@ def test_paged_verify_attention_paired_matches_unpaired():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---- half-split packing: GLOBAL-layout invariant (ADVICE r4) ----
+
+def test_int4_halfsplit_pairing_is_global_only():
+    """pack_int4's HALF-SPLIT pairing (packed byte row j = logical rows j
+    and j + K/2) is a GLOBAL-layout property: a shard-local slice of the
+    packed rows does NOT decode to that shard's contiguous logical rows,
+    so the Pallas qmatmul kernels (which pair x[:, :K/2] with the low
+    nibbles) are only correct on unpartitioned/global inputs. GSPMD
+    guarantees that today — pallas_call registers no custom partitioning,
+    so XLA feeds it full operands — but a future shard_map integration
+    would silently break it (quant.QTensor docstring). Pin it numerically:
+    executing the unpack recipe per row-shard and psum-ing the partials
+    computes a DIFFERENT result than the global contract."""
+    k, n, m = 256, 128, 4
+    w = _rand(0, k, n) * 0.4
+    qt = quant.quantize(w, 4)
+    x = (_rand(1, m, k) * 0.5).astype(jnp.bfloat16)
+    ref = np.asarray(quant.qlinear(x, qt), np.float32)
+
+    # simulate a 2-way row-shard over the PACKED axis, each shard running
+    # the kernels' own recipe (unpack its local bytes, contract against
+    # its contiguous slice of x), partials summed as a psum would
+    kp = qt.q.shape[0]  # k // 2 packed rows
+    partial = np.zeros((m, n), np.float32)
+    for s in range(2):
+        q_local = qt.q[s * kp // 2:(s + 1) * kp // 2]
+        x_local = x[:, s * k // 2:(s + 1) * k // 2]
+        w_local = quant.unpack_int4(q_local).astype(jnp.bfloat16)
+        partial += np.asarray(jax.lax.dot_general(
+            x_local, w_local,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)) * np.asarray(qt.scale)
+    # the pairing is wrong per-shard, so this MUST disagree: if it ever
+    # starts matching, the packing changed and the guard below is stale
+    assert not np.allclose(partial, ref, rtol=2e-2, atol=2e-2), (
+        "per-shard half-split unpack unexpectedly matched the global "
+        "contract — update the shard_map tripwire and QTensor docstring")
+
+
+def test_no_shard_map_wraps_quant_kernels():
+    """Structural tripwire for the invariant above: the tree contains no
+    shard_map at all today, so the Pallas quant kernels can never execute
+    on shard-local operands. If this fails because a legitimate shard_map
+    landed elsewhere: keep the quant kernels OUTSIDE the manual region
+    (or implement per-shard half-split packing per the quant.QTensor
+    docstring note), then scope this check accordingly."""
+    import pathlib
+
+    import gabby_tpu
+
+    root = pathlib.Path(gabby_tpu.__file__).parent
+    offenders = [str(p.relative_to(root))
+                 for p in sorted(root.rglob("*.py"))
+                 if "shard_map" in p.read_text()]
+    assert offenders == [], (
+        f"shard_map appeared in {offenders}: verify the int4 half-split "
+        "Pallas kernels stay on global (unpartitioned) operands — see "
+        "gabby_tpu/ops/quant.py QTensor docstring")
