@@ -408,6 +408,14 @@ def main() -> int:
     log(f"building {args.config}: ~{cfg.num_params()/1e9:.2f}B params"
         + (f" on mesh dp={args.dp} x tp={args.tp}" if mesh else ""))
     params = build_params(args, spec, cfg, mesh)
+    if mesh is None:
+        # adopt the 4 MB weight-tile budget when this toolchain's
+        # scoped-VMEM limit allows (compile probe, cached persistently;
+        # falls back to the proven 2 MB budget — see
+        # ops/pallas/quant_matmul.probe_big_tiles)
+        from gabby_tpu.ops.pallas import quant_matmul as pqm
+        if pqm.probe_big_tiles(quant.int4_matmul_shapes(params)):
+            log("tile budget: big (4 MB probe compiled clean)")
     # Paired kv-head cache layout (block-diagonal attention dots at
     # 128-deep contraction — see kv_cache.create_cache): DEFAULT ON for
     # single-device dense runs. The chip A/B measured the paired decode

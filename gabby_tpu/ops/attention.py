@@ -13,6 +13,7 @@ north-star configs in BASELINE.json.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -166,17 +167,18 @@ def slot_prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     paired = k_cache.shape[-1] == 2 * q.shape[-1]
     nk = k_cache.shape[2 if layer is not None else 1] * (2 if paired else 1)
     from gabby_tpu.ops import pallas as pk
-    # Paired caches take this jnp fallback (the EngineConfig.pair_kv_heads
-    # contract): the paired prefill kernel's footprint is 4x the per-head
-    # one (2x q/out rows x 2x lane width) and at the 512-token chunk
-    # bucket it exceeds v5e's 16 MB scoped-VMEM limit AT COMPILE TIME —
-    # the round-3 paired serving collapse was these compile failures
-    # erroring out every request whose prompt hit a large chunk
-    # (tools/pair_engine_chip_check.py reproduces; interpret mode passes,
-    # so no CPU test could see it). Pairing is a decode-throughput knob;
-    # prefill correctness/cost stays on XLA here.
-    if (fresh_k is not None and pk.kernels_enabled()
-            and not paired and q.shape[2] % nk == 0):
+    # Paired caches now ride the kernel too (round 5): the round-3/4
+    # failure was the whole-head-pair form's score transients (2x rows x
+    # 2x lanes = ~24 MB scoped) failing v5e's 16 MB compile limit — the
+    # kernel since gained a query-group grid axis that caps each step at
+    # ONE group's 2T rows (~8 MB at the 512 bucket), so the paired
+    # serving path no longer falls back to the XLA prefill that ate the
+    # decode pairing win under paged serving (r4b ladder; docs/NEXT.md
+    # item 3). GABBY_PREFILL_PAIR=0 restores the XLA fallback for A/B.
+    pair_kernel_ok = (not paired
+                      or os.environ.get("GABBY_PREFILL_PAIR", "1") != "0")
+    if (fresh_k is not None and pk.kernels_enabled() and pair_kernel_ok
+            and q.shape[2] % nk == 0):
         from gabby_tpu.ops.pallas import prefill_attention as pfa
         return pfa.prefill_attention(q, k_cache, v_cache, slot, offset,
                                      k_scale, v_scale, fresh_k=fresh_k,

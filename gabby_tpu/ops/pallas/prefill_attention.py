@@ -43,19 +43,24 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
     after the layer scan); (quant: ks/vs [1, 1, 1, 1, C]);
     out [1, G*T, H]; scratch m,l [G*T, 1] f32, acc [G*T, H] f32.
 
-    pair=True (paired cache layout): the grid runs per HEAD PAIR — q is
-    the block-diagonal [1, 2*G*T, 2H] (rows half-major, each row zero in
-    the other head's lane half), k/v blocks are [1, 1, 1, C, 2H], the
-    scale blocks carry BOTH heads ([1, 1, 2, 1, C]), and the output's
-    junk lane half is discarded at the final half-select — same
-    block-diagonal trick as the decode kernel (ops/pallas/attention)."""
+    pair=True (paired cache layout): the grid runs per (HEAD PAIR, query
+    group) — q is the block-diagonal [1, 2T, 2H] for ONE query group
+    (rows half-major: the even head's T rows then the odd head's, each
+    row zero in the other head's lane half), k/v blocks are
+    [1, 1, 1, C, 2H], the scale blocks carry BOTH heads ([1, 1, 2, 1, C]),
+    and the output's junk lane half is discarded at the final
+    half-select — the decode kernel's block-diagonal trick
+    (ops/pallas/attention). The extra query-group grid axis keeps the
+    [rows, C] f32 score transients at 1/G of the whole-head-pair form,
+    whose ~24 MB scoped footprint failed v5e's 16 MB compile limit
+    (the round-3/4 paired-prefill collapse; docs/NEXT.md item 3)."""
     if quant:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
         ks_ref = vs_ref = None
     offset = scal_ref[1]
-    c = pl.program_id(1)
+    c = pl.program_id(2 if pair else 1)
     rows = q_ref.shape[1]
 
     def row_scales(sc):
@@ -99,7 +104,7 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             pv.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32)
 
-    @pl.when(c == pl.num_programs(1) - 1)
+    @pl.when(c == pl.num_programs(2 if pair else 1) - 1)
     def _():
         # causal pass over the chunk's own (full-precision) k/v
         qg = q_ref[0].astype(jnp.bfloat16)            # [G*T, H]
@@ -108,7 +113,7 @@ def _kernel(scal_ref, q_ref, k_ref, v_ref, fk_ref, fv_ref, *rest, sm_scale,
         scores = jax.lax.dot_general(
             qg, kf, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [G*T, T]
-        # rows ordered (g, t) — (half, g, t) when paired — t minor either
+        # rows ordered (g, t) — (half, t) when paired — t minor either
         # way, so row % t is the in-chunk query position
         row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % t
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -140,8 +145,12 @@ def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
     """q3: [Nk, G*T, H]; k/v_cache: [L, B, Nk, S, H] (full stacked cache);
     k/v_scale: [L, B, Nk, 1, S] or None;
     scal: [3] i32 (slot, offset, layer). pair: paired layout — q3 is the
-    block-diagonal [Nk/2, 2*G*T, 2H], the cache [L, B, Nk/2, S, 2H],
-    scales stay per-head (blocks carry the pair's 2 heads)."""
+    block-diagonal [Nk/2, G*2T, 2H] with rows ordered (g, half, t), the
+    cache [L, B, Nk/2, S, 2H], scales stay per-head (blocks carry the
+    pair's 2 heads), and the grid gains a query-group axis so each step's
+    score transients cover one group's 2T rows (not all G*2T — the
+    whole-pair form's ~24 MB scoped footprint failed v5e's 16 MB compile
+    limit)."""
     nk, gt, h = q3.shape
     h_out = h // 2 if pair else h
     nh_sc = 2 if pair else 1  # scale-block heads per grid step
@@ -149,35 +158,46 @@ def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
     chunk = min(CHUNK, s)
     n_chunks = pl.cdiv(s, chunk)
     quant = k_scale is not None
+    # rows each grid step owns: one query group's 2T block-diagonal rows
+    # (paired) or the head's whole G*T (unpaired, round-1 form)
+    rows = 2 * t if pair else gt
+    n_g = gt // rows
 
     def last_needed(scal_ref):
         # the furthest PAST cache row any query can see is offset - 1 (the
         # chunk's own rows arrive separately as the fresh block)
         return jnp.maximum(scal_ref[1] - 1, 0) // chunk
 
-    def kv_map(hh, cc, scal_ref):
+    def kv_map(hh, *rest):
         # chunks past the last needed one repeat its index -> no re-fetch
         # (slot/offset/layer arrive via scalar prefetch)
+        cc, scal_ref = rest[-2], rest[-1]
         return (scal_ref[2], scal_ref[0], hh,
                 jnp.minimum(cc, last_needed(scal_ref)), 0)
 
+    if pair:
+        q_map = lambda hh, gg, cc, sc: (hh, gg, 0)
+        f_map = lambda hh, gg, cc, sc: (hh, 0, 0)
+        grid = (nk, n_g, n_chunks)
+    else:
+        q_map = lambda hh, cc, sc: (hh, 0, 0)
+        f_map = lambda hh, cc, sc: (hh, 0, 0)
+        grid = (nk, n_chunks)
     in_specs = [
-        pl.BlockSpec((1, gt, h), lambda hh, cc, sc: (hh, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, h), q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, chunk, h), kv_map, memory_space=pltpu.VMEM),
     ]  # fresh blocks appended below (before the quant scales)
     args = [q3, k_cache, v_cache, fresh_k, fresh_v]
     in_specs += [
-        pl.BlockSpec((1, t, h), lambda hh, cc, sc: (hh, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, h), lambda hh, cc, sc: (hh, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, h), f_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, h), f_map, memory_space=pltpu.VMEM),
     ]
     if quant:
-        def sc_map(hh, cc, scal_ref):
+        def sc_map(hh, *rest):
             # index units are BLOCK counts: with a 2-head block (paired),
             # index hh addresses heads [2hh, 2hh+2) — the pair's scales
+            cc, scal_ref = rest[-2], rest[-1]
             return (scal_ref[2], scal_ref[0], hh, 0,
                     jnp.minimum(cc, last_needed(scal_ref)))
         in_specs += [
@@ -190,14 +210,14 @@ def _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, k_scale, v_scale,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nk, n_chunks),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, gt, h_out), lambda hh, cc, sc: (hh, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, h_out), q_map,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((gt, 1), jnp.float32),
-            pltpu.VMEM((gt, 1), jnp.float32),
-            pltpu.VMEM((gt, h), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, h), jnp.float32),
         ],
     )
     kernel = functools.partial(_kernel, sm_scale=sm_scale, chunk=chunk,
@@ -242,17 +262,25 @@ def prefill_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         # supported — the fresh block is required for this kernel
         raise ValueError("prefill kernel requires fresh_k/fresh_v")
     if paired:
-        from gabby_tpu.ops.pallas.attention import _pair_q
         from gabby_tpu.runtime.kv_cache import pair_heads
-        q3 = _pair_q(q3[None])[0]        # [Nk/2, 2*G*T, 2H] block-diagonal
+        # block-diagonal queries ordered (g, half, t) so each grid step
+        # takes ONE query group's [2T, 2H] block (the g grid axis keeps
+        # the score transients inside v5e's scoped-VMEM compile limit)
+        q4 = q3.reshape(nk // 2, 2, g, t, h)  # [pair, half, g, t, h]
+        z = jnp.zeros_like(q4[:, 0])
+        top = jnp.concatenate([q4[:, 0], z], axis=-1)   # [pair, g, t, 2h]
+        bot = jnp.concatenate([z, q4[:, 1]], axis=-1)
+        q3p = jnp.concatenate([top, bot], axis=2)       # [pair, g, 2t, 2h]
+        q3p = q3p.reshape(nk // 2, g * 2 * t, 2 * h)
         fresh_k = pair_heads(fresh_k)    # [Nk/2, T, 2H]
         fresh_v = pair_heads(fresh_v)
-        out = _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, ks, vs,
+        out = _prefill_call(q3p, k_cache, v_cache, fresh_k, fresh_v, ks, vs,
                             scal, t=t, sm_scale=sm_scale, out_dtype=q.dtype,
                             interpret=pk.interpret_mode(), pair=True)
-        # [Nk/2, 2*G*T, H]: half-major rows == head-major
-        return out.reshape(nk, g, t, h).transpose(2, 0, 1, 3).reshape(
-            1, t, nq, h)
+        # [Nk/2, G*2T, H] rows (g, half, t) -> head-major [1, T, Nq, H]
+        o = out.reshape(nk // 2, g, 2, t, h)
+        o = o.transpose(3, 0, 2, 1, 4)   # [t, pair, half, g, h]
+        return o.reshape(1, t, nq, h)
     out = _prefill_call(q3, k_cache, v_cache, fresh_k, fresh_v, ks, vs,
                         scal, t=t, sm_scale=sm_scale, out_dtype=q.dtype,
                         interpret=pk.interpret_mode())

@@ -33,31 +33,97 @@ from gabby_tpu.ops import pallas as pk
 
 import os
 
+# Tile budgets, switchable at runtime (set_tile_budget / probe_big_tiles):
+#   big: aggressive 4 MB weight tiles — measured 1.655 ms/step / 56.0% SOL
+#        on the 1B bench (vs 1.919 / 48.3% with the round-1 tiling, same
+#        session) — but the compile is at the mercy of the terminal's
+#        scoped-VMEM limit: after a terminal restart the identical program
+#        OOM'd at compile ("Scoped allocation 24.26M, limit 16.00M").
+#        probe_big_tiles() compile-tests it on the live toolchain and
+#        falls back to "mid" when the limit is tight.
+#   mid (default): after the half-split repack removed the activation
+#        copies, the stacked matmuls still ran ~1.57x their DMA floor on
+#        per-grid-step overhead (~960 weight tiles per decode step at
+#        512-wide tile_n). Wide tile_n under the PROVEN-SAFE 2 MB block
+#        budget (the round-1 tiling already shipped 2 MB w_down blocks
+#        through every terminal restart) cuts the step count ~4x at the
+#        same bytes — most of "big"'s win without its compile risk.
+#   0:   the round-1 narrow tiling, kept for A/B.
+_BUDGETS = {
+    "big": ((2048, 1024, 512, 256, 128), 4 * 1024 * 1024),
+    "mid": ((2048, 1024, 512, 256, 128), 2 * 1024 * 1024),
+    "0": ((512, 256, 128), 2 * 1024 * 1024),
+}
 _TILES = os.environ.get("GABBY_QMM_BIGTILES", "mid")
-if _TILES in ("1", "big"):
-    # Aggressive 4 MB tiles: measured 1.655 ms/step / 56.0% SOL on the 1B
-    # bench (vs 1.919 / 48.3% with the round-1 tiling, same session) —
-    # but the compile is at the mercy of the terminal's scoped-VMEM
-    # limit: after a terminal restart the identical program OOM'd at
-    # compile ("Scoped allocation 24.26M, limit 16.00M"). Opt-in until a
-    # toolchain with a stable higher limit is the norm.
-    TILE_N_CANDIDATES = (2048, 1024, 512, 256, 128)
-    TILE_BYTES = 4 * 1024 * 1024
-elif _TILES == "0":
-    TILE_N_CANDIDATES = (512, 256, 128)
-    TILE_BYTES = 2 * 1024 * 1024
-else:
-    # Default: after the half-split repack removed the activation copies,
-    # the stacked matmuls still ran ~1.57x their DMA floor on
-    # per-grid-step overhead (~960 weight tiles per decode step at
-    # 512-wide tile_n). Wide tile_n under the PROVEN-SAFE 2 MB block
-    # budget (the round-1 tiling already shipped 2 MB w_down blocks
-    # through every terminal restart) cuts the step count ~4x at the
-    # same bytes — most of the "big" variant's win without its
-    # scoped-VMEM compile risk.
-    TILE_N_CANDIDATES = (2048, 1024, 512, 256, 128)
-    TILE_BYTES = 2 * 1024 * 1024
+if _TILES == "1":
+    _TILES = "big"
+if _TILES not in _BUDGETS:
+    _TILES = "mid"
+TILE_N_CANDIDATES, TILE_BYTES = _BUDGETS[_TILES]
 TILE_K_CANDIDATES = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32)
+
+
+def tile_budget() -> str:
+    return _TILES
+
+
+def set_tile_budget(mode: str) -> None:
+    """Switch the weight-tile budget ("big"/"mid"/"0"). Must run BEFORE
+    the serving programs trace — tile sizes are chosen at trace time and
+    jit does not retrace on a module-global flip."""
+    global _TILES, TILE_N_CANDIDATES, TILE_BYTES
+    _TILES = mode if mode in _BUDGETS else "mid"
+    TILE_N_CANDIDATES, TILE_BYTES = _BUDGETS[_TILES]
+
+
+def probe_big_tiles(shapes) -> bool:
+    """Compile-test the 4 MB "big" tile budget against the live
+    toolchain's scoped-VMEM limit and adopt it if it holds.
+
+    shapes: iterable of GLOBAL (k, n) int4 matmul shapes the serving
+    programs will hit (the model's distinct weight shapes). For each, a
+    single-layer stacked int4 kernel is lowered AND compiled on the
+    default backend; any compile failure (Mosaic "Scoped allocation ...
+    limit ..." under a tight terminal) restores the proven "mid" budget.
+
+    No-ops (returns current==big) when the operator pinned the budget via
+    GABBY_QMM_BIGTILES, when kernels are off, or off-TPU (interpret mode
+    has no scoped-VMEM limit to probe — nothing to learn). Probe compiles
+    land in the persistent compilation cache, so a successful probe is
+    ~free on later cold starts. Call before tracing serving programs
+    (see set_tile_budget)."""
+    if os.environ.get("GABBY_QMM_BIGTILES") is not None:
+        return _TILES == "big"
+    if not pk.kernels_enabled() or pk.interpret_mode():
+        return False
+    prev = _TILES
+    set_tile_budget("big")
+    try:
+        # probe at the decode-sized Ms the serving programs actually hit:
+        # tile selection depends on tile_m (the VMEM search trades
+        # activation slabs against weight tiles), so m=8 (plain decode,
+        # tile_m 16 — picks the LARGEST weight tiles and their bf16
+        # nibble-plane transients, the config that OOMs a 16 MB scoped
+        # limit) and m=64 (the verify/burst cap) must BOTH compile
+        for k, n in shapes:
+            if k % 2:
+                continue
+            kp = k // 2
+            codes = jnp.zeros((1, kp, n), jnp.int8)
+            scale = jnp.ones((1, n), jnp.float32)
+            for m in (8, 64):
+                if not supported(m, k, n, 4):
+                    continue
+                x = jnp.zeros((m, k), jnp.bfloat16)
+                jax.jit(functools.partial(qmatmul_stacked, bits=4)).lower(
+                    x, codes, scale, jnp.int32(0)).compile()
+        return True
+    except Exception as e:  # Mosaic/XLA compile error: budget too rich
+        set_tile_budget(prev)
+        import sys
+        print(f"gabby_tpu: big-tile probe failed ({type(e).__name__}); "
+              f"keeping the {prev!r} tile budget", file=sys.stderr)
+        return False
 
 
 def _pick(total: int, candidates) -> int:

@@ -291,6 +291,24 @@ def qlinear(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     return (acc * qt.scale).astype(x.dtype)
 
 
+def int4_matmul_shapes(params) -> set[tuple[int, int]]:
+    """Distinct GLOBAL (k, n) shapes of every per-channel int4 QTensor in
+    a params pytree (stacked [L, K/2, N] or flat [K/2, N]); grouped-scale
+    tensors (the unembed) are excluded — they ride their own kernel with
+    a fixed tile budget. Feeds pallas.quant_matmul.probe_big_tiles."""
+    shapes: set[tuple[int, int]] = set()
+    leaves = jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, QTensor))
+    for leaf in leaves:
+        if isinstance(leaf, QTensor) and leaf.bits == 4 and not leaf.group:
+            q = leaf.q
+            if q.ndim == 3:
+                shapes.add((q.shape[1] * 2, q.shape[2]))
+            else:
+                shapes.add((q.shape[0] * 2, q.shape[1]))
+    return shapes
+
+
 def quantize_tree(params, bits: int, *, skip=("embed", "norm"),
                   quantize_unembed: bool = True,
                   unembed_bits: int | None = None,

@@ -57,7 +57,8 @@ def _seq_constraint(mesh: Mesh):
 
 def sp_prefill_slot(params, cfg: ModelConfig, tokens: jnp.ndarray,
                     length: jnp.ndarray, slot: jnp.ndarray,
-                    offset: jnp.ndarray, cache, *, mesh: Mesh):
+                    offset: jnp.ndarray, cache, *, mesh: Mesh,
+                    ring: bool = False):
     """Sequence-sharded analogue of generate.prefill_slot for ONE slot.
 
     tokens: [T] (T divisible by the mesh's data-axis size), length/slot/
@@ -68,11 +69,18 @@ def sp_prefill_slot(params, cfg: ModelConfig, tokens: jnp.ndarray,
     Attention here is the chunk-local causal form over [offset, offset+T)
     plus a masked read of rows [0, offset) — the same contract as
     llama._prefill_slot's fresh-chunk path — with every [1, T, ...]
-    intermediate pinned to the token sharding."""
+    intermediate pinned to the token sharding.
+
+    ring=True swaps the chunk self-attention from the GSPMD all-gather
+    (Ulysses: the whole chunk's K/V materialize on every device) to RING
+    attention over ICI (parallel/ring.py): K/V stay token-sharded and
+    rotate neighbor-to-neighbor, so per-device chunk K/V memory is
+    O(T/dp) — the form for chunks whose gathered K/V would not fit
+    (BASELINE config 5 long-prompt prefill). Same numerics either way."""
     dp = mesh.shape.get("data", 1)
     t = tokens.shape[0]
     assert t % dp == 0, f"chunk {t} must divide over data axis {dp}"
-    run = _build_sp_prefill(mesh)
+    run = _build_sp_prefill(mesh, ring)
     with mesh:
         return run(params, cfg, tokens, length, slot, offset, cache)
 
@@ -81,9 +89,9 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sp_prefill(mesh: Mesh):
-    """One jitted program set per mesh (jit caches per shape/dtype under
-    it — a fresh closure per call would retrace every prefill)."""
+def _build_sp_prefill(mesh: Mesh, ring: bool = False):
+    """One jitted program set per (mesh, ring) (jit caches per shape/dtype
+    under it — a fresh closure per call would retrace every prefill)."""
     pin = _seq_constraint(mesh)
 
     @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -130,19 +138,31 @@ def _build_sp_prefill(mesh: Mesh):
                 kcd, vcd = kc.astype(q.dtype), vc.astype(q.dtype)
             kcd = jnp.swapaxes(kcd, 1, 2)  # [1, S, Nk, H]
             vcd = jnp.swapaxes(vcd, 1, 2)
-            kk = jnp.concatenate([kcd, k.astype(q.dtype)], axis=1)
-            vv = jnp.concatenate([vcd, v.astype(q.dtype)], axis=1)
-            s = kcd.shape[1]
-            # mask: cache rows j < offset; chunk rows causal at q_offset
-            from gabby_tpu.ops.attention import _gqa_core, _split_groups
-            cache_mask = jnp.arange(s)[None, None, :] < offset
-            cache_mask = jnp.broadcast_to(cache_mask, (1, t, s))
-            self_mask = (jnp.arange(t)[None, :, None]
-                         >= jnp.arange(t)[None, None, :])
-            self_mask = jnp.broadcast_to(self_mask, (1, t, t))
-            mask = jnp.concatenate([cache_mask, self_mask], axis=2)
-            attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv,
-                             mask, cfg.head_dim ** -0.5).astype(q.dtype)
+            if ring:
+                # K/V stay token-sharded; dp-1 ppermute hops instead of
+                # the chunk-wide all-gather (parallel/ring.py); prior
+                # cache rows fold into the same online softmax replicated
+                from gabby_tpu.parallel.ring import ring_self_attention
+                attn = ring_self_attention(
+                    q, k.astype(q.dtype), v.astype(q.dtype), mesh=mesh,
+                    sm_scale=cfg.head_dim ** -0.5,
+                    cache_k=kcd.astype(q.dtype), cache_v=vcd.astype(q.dtype),
+                    cache_len=offset)
+            else:
+                kk = jnp.concatenate([kcd, k.astype(q.dtype)], axis=1)
+                vv = jnp.concatenate([vcd, v.astype(q.dtype)], axis=1)
+                s = kcd.shape[1]
+                # mask: cache rows j < offset; chunk rows causal at
+                # q_offset
+                from gabby_tpu.ops.attention import _gqa_core, _split_groups
+                cache_mask = jnp.arange(s)[None, None, :] < offset
+                cache_mask = jnp.broadcast_to(cache_mask, (1, t, s))
+                self_mask = (jnp.arange(t)[None, :, None]
+                             >= jnp.arange(t)[None, None, :])
+                self_mask = jnp.broadcast_to(self_mask, (1, t, t))
+                mask = jnp.concatenate([cache_mask, self_mask], axis=2)
+                attn = _gqa_core(_split_groups(q, cfg.num_kv_heads), kk, vv,
+                                 mask, cfg.head_dim ** -0.5).astype(q.dtype)
             attn = pin(attn)
             h = h + pin(linear(attn.reshape(1, t, cfg.q_dim), blocks["wo"],
                                layer=layer))

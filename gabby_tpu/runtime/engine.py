@@ -276,6 +276,14 @@ class Engine:
         broadcasts the shutdown plan that releases the followers."""
         self.cfg = cfg
         self.params = params
+        # adopt the 4 MB weight-tile budget when the live toolchain's
+        # scoped-VMEM limit allows it (compile probe — no-op off-TPU or
+        # when GABBY_QMM_BIGTILES pins a budget; must run before the
+        # serving programs trace, see quant_matmul.set_tile_budget)
+        if cache_shardings is None:
+            from gabby_tpu.ops import quant as _quant
+            from gabby_tpu.ops.pallas import quant_matmul as _pqm
+            _pqm.probe_big_tiles(_quant.int4_matmul_shapes(params))
         self._prefill_params = params
         if econfig.prefill_int8_shadow:
             from gabby_tpu.ops.quant import promote_int4_to_int8

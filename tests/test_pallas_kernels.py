@@ -1017,21 +1017,101 @@ def test_int4_halfsplit_pairing_is_global_only():
 
 
 def test_no_shard_map_wraps_quant_kernels():
-    """Structural tripwire for the invariant above: the tree contains no
-    shard_map at all today, so the Pallas quant kernels can never execute
-    on shard-local operands. If this fails because a legitimate shard_map
-    landed elsewhere: keep the quant kernels OUTSIDE the manual region
-    (or implement per-shard half-split packing per the quant.QTensor
-    docstring note), then scope this check accordingly."""
+    """Structural tripwire for the invariant above: the only shard_map
+    region in the tree is parallel/ring.py (ring attention — pure jnp on
+    activations, verified below to not touch the quant kernels), so the
+    Pallas quant kernels can never execute on shard-local operands. If
+    this fails because another legitimate shard_map landed: keep the
+    quant kernels OUTSIDE the manual region (or implement per-shard
+    half-split packing per the quant.QTensor docstring note), then scope
+    this check accordingly."""
     import pathlib
 
     import gabby_tpu
 
+    allowed = {"parallel/ring.py"}
     root = pathlib.Path(gabby_tpu.__file__).parent
     offenders = [str(p.relative_to(root))
                  for p in sorted(root.rglob("*.py"))
                  if "shard_map" in p.read_text()]
-    assert offenders == [], (
+    assert set(offenders) <= allowed, (
         f"shard_map appeared in {offenders}: verify the int4 half-split "
         "Pallas kernels stay on global (unpartitioned) operands — see "
         "gabby_tpu/ops/quant.py QTensor docstring")
+    # the allowed manual region must stay clear of the quant kernels:
+    # no import of the ops package (docstrings may MENTION the invariant)
+    ring_src = (root / "parallel" / "ring.py").read_text()
+    for needle in ("gabby_tpu.ops", "qmatmul(", "qlinear(", "pallas_call"):
+        assert needle not in ring_src, (
+            f"parallel/ring.py references {needle!r} inside the shard_map "
+            "region — the half-split GLOBAL-layout invariant would break")
+
+
+# ---- adaptive weight-tile budget (round 5) ----
+
+def test_tile_budget_switches_and_restores():
+    prev = pqm.tile_budget()
+    try:
+        pqm.set_tile_budget("big")
+        assert pqm.tile_budget() == "big"
+        assert pqm.TILE_BYTES == 4 * 1024 * 1024
+        pqm.set_tile_budget("mid")
+        assert pqm.TILE_BYTES == 2 * 1024 * 1024
+        pqm.set_tile_budget("bogus")  # unknown -> mid
+        assert pqm.tile_budget() == "mid"
+    finally:
+        pqm.set_tile_budget(prev)
+
+
+def test_probe_big_tiles_noop_off_tpu():
+    """Off-TPU there is no scoped-VMEM limit to probe: no budget change."""
+    prev = pqm.tile_budget()
+    assert pqm.probe_big_tiles({(256, 256)}) is False
+    assert pqm.tile_budget() == prev
+
+
+def test_probe_big_tiles_falls_back_on_compile_failure(monkeypatch):
+    """A Mosaic scoped-VMEM compile OOM during the probe must restore the
+    proven budget instead of leaving 'big' half-adopted."""
+    monkeypatch.setenv("GABBY_KERNELS", "1")
+    monkeypatch.delenv("GABBY_QMM_BIGTILES", raising=False)
+    monkeypatch.setattr(pk, "kernels_enabled", lambda: True)
+    monkeypatch.setattr(pk, "interpret_mode", lambda: False)
+
+    def boom(*a, **k):
+        raise RuntimeError("Scoped allocation 24.26M, limit 16.00M")
+
+    monkeypatch.setattr(pqm, "qmatmul_stacked", boom)
+    prev = pqm.tile_budget()
+    assert pqm.probe_big_tiles({(256, 256)}) is False
+    assert pqm.tile_budget() == prev
+
+
+def test_probe_big_tiles_adopts_on_success(monkeypatch):
+    """When every probe shape compiles, the big budget stays adopted."""
+    monkeypatch.setattr(pk, "kernels_enabled", lambda: True)
+    monkeypatch.setattr(pk, "interpret_mode", lambda: False)
+    monkeypatch.delenv("GABBY_QMM_BIGTILES", raising=False)
+    prev = pqm.tile_budget()
+    try:
+        # interpret-mode compile on CPU stands in for the on-chip compile
+        monkeypatch.setattr(pk, "interpret_mode", lambda: False)
+        called = []
+
+        def ok_stacked(x, codes, scale, layer, bits):
+            called.append((x.shape, codes.shape))
+            return jnp.zeros((x.shape[0], codes.shape[2]), x.dtype)
+
+        monkeypatch.setattr(pqm, "qmatmul_stacked", ok_stacked)
+        assert pqm.probe_big_tiles({(256, 256)}) is True
+        assert pqm.tile_budget() == "big"
+        assert called  # the probe really lowered the kernel entry
+    finally:
+        pqm.set_tile_budget(prev)
+
+
+def test_probe_big_tiles_respects_env_pin(monkeypatch):
+    monkeypatch.setenv("GABBY_QMM_BIGTILES", "mid")
+    prev = pqm.tile_budget()
+    assert pqm.probe_big_tiles({(256, 256)}) == (prev == "big")
+    assert pqm.tile_budget() == prev

@@ -137,3 +137,73 @@ def test_sp_prefill_composes_with_fused_tp(setup):
         cache, mesh=mesh)
     np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref_logits),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_ring_prefill_matches_dense(setup, quantized):
+    """RING sequence-parallel prefill (K/V rotated over the ring, never
+    gathered) must reproduce the unsharded prefill's logits and cache
+    rows — same online-softmax sum, different placement."""
+    cfg, params = setup
+    mesh = make_mesh(dp=8, tp=1)
+    ids = jnp.asarray(list(range(2, 2 + 64)), jnp.int32)
+
+    ref_cache = create_cache(cfg, 2, 128, dtype=jnp.float32,
+                             quantized=quantized)
+    ref_logits, ref_cache = generate.prefill_slot(
+        params, cfg, ids, jnp.int32(64), jnp.int32(1), jnp.int32(0),
+        ref_cache)
+
+    cache = create_cache(cfg, 2, 128, dtype=jnp.float32,
+                         quantized=quantized)
+    logits, cache = sp_prefill_slot(
+        params, cfg, ids, jnp.int32(64), jnp.int32(1), jnp.int32(0),
+        cache, mesh=mesh, ring=True)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(cache.k[:, 1]),
+                               np.asarray(ref_cache.k[:, 1]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_prefill_chunked_reads_prior_cache(setup):
+    """Ring prefill at offset > 0 folds the admission's PRIOR cache rows
+    into the online softmax (replicated leg) — a two-chunk ring prefill
+    must match the single-call plain prefill."""
+    cfg, params = setup
+    mesh = make_mesh(dp=8, tp=1)
+    ids = list(range(3, 3 + 96))
+
+    ref_cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    ref_logits, _ = generate.prefill_slot(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.int32(96),
+        jnp.int32(0), jnp.int32(0), ref_cache)
+
+    cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    logits = None
+    for off in (0, 48):
+        chunk = jnp.asarray(ids[off:off + 48], jnp.int32)
+        logits, cache = sp_prefill_slot(
+            params, cfg, chunk, jnp.int32(48), jnp.int32(0),
+            jnp.int32(off), cache, mesh=mesh, ring=True)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_ring_hlo_has_permute_but_no_chunk_allgather(setup):
+    """The ring program must rotate K/V with collective-permute and must
+    NOT materialize the whole chunk's K/V per device (no all-gather of
+    the token-sharded chunk K/V; the narrow replicated legs may still
+    gather)."""
+    cfg, params = setup
+    mesh = make_mesh(dp=8, tp=1)
+    ids = jnp.asarray(list(range(2, 66)), jnp.int32)
+    cache = create_cache(cfg, 1, 128, dtype=jnp.float32)
+    from gabby_tpu.parallel.sp import _build_sp_prefill
+    run = _build_sp_prefill(mesh, True)
+    with mesh:
+        hlo = run.lower(params, cfg, ids, jnp.int32(64), jnp.int32(0),
+                        jnp.int32(0), cache).compile().as_text()
+    assert "collective-permute" in hlo, "ring rotation missing from HLO"
