@@ -408,12 +408,12 @@ def main() -> int:
     log(f"building {args.config}: ~{cfg.num_params()/1e9:.2f}B params"
         + (f" on mesh dp={args.dp} x tp={args.tp}" if mesh else ""))
     params = build_params(args, spec, cfg, mesh)
+    from gabby_tpu.ops.pallas import quant_matmul as pqm
     if mesh is None:
         # adopt the 4 MB weight-tile budget when this toolchain's
         # scoped-VMEM limit allows (compile probe, cached persistently;
         # falls back to the proven 2 MB budget — see
         # ops/pallas/quant_matmul.probe_big_tiles)
-        from gabby_tpu.ops.pallas import quant_matmul as pqm
         if pqm.probe_big_tiles(quant.int4_matmul_shapes(params)):
             log("tile budget: big (4 MB probe compiled clean)")
     # Paired kv-head cache layout (block-diagonal attention dots at
@@ -554,6 +554,7 @@ def main() -> int:
             "step_ms_samples": [round(s * 1e3, 3) for s in samples[:16]],
             "weight_gb": round(weight_bytes / 1e9, 3),
             "paired_kv": paired,
+            "tile_budget": pqm.tile_budget() if mesh is None else None,
             "unembed": ("int4g" if isinstance(params, dict)
                         and getattr(params.get("lm_head"), "group", 0)
                         else ("int8" if spec["bits"] else "bf16")),

@@ -46,6 +46,21 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def vmem_limit_bytes() -> Optional[int]:
+    """Explicit Mosaic scoped-VMEM limit for our kernels (CompilerParams
+    .vmem_limit_bytes). The toolchain default floats around 16 MB and has
+    been observed to TIGHTEN across terminal restarts ("Scoped allocation
+    24.26M, limit 16.00M" on a previously-compiling program) — which is
+    what forced the 4 MB weight-tile budget (56.0% SOL measured) to stay
+    opt-in behind probe_big_tiles. v5e has 128 MB of physical VMEM; an
+    explicit 64 MB limit (2.5x the big-tile budget's ~25 MB request) pins
+    the ceiling so the big-tile compile stops depending on ambient
+    toolchain state. GABBY_VMEM_LIMIT_MB overrides; 0 restores the
+    toolchain default."""
+    mb = int(os.environ.get("GABBY_VMEM_LIMIT_MB", "64"))
+    return mb * 1024 * 1024 if mb > 0 else None
+
+
 def w4a8() -> bool:
     """W4A8 mode: INT4 weights with INT8-quantized activations, so the
     fused matmul kernel's dots run on the MXU's 2x-rate s8 path. Changes

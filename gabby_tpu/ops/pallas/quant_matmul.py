@@ -49,18 +49,37 @@ import os
 #        through every terminal restart) cuts the step count ~4x at the
 #        same bytes — most of "big"'s win without its compile risk.
 #   0:   the round-1 narrow tiling, kept for A/B.
+# (tile_n candidates, weight-tile byte budget, VMEM working-set cap).
+# The working-set cap bounds the BLOCK memory (double-buffered weight +
+# slabs + output + accumulator); Mosaic's scoped transients (the bf16
+# nibble planes, ~4x the packed tile) ride above it, under the explicit
+# vmem_limit_bytes ceiling (ops/pallas.vmem_limit_bytes, 64 MB).
 _BUDGETS = {
-    "big": ((2048, 1024, 512, 256, 128), 4 * 1024 * 1024),
-    "mid": ((2048, 1024, 512, 256, 128), 2 * 1024 * 1024),
-    "0": ((512, 256, 128), 2 * 1024 * 1024),
+    "huge": ((4096, 2048, 1024, 512, 256, 128), 8 * 1024 * 1024,
+             20 * 1024 * 1024),
+    "big": ((2048, 1024, 512, 256, 128), 4 * 1024 * 1024,
+            9 * 1024 * 1024),
+    "mid": ((2048, 1024, 512, 256, 128), 2 * 1024 * 1024,
+            9 * 1024 * 1024),
+    "0": ((512, 256, 128), 2 * 1024 * 1024, 9 * 1024 * 1024),
 }
 _TILES = os.environ.get("GABBY_QMM_BIGTILES", "mid")
 if _TILES == "1":
     _TILES = "big"
 if _TILES not in _BUDGETS:
     _TILES = "mid"
-TILE_N_CANDIDATES, TILE_BYTES = _BUDGETS[_TILES]
+TILE_N_CANDIDATES, TILE_BYTES, WS_CAP = _BUDGETS[_TILES]
 TILE_K_CANDIDATES = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32)
+
+
+def _cparams(**kw) -> pltpu.CompilerParams:
+    """CompilerParams for the quant-matmul kernels: always carries the
+    explicit scoped-VMEM limit (pk.vmem_limit_bytes) so the big-tile
+    budget's ~25 MB scoped request compiles regardless of the ambient
+    toolchain default (observed tightening to 16 MB across terminal
+    restarts; see _BUDGETS['big'])."""
+    return pltpu.CompilerParams(vmem_limit_bytes=pk.vmem_limit_bytes(),
+                                **kw)
 
 
 def tile_budget() -> str:
@@ -71,9 +90,9 @@ def set_tile_budget(mode: str) -> None:
     """Switch the weight-tile budget ("big"/"mid"/"0"). Must run BEFORE
     the serving programs trace — tile sizes are chosen at trace time and
     jit does not retrace on a module-global flip."""
-    global _TILES, TILE_N_CANDIDATES, TILE_BYTES
+    global _TILES, TILE_N_CANDIDATES, TILE_BYTES, WS_CAP
     _TILES = mode if mode in _BUDGETS else "mid"
-    TILE_N_CANDIDATES, TILE_BYTES = _BUDGETS[_TILES]
+    TILE_N_CANDIDATES, TILE_BYTES, WS_CAP = _BUDGETS[_TILES]
 
 
 def probe_big_tiles(shapes) -> bool:
@@ -173,7 +192,7 @@ def _pick_tiles(k: int, n: int, tile_m: int, bits: int) -> tuple[int, int]:
                 # Mosaic: a block's LAST dim must divide 128 or equal the
                 # array dim (the x slab's lane axis is tile_k)
                 continue
-            if vmem(c, tile_n) <= 9 * 1024 * 1024:
+            if vmem(c, tile_n) <= WS_CAP:
                 return c, tile_n
     return 0, 0
 
@@ -273,6 +292,7 @@ def _qmatmul_int8(x2d, codes, scale, *, interpret=False):
             bytes_accessed=mp * k * 2 + k * n + mp * n * 2 + n * 4,
             transcendentals=0),
         interpret=interpret,
+        compiler_params=_cparams(),
     )(xp.astype(jnp.bfloat16), codes, scale.reshape(1, n))
     return out[:m] if mp != m else out
 
@@ -313,6 +333,7 @@ def _qmatmul_int4(x2d, packed, scale, *, interpret=False):
             bytes_accessed=mp * k * 2 + kp * n + mp * n * 2 + n * 4,
             transcendentals=0),
         interpret=interpret,
+        compiler_params=_cparams(),
     )(x_even, x_odd, packed, scale.reshape(1, n))
     return out[:m] if mp != m else out
 
@@ -350,11 +371,11 @@ def _stacked_call(kernel, n_x: int, x_args, packed, scale, layer, *,
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
     )
     import os
-    cparams = None
+    cparams = _cparams()
     if os.environ.get("GABBY_QMM_DSEM") == "1":
         # experiment knob: declare the m/n grid dims parallel so Mosaic
         # may reorder/pipeline across them (VERDICT r3 experiment list)
-        cparams = pltpu.CompilerParams(
+        cparams = _cparams(
             dimension_semantics=("parallel", "parallel", "arbitrary"))
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -566,10 +587,13 @@ def qmatmul(x: jnp.ndarray, codes: jnp.ndarray, scale: jnp.ndarray,
 # per group with ONE batched dot over the group axis (small per-group dots
 # pay MXU issue/drain latency — the round-2 flash-attention lesson).
 
-GROUPED_TILE_N = (2048, 1024, 768, 512, 384, 256, 128)
+GROUPED_TILE_N = (4096, 2048, 1024, 768, 512, 384, 256, 128)
 
 
 def _grouped_tile_n(kp: int, n: int, tile_m: int, gh: int, g: int) -> int:
+    # working-set cap follows the active tile budget (WS_CAP): the wider
+    # 4096 tile only seats under the "huge" budget's 20 MB cap (and the
+    # explicit Mosaic vmem_limit_bytes ceiling covers its transients)
     for tile_n in GROUPED_TILE_N:
         if n % tile_n:
             continue
@@ -579,7 +603,7 @@ def _grouped_tile_n(kp: int, n: int, tile_m: int, gh: int, g: int) -> int:
                 + 2 * tile_m * gh * 4              # rowsums
                 + 2 * tile_m * tile_n * 2          # output
                 + gh * tile_m * tile_n * 4)        # batched-dot transient
-        if vmem <= 9 * 1024 * 1024:
+        if vmem <= WS_CAP:
             return tile_n
     return 0
 
@@ -663,6 +687,7 @@ def _qmatmul_int4_grouped(x2d, packed, scale, group, *, interpret=False):
             + 2 * gh * n * 4,
             transcendentals=0),
         interpret=interpret,
+        compiler_params=_cparams(),
     )(xe, xo, rs, packed, scale[:gh], scale[gh:])
     return out[:m] if mp != m else out
 
@@ -764,6 +789,7 @@ def _qmatmul_int4_w4a8_stacked(x2d, packed, scale, layer, *,
             bytes_accessed=mp * k + kp * n + mp * n * 2 + n * 4,
             transcendentals=0),
         interpret=interpret,
+        compiler_params=_cparams(),
     )(jnp.asarray(layer, jnp.int32).reshape(1), x_even, x_odd, packed,
       scale.reshape(scale.shape[0], 1, n), xs.astype(jnp.float32))
     return out[:m] if mp != m else out

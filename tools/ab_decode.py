@@ -80,7 +80,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=["fused", "window", "attn", "s8",
                                     "dsem", "longwin", "unembed",
-                                    "rawdot", "chunk", "pair"])
+                                    "rawdot", "chunk", "pair", "tiles",
+                                    "tiles2"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -210,6 +211,35 @@ def main() -> int:
             "per-head": make_runner("per-head", fusedp, window),
             "paired": make_runner("paired", fusedp, window, paired=True),
         }
+    elif args.mode == "tiles":
+        # 2 MB ("mid") vs 4 MB ("big") weight-tile budgets. The explicit
+        # scoped-VMEM limit (ops/pallas.vmem_limit_bytes pins Mosaic's
+        # ceiling per kernel) makes "big" compile on terminals whose
+        # ambient limit is tight — this A/B decides whether it should be
+        # the default everywhere. Tile sizes bind at TRACE time (module
+        # global), so each variant traces right after its budget is set;
+        # distinct static windows keep the jit cache entries apart.
+        from gabby_tpu.ops.pallas import quant_matmul as pqm
+        fusedp = llama.fuse_projections(base)
+        pqm.set_tile_budget("big")
+        big = make_runner("big-4MB", fusedp, args.max_seq)
+        big()  # trace now, under the big budget
+        pqm.set_tile_budget("mid")
+        mid = make_runner("mid-2MB", fusedp, None)
+        mid()
+        variants = {"mid-2MB": mid, "big-4MB": big}
+    elif args.mode == "tiles2":
+        # 4 MB vs 8 MB weight tiles (the next rung of the same ladder;
+        # run AFTER "tiles" shows big >= mid)
+        from gabby_tpu.ops.pallas import quant_matmul as pqm
+        fusedp = llama.fuse_projections(base)
+        pqm.set_tile_budget("huge")
+        huge = make_runner("huge-8MB", fusedp, args.max_seq)
+        huge()
+        pqm.set_tile_budget("big")
+        big = make_runner("big-4MB", fusedp, None)
+        big()
+        variants = {"big-4MB": big, "huge-8MB": huge}
     elif args.mode == "unembed":
         # int8 per-channel vs int4 group-scale unembed table (the [D, V]
         # stream is 29% of all decode bytes on the 1B; quality gated by
