@@ -1115,3 +1115,48 @@ def test_probe_big_tiles_respects_env_pin(monkeypatch):
     prev = pqm.tile_budget()
     assert pqm.probe_big_tiles({(256, 256)}) == (prev == "big")
     assert pqm.tile_budget() == prev
+
+
+def test_budget_ladder_tile_selection():
+    """Each budget rung must (a) keep tile_k*tile_n under its weight-tile
+    byte budget and (b) fit the block working set under its cap — checked
+    at the 1B model's real decode shapes (fused qkv / gate-up / down)."""
+    shapes = [(2048, 3072), (2048, 16384), (8192, 2048)]  # (k, n) logical
+    prev = pqm.tile_budget()
+    try:
+        for mode in ("0", "mid", "big", "huge"):
+            pqm.set_tile_budget(mode)
+            _, budget_bytes, _ = pqm._BUDGETS[mode]
+            for k, n in shapes:
+                kp = k // 2  # int4 packed contraction dim
+                tile_k, tile_n = pqm._pick_tiles(kp, n, 16, 4)
+                assert tile_k and tile_n, (mode, k, n)
+                assert tile_k * tile_n <= budget_bytes, (mode, k, n)
+    finally:
+        pqm.set_tile_budget(prev)
+
+
+def test_huge_budget_widens_grouped_unembed():
+    """Under the 'huge' budget's 20 MB working-set cap the grouped unembed
+    can seat 4096-wide tiles on a 4096-divisible vocab; the default
+    budgets stay at 2048 (their proven cap)."""
+    kp, g = 1024, 256  # Llama-3.2-1B unembed: D=2048 -> kp=1024
+    gh = kp // g
+    n = 131072  # vocab padded to a 4096 multiple
+    prev = pqm.tile_budget()
+    try:
+        pqm.set_tile_budget("mid")
+        assert pqm._grouped_tile_n(kp, n, 16, gh, g) == 2048
+        pqm.set_tile_budget("huge")
+        assert pqm._grouped_tile_n(kp, n, 16, gh, g) == 4096
+    finally:
+        pqm.set_tile_budget(prev)
+
+
+def test_vmem_limit_env_override(monkeypatch):
+    monkeypatch.setenv("GABBY_VMEM_LIMIT_MB", "32")
+    assert pk.vmem_limit_bytes() == 32 * 1024 * 1024
+    monkeypatch.setenv("GABBY_VMEM_LIMIT_MB", "0")
+    assert pk.vmem_limit_bytes() is None
+    monkeypatch.delenv("GABBY_VMEM_LIMIT_MB")
+    assert pk.vmem_limit_bytes() == 64 * 1024 * 1024
