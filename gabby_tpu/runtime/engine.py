@@ -130,6 +130,19 @@ class EngineConfig:
     # (ops/attention.slot_prefill_attention), so this is a decode-
     # throughput knob; measure with `tools/ab_decode.py pair`.
     pair_kv_heads: bool = False
+    # Sequence-parallel prefill for LONG admissions under a dp>1 mesh
+    # (parallel/sp.py; SURVEY §2b SP/CP row, BASELINE config 5): a single
+    # long prompt leaves the mesh's data axis idle during its chunked
+    # prefill — slots shard over it but one prompt occupies one slot.
+    # Admission chunks whose bucket is >= sp_prefill_tokens (and divisible
+    # by dp) ride sp_prefill_slot instead: the chunk's token axis shards
+    # over the data axis (Ulysses-style K/V all-gather placed by GSPMD, or
+    # ring attention over ICI when sp_prefill_ring). Deterministic from
+    # bucket+config, so multi-host plan replay stays in lockstep. Dense
+    # cache under a mesh with dp>1 only (paged admissions keep the
+    # per-slot path). 0 disables.
+    sp_prefill_tokens: int = 1024
+    sp_prefill_ring: bool = False
     # Admission ordering when requests wait for a slot: "spf" = shortest
     # prompt first (a short prompt stuck behind a long one otherwise pays
     # that prompt's whole prefill in TTFT; classic SJF mean-latency win),
@@ -359,6 +372,19 @@ class Engine:
         # executable — see CacheLoops.pin_cache)
         self._gen = generate.CacheLoops(cache, cache_shardings)
         self._cache = cache = self._gen.pin_cache(cache)
+
+        # sequence-parallel prefill (EngineConfig.sp_prefill_tokens): only
+        # for a DENSE cache sharded over a mesh whose data axis > 1 —
+        # that's when a long admission leaves devices idle
+        self._sp_mesh = None
+        if (econfig.sp_prefill_tokens > 0 and cache_shardings is not None
+                and not self._paged):
+            from jax.sharding import NamedSharding as _NS
+            _leaves = jax.tree.leaves(
+                cache_shardings, is_leaf=lambda x: isinstance(x, _NS))
+            _leaves = [s for s in _leaves if isinstance(s, _NS)]
+            if _leaves and _leaves[0].mesh.shape.get("data", 1) > 1:
+                self._sp_mesh = _leaves[0].mesh
 
         stop = stop_ids if stop_ids is not None else self.chat.stop_ids()
         self._eos_ids = jnp.asarray(sorted(stop), jnp.int32)
@@ -1118,10 +1144,23 @@ class Engine:
             raise RuntimeError("kv page pool exhausted")
         chunk = np.zeros((bucket,), np.int32)
         chunk[:take] = adm.ids[adm.offset:adm.offset + take]
-        adm.last_logits, self._cache = self._gen.prefill_slot(
-            self._prefill_params, self.cfg, jnp.asarray(chunk),
-            jnp.int32(take), jnp.int32(adm.slot_ix), jnp.int32(adm.offset),
-            self._cache)
+        if (self._sp_mesh is not None
+                and bucket >= self.ec.sp_prefill_tokens
+                and bucket % self._sp_mesh.shape["data"] == 0):
+            # long chunk + idle data axis: sequence-parallel prefill
+            # (deterministic from bucket/config — multi-host controllers
+            # replay the identical call)
+            from gabby_tpu.parallel.sp import sp_prefill_slot
+            adm.last_logits, self._cache = sp_prefill_slot(
+                self._prefill_params, self.cfg, jnp.asarray(chunk),
+                jnp.int32(take), jnp.int32(adm.slot_ix),
+                jnp.int32(adm.offset), self._cache,
+                mesh=self._sp_mesh, ring=self.ec.sp_prefill_ring)
+        else:
+            adm.last_logits, self._cache = self._gen.prefill_slot(
+                self._prefill_params, self.cfg, jnp.asarray(chunk),
+                jnp.int32(take), jnp.int32(adm.slot_ix),
+                jnp.int32(adm.offset), self._cache)
         adm.offset += take
         return adm.offset >= len(adm.ids)
 

@@ -207,3 +207,53 @@ def test_ring_hlo_has_permute_but_no_chunk_allgather(setup):
         hlo = run.lower(params, cfg, ids, jnp.int32(64), jnp.int32(0),
                         jnp.int32(0), cache).compile().as_text()
     assert "collective-permute" in hlo, "ring rotation missing from HLO"
+
+
+def test_engine_long_admission_takes_sp_path(setup):
+    """Engine integration (EngineConfig.sp_prefill_tokens): under a dp>1
+    mesh, a long admission's bucket-sized chunks ride sp_prefill_slot and
+    the generated stream is identical to the per-slot prefill path."""
+    from gabby_tpu.parallel import cache_shardings, shard_params
+    from gabby_tpu.parallel import sp as sp_mod
+    from gabby_tpu.runtime.engine import Engine, EngineConfig
+    from gabby_tpu.tokenizer import Tokenizer
+
+    cfg = cfglib.tiny(max_seq_len=128)
+    mesh = make_mesh(dp=4, tp=2)
+    params = shard_params(
+        llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32),
+        mesh)
+    tok = Tokenizer.byte_fallback(cfg.vocab_size)
+    prompt = [(7 * i + 3) % 250 + 2 for i in range(70)]  # 64-bucket + tail
+
+    calls = []
+    orig = sp_mod.sp_prefill_slot
+
+    def spy(*a, **kw):
+        calls.append(a[2].shape[0])  # chunk bucket length
+        return orig(*a, **kw)
+
+    sp_mod.sp_prefill_slot = spy
+    try:
+        outs = {}
+        for name, sp_tokens in (("sp", 64), ("plain", 0)):
+            eng = Engine(cfg, params, tok, EngineConfig(
+                batch_slots=4, max_seq=128, steps_per_call=4,
+                default_max_tokens=6, cache_dtype="float32",
+                sp_prefill_tokens=sp_tokens),
+                cache_shardings=cache_shardings(mesh, quantized=False),
+                stop_ids={1})
+            try:
+                req = eng.submit_ids(list(prompt), max_tokens=6)
+                while True:
+                    _, fin = req.out.get(timeout=120)
+                    if fin is not None:
+                        break
+                outs[name] = list(req.token_ids)
+            finally:
+                eng.shutdown()
+        assert calls, "sp_prefill_slot was never taken for a 64-bucket chunk"
+        assert all(c % 2 == 0 and c >= 64 for c in calls)
+        assert outs["sp"] == outs["plain"], (outs, calls)
+    finally:
+        sp_mod.sp_prefill_slot = orig
