@@ -164,20 +164,17 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
     from gabby_tpu.tokenizer import Tokenizer
 
     params = build_params(args, spec, cfg, mesh)
-    # same default-on knob as the decode bench (see there; the paired
-    # prefill now takes the XLA fallback, so serving is safe and measured
-    # faster: mixed 1025 vs 947 tok/s, p50 TTFT 772 vs 892 ms on-chip)
-    # pairing measured a LOSS for paged serving at production page sizes
-    # (r4b mixed ladder: 512-row pages 694 paired vs 791 unpaired tok/s,
-    # 256: 672 vs 830; only 128-row pages gained, 848) — the paired
-    # prefill fallback (no flash prefill kernel under pairing) eats the
-    # decode win at page-grid chunk sizes. Dense keeps pairing (+10%);
-    # paged defaults unpaired. GABBY_ATTN_PAIR=1 with --paged-pages
-    # re-measures.
+    # same default-on knob as the decode bench (see there). Paged pairing
+    # history: r4b measured a LOSS at production page sizes (512-row
+    # pages 694 paired vs 791 unpaired tok/s; 256: 672 vs 830) because
+    # the paired prefill fell off-kernel; the round-5 paired flash-
+    # prefill kernel (query-group grid axis keeps its scoped-VMEM inside
+    # the compile limit) flipped it — r5a same-session mixed ladder at
+    # 256-row pages: 1197.5 paired vs 1148.0 unpaired tok/s (p50 TTFT
+    # 679 vs 716 ms). Paired is now the default for dense AND paged;
+    # GABBY_ATTN_PAIR=0 reverts.
     paired = (os.environ.get("GABBY_ATTN_PAIR", "1") != "0"
-              and mesh is None and cfg.num_kv_heads % 2 == 0
-              and (not args.paged_pages
-                   or os.environ.get("GABBY_ATTN_PAIR") == "1"))
+              and mesh is None and cfg.num_kv_heads % 2 == 0)
     cache_sh = None
     if mesh is not None:
         from gabby_tpu.parallel import cache_shardings
@@ -192,6 +189,9 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
         paged_pages=args.paged_pages,
         page_size=args.page_size,
         pair_kv_heads=paired,
+        # dispatch-ahead decode pipelining (default on; GABBY_PIPELINE=0
+        # re-measures the synchronous-fetch loop)
+        pipeline_fetch=(os.environ.get("GABBY_PIPELINE", "1") != "0"),
         prefill_int8_shadow=(os.environ.get("GABBY_PREFILL_SHADOW") == "1")),
         cache_shardings=cache_sh)
 

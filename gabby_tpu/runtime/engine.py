@@ -130,6 +130,22 @@ class EngineConfig:
     # (ops/attention.slot_prefill_attention), so this is a decode-
     # throughput knob; measure with `tools/ab_decode.py pair`.
     pair_kv_heads: bool = False
+    # Dispatch-ahead decode pipelining: dispatch decode burst N+1 BEFORE
+    # fetching burst N's packed host view, so the (latency-bound) host
+    # transfer overlaps the next burst's device compute instead of
+    # serializing with it. On a tunneled or multi-host fetch path the
+    # per-iteration transfer latency (~26 ms on this environment's axon
+    # tunnel) otherwise rivals the busy burst's whole compute (8 steps x
+    # ~1.7 ms). Device state stays exact — EOS masking, positions, and
+    # sampling all live on device — while HOST bookkeeping (max_tokens,
+    # stop strings, slot frees) lags by exactly one burst: overshoot
+    # tokens are discarded at emission (slot epochs guard re-admitted
+    # slots), and the attention window adds the pending burst's steps so
+    # a lagged token count can never under-provision the kernel grid.
+    # Auto-disabled for paged mode (page horizons are host-computed),
+    # speculation (verify wall timings + acceptance accounting need
+    # synchronous fetches), and multi-host (plan lockstep).
+    pipeline_fetch: bool = True
     # Sequence-parallel prefill for LONG admissions under a dp>1 mesh
     # (parallel/sp.py; SURVEY §2b SP/CP row, BASELINE config 5): a single
     # long prompt leaves the mesh's data axis idle during its chunked
@@ -261,6 +277,29 @@ class _Admission:
     ids: np.ndarray
     offset: int = 0
     last_logits: Optional[jnp.ndarray] = None
+
+
+@dataclasses.dataclass
+class _BurstRecord:
+    """One dispatched decode burst's not-yet-fetched outputs
+    (EngineConfig.pipeline_fetch): the packed host-view DEVICE array plus
+    everything needed to unpack and emit it one iteration later. `epochs`
+    snapshots each slot's _finish generation at dispatch, so emissions
+    into a slot that was freed (and possibly re-admitted) in between are
+    dropped — those are exactly the overshoot tokens host bookkeeping
+    would have suppressed under a synchronous fetch."""
+
+    packed_dev: jnp.ndarray
+    steps: int
+    b: int
+    n_top: int
+    epochs: tuple
+    # slots whose admission-time first token this record's packed view
+    # carries (first_pending at dispatch). A slot admitted AFTER dispatch
+    # keeps first_pending until the record that actually contains its
+    # first token — emitting from an older record would deliver the
+    # previous occupant's (or zero-initialized) lane value.
+    first_slots: tuple = ()
 
 
 class Engine:
@@ -448,6 +487,16 @@ class Engine:
                 rep = NamedSharding(leaves[0].mesh, PartitionSpec())
                 self._fetch_replicate = jax.jit(lambda x: x,
                                                 out_shardings=rep)
+        # dispatch-ahead decode pipelining (EngineConfig.pipeline_fetch):
+        # one outstanding burst record whose packed host view is fetched
+        # only after the NEXT burst dispatches. Slot epochs (bumped per
+        # _finish) keep a pending record from emitting into a slot that
+        # was freed and re-admitted after its dispatch.
+        self._pipeline = (econfig.pipeline_fetch
+                          and econfig.speculate_tokens == 0
+                          and not self._multi)
+        self._pending_burst: Optional[_BurstRecord] = None
+        self._slot_epoch = [0] * b
         # leader-side handoff between plan composition and execution
         self._pending_admit: Optional[Request] = None
         self._burst_reqs: Optional[list[Request]] = None
@@ -802,7 +851,11 @@ class Engine:
         if not live:
             return None
         span = (self.ec.speculate_tokens + 1) if self._spec_enabled else 1
-        need = max(live) + steps * span + 2
+        # pipelined fetches (pipeline_fetch): host token counts lag the
+        # device by the pending burst's steps — cover them, or a lagged
+        # count could under-provision the kernel grid at a bucket edge
+        lag = self._pending_burst.steps if self._pending_burst else 0
+        need = max(live) + lag + steps * span + 2
         w = 1024  # the flash kernel's chunk size
         while w < need:
             w *= 2
@@ -1120,6 +1173,10 @@ class Engine:
                         logits[slot_ix], n_top=req.top_logprobs)
                     slot.first_top = (np.asarray(id_t), np.asarray(lp_t))
                 self._slots[slot_ix] = slot
+                # a new occupant: invalidate any pending pipelined
+                # record's claim on this lane (its packed view predates
+                # this admission — active flags and tokens are stale)
+                self._slot_epoch[slot_ix] += 1
                 req.first_token_ts = now
                 if not req.internal:
                     self.stats["requests"] += 1
@@ -1238,6 +1295,7 @@ class Engine:
                 adm.last_logits, n_top=req.top_logprobs)
             slot.first_top = (np.asarray(id_t), np.asarray(lp_t))
         self._slots[slot_ix] = slot
+        self._slot_epoch[slot_ix] += 1  # see the burst-admission bump
         # the slot's cache now holds this prompt's full KV: register it
         # for prefix reuse by later admissions
         self._slot_prompts[slot_ix] = [int(t) for t in adm.ids]
@@ -1340,6 +1398,10 @@ class Engine:
                     slot.request.token_ids)
                 self._spans.append(span)
         self._slots[slot_ix] = None
+        # invalidate any pending pipelined burst's claim on this slot: a
+        # record dispatched before this finish must not emit into whatever
+        # occupies the slot next (see _BurstRecord.epochs)
+        self._slot_epoch[slot_ix] += 1
         self._active = self._active.at[slot_ix].set(False)
         # park the freed slot's write position (see __init__); update all
         # state BEFORE notifying the client so a caller that observes the
@@ -1588,6 +1650,7 @@ class Engine:
                 admitting = None
 
         if not any(s is not None for s in self._slots):
+            self._drain_pending_burst()  # no follow-up burst is coming
             return admitting
 
         steps = plan["steps"]
@@ -1599,14 +1662,19 @@ class Engine:
             # (its generated text so far is delivered)
             span = ((self.ec.speculate_tokens + 1) if self._spec_enabled
                     else 1)
+            # pipelined fetches: host token counts lag by the pending
+            # burst's steps — provision pages for them too, or a lagged
+            # count could under-allocate the page horizon
+            lag = self._pending_burst.steps if self._pending_burst else 0
             for i, s in enumerate(self._slots):
                 if s is None:
                     continue
                 horizon = (s.prompt_len + len(s.request.token_ids)
-                           + steps * span + span + 1)
+                           + lag + steps * span + span + 1)
                 if not self._ensure_pages(i, horizon):
                     self._finish(i, "length")
             if not any(s is not None for s in self._slots):
+                self._drain_pending_burst()
                 return admitting
         pre_tokens = self._tokens  # holds just-admitted first tokens
         b = len(self._slots)
@@ -1691,6 +1759,11 @@ class Engine:
                                   top_lps[step, slot_ix, t])
                                  if n_top else None))
             self._maybe_disable_spec()
+            # capacity finishes (device deactivated without EOS) — the
+            # spec path fetches synchronously, no epoch guard needed
+            for slot_ix, slot in enumerate(self._slots):
+                if slot is not None and not active_host[slot_ix]:
+                    self._finish(slot_ix, "length")
         else:
             t_call = time.perf_counter()
             (out_tokens, out_active, out_lp, self._tokens,
@@ -1707,54 +1780,99 @@ class Engine:
             # (arrays are replicated across controllers, so in multi-host
             # mode every process fetches identical values and decides
             # identically)
-            kb = steps * b
-            packed = self._host_fetch(generate.pack_host_view(
-                out_tokens, out_active, self._active, pre_tokens,
-                out_lp, self._first_lp, out_top_lp, out_top_ids))
-            toks = packed[:kb].reshape(steps, -1)               # [K, B]
-            emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
-            active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
-            first_toks = packed[2 * kb + b:2 * kb + 2 * b]       # [B]
-            base = 2 * kb + 2 * b
-            lp_flat = packed[base:base + kb + b].view(np.float32)
-            lps = lp_flat[:kb].reshape(steps, -1)                # [K, B]
-            first_lps = lp_flat[kb:]                             # [B]
-            top_lps = packed[base + kb + b:base + kb + b + kb * n_top]\
-                .view(np.float32).reshape(steps, b, n_top)
-            top_ids = packed[base + kb + b + kb * n_top:]\
-                .reshape(steps, b, n_top)
-            if self._pstate is None:
-                # penalty-free plain bursts only: the penalized program
-                # costs more and would skew the auto break-even denominator
-                self._plain_step_s.append(
-                    (time.perf_counter() - t_call) / steps)
-
-            # deliver on-device-sampled first tokens of fresh admissions
-            # BEFORE this call's decode outputs (generation order)
-            for slot_ix, slot in enumerate(self._slots):
-                if slot is not None and slot.first_pending:
-                    slot.first_pending = False
-                    self._emit_token(slot_ix, int(first_toks[slot_ix]),
-                                     float(first_lps[slot_ix]),
-                                     top=slot.first_top)
-            for step in range(toks.shape[0]):
-                for slot_ix in range(toks.shape[1]):
-                    if emitted[step, slot_ix] and self._slots[slot_ix]:
-                        self._emit_token(
-                            slot_ix, int(toks[step, slot_ix]),
-                            float(lps[step, slot_ix]),
-                            top=((top_ids[step, slot_ix],
-                                  top_lps[step, slot_ix])
-                                 if n_top else None))
+            rec = _BurstRecord(
+                packed_dev=generate.pack_host_view(
+                    out_tokens, out_active, self._active, pre_tokens,
+                    out_lp, self._first_lp, out_top_lp, out_top_ids),
+                steps=steps, b=b, n_top=n_top,
+                epochs=tuple(self._slot_epoch),
+                first_slots=tuple(
+                    i for i, s in enumerate(self._slots)
+                    if s is not None and s.first_pending))
+            if self._pipeline:
+                # dispatch-ahead: hold this burst's packed view; the fetch
+                # happens after the NEXT burst dispatches, so the transfer
+                # latency rides under its device compute. (The previous
+                # pending record is fetched now — its compute finished
+                # while this iteration's plan/prefill/dispatch ran.)
+                pending, self._pending_burst = self._pending_burst, rec
+                if pending is not None:
+                    self._process_burst(pending)
+            else:
+                self._process_burst(rec)
+                if self._pstate is None:
+                    # penalty-free plain bursts only: the penalized
+                    # program costs more and would skew the auto
+                    # break-even denominator. (Pipelined mode never
+                    # records: dispatch-to-fetch no longer bounds one
+                    # burst, and pipelining implies speculation off.)
+                    self._plain_step_s.append(
+                        (time.perf_counter() - t_call) / steps)
             self._maybe_reprobe_spec()
 
+        return admitting
+
+    def _process_burst(self, rec: _BurstRecord) -> None:
+        """Fetch one burst's packed host view and do its host bookkeeping:
+        first-token + decode-token emission, and capacity ("length")
+        finishes for slots the device deactivated without an EOS. Runs
+        synchronously right after dispatch, or one iteration later under
+        pipeline_fetch — the epoch guard drops emissions into slots that
+        were freed after the record's dispatch."""
+        steps, b, n_top = rec.steps, rec.b, rec.n_top
+        kb = steps * b
+        packed = self._host_fetch(rec.packed_dev)
+        toks = packed[:kb].reshape(steps, -1)               # [K, B]
+        emitted = packed[kb:2 * kb].reshape(steps, -1) != 0  # [K, B]
+        active_host = packed[2 * kb:2 * kb + b] != 0         # [B]
+        first_toks = packed[2 * kb + b:2 * kb + 2 * b]       # [B]
+        base = 2 * kb + 2 * b
+        lp_flat = packed[base:base + kb + b].view(np.float32)
+        lps = lp_flat[:kb].reshape(steps, -1)                # [K, B]
+        first_lps = lp_flat[kb:]                             # [B]
+        top_lps = packed[base + kb + b:base + kb + b + kb * n_top]\
+            .view(np.float32).reshape(steps, b, n_top)
+        top_ids = packed[base + kb + b + kb * n_top:]\
+            .reshape(steps, b, n_top)
+
+        def claimed(slot_ix: int) -> bool:
+            return (self._slots[slot_ix] is not None
+                    and self._slot_epoch[slot_ix] == rec.epochs[slot_ix])
+
+        # deliver on-device-sampled first tokens of fresh admissions
+        # BEFORE this call's decode outputs (generation order) — only for
+        # slots whose first token this record actually carries
+        for slot_ix in rec.first_slots:
+            slot = self._slots[slot_ix]
+            if slot is not None and slot.first_pending and claimed(slot_ix):
+                slot.first_pending = False
+                self._emit_token(slot_ix, int(first_toks[slot_ix]),
+                                 float(first_lps[slot_ix]),
+                                 top=slot.first_top)
+        for step in range(toks.shape[0]):
+            for slot_ix in range(toks.shape[1]):
+                if emitted[step, slot_ix] and claimed(slot_ix):
+                    self._emit_token(
+                        slot_ix, int(toks[step, slot_ix]),
+                        float(lps[step, slot_ix]),
+                        top=((top_ids[step, slot_ix],
+                              top_lps[step, slot_ix])
+                             if n_top else None))
         # a slot the DEVICE deactivated without an EOS hit its cache
         # capacity (decode_loop's new_pos < max_seq guard): finish it
         # host-side or its request would hang forever
         for slot_ix, slot in enumerate(self._slots):
-            if slot is not None and not active_host[slot_ix]:
+            if slot is not None and not active_host[slot_ix] \
+                    and claimed(slot_ix):
                 self._finish(slot_ix, "length")
-        return admitting
+
+    def _drain_pending_burst(self) -> None:
+        """Process the outstanding pipelined burst now (idle iterations,
+        early returns, shutdown): clients must never wait on a record
+        whose follow-up burst isn't coming."""
+        pending, self._pending_burst = self._pending_burst, None
+        if pending is not None:
+            self._process_burst(pending)
 
     def _probe_plain_now(self) -> bool:
         """spec_auto_breakeven needs PLAIN-burst wall samples, but with
@@ -1848,6 +1966,9 @@ class Engine:
             if leader:
                 plan = self._compose_plan(admitting)
                 if plan is None:
+                    # idle: no follow-up burst will trigger the pipelined
+                    # fetch — settle the outstanding record now
+                    self._drain_pending_burst()
                     if not self._multi:
                         self._wake.wait(timeout=0.05)
                         self._wake.clear()
@@ -1869,6 +1990,7 @@ class Engine:
             admitting = self._execute_plan(plan, admitting)
 
         # drain on shutdown
+        self._drain_pending_burst()
         if admitting is not None:
             admitting.req.out.put((None, "abort"))
         for slot_ix in range(len(self._slots)):

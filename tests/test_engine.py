@@ -644,6 +644,8 @@ def _emitter(tok, slot_count=1):
     eng._positions = jnp.zeros((slot_count,), jnp.int32)
     eng._park = 127
     eng._paged = False
+    eng._slot_epoch = [0] * slot_count
+    eng._pending_burst = None
     eng.stats = {"completion_tokens": 0}
     eng._ttfts = []
     eng._pen_slots = set()
@@ -988,3 +990,46 @@ def test_warmup_compiles_and_keeps_stats_clean(engine):
     text, fin, np_, nc = engine.generate_sync(MSGS, max_tokens=4)
     assert fin in ("stop", "length")
     assert engine.stats_snapshot()["requests"] == 2
+
+
+def test_pipeline_fetch_matches_synchronous(setup):
+    """Dispatch-ahead pipelining (EngineConfig.pipeline_fetch) must be
+    invisible in outputs: 3x-oversubscribed mixed workload (slot reuse
+    stresses the epoch guard; varying max_tokens stresses overshoot
+    discard) produces identical streams with the fetch pipelined and
+    synchronous."""
+    import threading
+    cfg, params, tok = setup
+    prompts = [[(11 * i + j) % 250 + 2 for j in range(10 + (i % 3) * 17)]
+               for i in range(6)]
+    outs = {}
+    for mode in (True, False):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(batch_slots=2, max_seq=128,
+                                  steps_per_call=4, steps_per_call_busy=2,
+                                  default_max_tokens=8,
+                                  cache_dtype="float32",
+                                  pipeline_fetch=mode))
+        try:
+            results = [None] * len(prompts)
+
+            def run(i):
+                req = eng.submit_ids(list(prompts[i]),
+                                     max_tokens=4 + (i % 3) * 3)
+                while True:
+                    _, fin = req.out.get(timeout=120)
+                    if fin is not None:
+                        break
+                results[i] = (tuple(req.token_ids), fin)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            outs[mode] = results
+        finally:
+            eng.shutdown()
+    assert outs[True] == outs[False], outs
+    assert all(r is not None for r in outs[True])
