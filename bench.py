@@ -189,9 +189,10 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
         paged_pages=args.paged_pages,
         page_size=args.page_size,
         pair_kv_heads=paired,
-        # dispatch-ahead decode pipelining (default on; GABBY_PIPELINE=0
-        # re-measures the synchronous-fetch loop)
-        pipeline_fetch=(os.environ.get("GABBY_PIPELINE", "1") != "0"),
+        # dispatch-ahead decode pipelining (default OFF — measured a
+        # serving loss on the tunneled chip, see EngineConfig.
+        # pipeline_fetch; GABBY_PIPELINE=1 re-measures it)
+        pipeline_fetch=(os.environ.get("GABBY_PIPELINE", "0") == "1"),
         prefill_int8_shadow=(os.environ.get("GABBY_PREFILL_SHADOW") == "1")),
         cache_shardings=cache_sh)
 

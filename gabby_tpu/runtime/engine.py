@@ -131,21 +131,28 @@ class EngineConfig:
     # throughput knob; measure with `tools/ab_decode.py pair`.
     pair_kv_heads: bool = False
     # Dispatch-ahead decode pipelining: dispatch decode burst N+1 BEFORE
-    # fetching burst N's packed host view, so the (latency-bound) host
-    # transfer overlaps the next burst's device compute instead of
-    # serializing with it. On a tunneled or multi-host fetch path the
-    # per-iteration transfer latency (~26 ms on this environment's axon
-    # tunnel) otherwise rivals the busy burst's whole compute (8 steps x
-    # ~1.7 ms). Device state stays exact — EOS masking, positions, and
-    # sampling all live on device — while HOST bookkeeping (max_tokens,
-    # stop strings, slot frees) lags by exactly one burst: overshoot
-    # tokens are discarded at emission (slot epochs guard re-admitted
-    # slots), and the attention window adds the pending burst's steps so
-    # a lagged token count can never under-provision the kernel grid.
-    # Auto-disabled for paged mode (page horizons are host-computed),
-    # speculation (verify wall timings + acceptance accounting need
-    # synchronous fetches), and multi-host (plan lockstep).
-    pipeline_fetch: bool = True
+    # fetching burst N's packed host view, intending the (latency-bound)
+    # host transfer to overlap the next burst's device compute instead of
+    # serializing with it. Device state stays exact — EOS masking,
+    # positions, and sampling all live on device — while HOST bookkeeping
+    # (max_tokens, stop strings, slot frees) lags by exactly one burst:
+    # overshoot tokens are discarded at emission (slot epochs guard
+    # re-admitted slots), and the attention window adds the pending
+    # burst's steps so a lagged token count can never under-provision the
+    # kernel grid. Auto-disabled under speculation (verify wall timings +
+    # acceptance accounting need synchronous fetches) and multi-host
+    # (plan lockstep).
+    #
+    # Default OFF — MEASURED a serving LOSS on this environment's
+    # tunneled chip (r5b same-session alternating mixed ladder, warm
+    # caches: 1271/1220 tok/s @ ~0.66 s p50 TTFT synchronous vs 188/631
+    # @ 8.3/2.0 s pipelined): the tunnel transport serializes the D2H
+    # fetch of burst N BEHIND burst N+1's already-enqueued execution, so
+    # the wire time is not hidden — it now waits out the next burst's
+    # compute too, and every first token emits one burst late. Opt-in
+    # (GABBY_PIPELINE=1 in bench.py) for deployments whose D2H path is
+    # genuinely out-of-band with program execution.
+    pipeline_fetch: bool = False
     # Sequence-parallel prefill for LONG admissions under a dp>1 mesh
     # (parallel/sp.py; SURVEY §2b SP/CP row, BASELINE config 5): a single
     # long prompt leaves the mesh's data axis idle during its chunked
