@@ -139,6 +139,12 @@ def _build_engine(args, sync=None):
                              and args.paged_pages == 0
                              and cfg.num_kv_heads % 2 == 0)),
         prefill_int8_shadow=args.prefill_int8_shadow,
+        # sequence-parallel prefill for long admissions under dp>1
+        # (parallel/sp.py; ring=True swaps the Ulysses all-gather for ring
+        # attention over ICI, parallel/ring.py)
+        sp_prefill_tokens=args.sp_prefill_tokens,
+        sp_prefill_ring=args.sp_ring,
+        pipeline_fetch=args.pipeline_fetch,
         cache_dtype="float32" if args.preset == "tiny" and not args.model_dir
         else "bfloat16",
     )
@@ -319,6 +325,22 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "auto — on when eligible (no mesh, even kv-head "
                         "count); measured ~10%% faster decode and serving "
                         "on-chip. --no-pair-kv reverts")
+    p.add_argument("--sp-prefill-tokens", type=int, default=1024,
+                   help="sequence-parallel prefill threshold: admission "
+                        "chunks >= this many tokens shard their token axis "
+                        "over the mesh's data axis when --dp > 1 "
+                        "(Ulysses-style; 0 disables)")
+    p.add_argument("--sp-ring", action="store_true",
+                   help="use ring attention over ICI for sequence-parallel "
+                        "prefill instead of the GSPMD K/V all-gather: "
+                        "per-device chunk K/V memory drops to O(T/dp) for "
+                        "prompts whose gathered K/V would not fit")
+    p.add_argument("--pipeline-fetch", action="store_true",
+                   help="dispatch decode burst N+1 before fetching burst "
+                        "N's host view (measured a serving LOSS on "
+                        "tunneled D2H paths — see EngineConfig."
+                        "pipeline_fetch; only for deployments whose D2H "
+                        "is out-of-band with program execution)")
     p.add_argument("--speculate", type=int, default=0,
                    help="speculative decoding: verify up to N n-gram "
                         "prompt-lookup drafts per forward for greedy "
