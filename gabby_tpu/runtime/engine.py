@@ -917,8 +917,15 @@ class Engine:
 
     def _push_page_table(self) -> None:
         pt = jnp.asarray(self._pt_host)
-        if self._pt_sharding is not None:
-            pt = jax.device_put(pt, self._pt_sharding)
+        # the table leaf is deliberately NOT layout-pinned (see
+        # generate.CacheLoops: the persistent compilation cache drops
+        # custom output layouts, so a pin here would desync cache-served
+        # executables). CacheLoops.formats holds its plain sharding; on a
+        # mesh the push must land replicated without an implicit transfer.
+        fmt = (self._gen.formats.page_table
+               if self._gen.formats is not None else self._pt_sharding)
+        if fmt is not None:
+            pt = jax.device_put(pt, fmt)
         self._cache = dataclasses.replace(self._cache, page_table=pt)
 
     def _release_slot_pages(self, slot_ix: int) -> None:
@@ -1220,6 +1227,13 @@ class Engine:
                 jnp.int32(take), jnp.int32(adm.slot_ix),
                 jnp.int32(adm.offset), self._cache,
                 mesh=self._sp_mesh, ring=self.ec.sp_prefill_ring)
+            # sp_prefill_slot is NOT one of CacheLoops' layout-pinned jits:
+            # its returned cache rides AUTO layouts, and re-entering the
+            # pinned decode loops with a mismatched arg layout hard-errors
+            # when the executable was loaded from the persistent
+            # compilation cache (see _push_page_table). No-op when layouts
+            # already agree.
+            self._cache = self._gen.pin_cache(self._cache)
         else:
             adm.last_logits, self._cache = self._gen.prefill_slot(
                 self._prefill_params, self.cfg, jnp.asarray(chunk),

@@ -637,6 +637,23 @@ class CacheLoops:
             fmt = jax.tree.map(
                 lambda x, s: Format(Layout(tuple(range(x.ndim))), s),
                 cache, cache_shardings)
+        # The paged page table ([B, max_pages] i32 bookkeeping) must NOT
+        # carry a layout pin. Its row-major pin differs from the backend's
+        # default layout for small int arrays ((1, 0) tiled on v5e), and
+        # the persistent compilation cache DROPS custom output layouts
+        # when it serves an executable (reproduced in 20 lines: a jit
+        # whose out_shardings pin (0, 1) for an int32[8, 4] leaf emits
+        # (0, 1) freshly compiled but (1, 0) when loaded from the disk
+        # cache — and device_put-to-Format relayouts break the same way).
+        # A cache-served prefill therefore emits the default layout and
+        # the next pinned decode dispatch hard-errors ("Layout passed to
+        # jit does not match the layout on the respective arg", r5c
+        # on-chip at page_size 512). The pins exist for the BIG pools
+        # (the four-copy problem above); the table rides its default
+        # layout consistently everywhere instead.
+        if hasattr(cache, "page_table"):
+            import dataclasses as _dc
+            fmt = _dc.replace(fmt, page_table=fmt.page_table.sharding)
         self.formats = fmt
         N = None
         self._decode = jax.jit(

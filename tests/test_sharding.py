@@ -160,6 +160,51 @@ def test_cacheloops_formats_compile_over_mesh(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_cacheloops_page_table_is_never_layout_pinned(setup, monkeypatch):
+    """Regression (r5c on-chip crash): the persistent XLA compilation
+    cache DROPS custom output layouts when it serves an executable, so a
+    layout-pinned page_table desyncs — a cache-served prefill emits the
+    backend-default layout and the next pinned decode dispatch hard-errors
+    ('Layout passed to jit does not match the layout on the respective
+    arg', int32[8, 4] at page_size 512). CacheLoops must pin ONLY the big
+    pool leaves and leave the paged page table on a plain sharding, and a
+    default-layout table (what _push_page_table's jnp.asarray produces)
+    must dispatch through the pinned loops."""
+    import dataclasses
+
+    from jax.experimental.layout import Format
+    from gabby_tpu.parallel import paged_cache_shardings
+    from gabby_tpu.runtime import generate
+    from gabby_tpu.runtime.paged import create_paged_cache
+
+    cfg, params = setup
+    qparams = quant.quantize_tree(params, 8)
+    mesh = make_mesh(dp=2, tp=4)
+    sparams = shard_params(qparams, mesh)
+    shardings = paged_cache_shardings(mesh, quantized=True)
+    cache = jax.device_put(
+        create_paged_cache(cfg, 2, 32, 9, quantized=True, page_size=16),
+        shardings)
+
+    monkeypatch.setenv("GABBY_CACHE_LAYOUTS", "1")
+    loops = generate.CacheLoops(cache, shardings)
+    assert loops.formats is not None
+    assert not isinstance(loops.formats.page_table, Format)
+    assert isinstance(loops.formats.k, Format)
+
+    cache = loops.pin_cache(cache)
+    # a host-rebuilt table in the backend's default layout must dispatch
+    pt = jax.device_put(jnp.zeros((2, 2), jnp.int32),
+                        loops.formats.page_table)
+    cache = dataclasses.replace(cache, page_table=pt)
+    sstate = generate.SamplingState.greedy(2)
+    out, *_ = loops.decode_loop(
+        sparams, cfg, jnp.asarray([3, 5], jnp.int32),
+        jnp.asarray([4, 4], jnp.int32), jnp.asarray([True, True]),
+        cache, sstate, 2)
+    assert out.shape == (2, 2)
+
+
 def test_promote_int4_shadow_preserves_shardings(setup):
     """promote_int4_to_int8 on a mesh-sharded tree: every shadow keeps its
     source NamedSharding (the int4 codes' spec IS the int8 spec — unpack
