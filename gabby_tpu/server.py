@@ -131,12 +131,14 @@ def _build_engine(args, sync=None):
         # ops/attention.slot_prefill_attention). --no-pair-kv reverts;
         # on-chip parity probes: tools/pair_chip_check.py,
         # tools/pair_engine_chip_check.py.
-        # auto-pair: dense only — the r4b on-chip ladder measured paired
-        # PAGED serving slower at 512/256-row pages (prefill falls back
-        # off-kernel under pairing); --pair-kv forces it for re-measures
+        # auto-pair: dense AND paged — the r4b paged-pairing loss was the
+        # paired prefill falling off-kernel; the round-5 paired
+        # flash-prefill kernel (query-group grid axis) reversed it
+        # (r5a 256-row ladder: 1197.5 paired vs 1148.0 unpaired tok/s;
+        # r5c 512-row paired reaches dense parity, 1195 vs 1201).
+        # --no-pair-kv reverts
         pair_kv_heads=(args.pair_kv if args.pair_kv is not None
                        else (cache_shardings is None
-                             and args.paged_pages == 0
                              and cfg.num_kv_heads % 2 == 0)),
         prefill_int8_shadow=args.prefill_int8_shadow,
         # sequence-parallel prefill for long admissions under dp>1
@@ -452,8 +454,14 @@ def main(argv: Optional[list[str]] = None) -> int:
         del sig, frame
         stop.set()
 
-    signal.signal(signal.SIGINT, on_signal)
-    signal.signal(signal.SIGTERM, on_signal)
+    try:
+        signal.signal(signal.SIGINT, on_signal)
+        signal.signal(signal.SIGTERM, on_signal)
+    except ValueError:
+        # main() embedded off the main thread (tests, notebook hosts):
+        # signals stay with the embedder; stop via KeyboardInterrupt from
+        # there or let daemon threads die with the process
+        pass
     # wait in Python (not in native Wait) so signals are deliverable
     while not stop.is_set():
         stop.wait(0.2)
