@@ -168,6 +168,26 @@ def _pick_tiles(k: int, n: int, tile_m: int, bits: int) -> tuple[int, int]:
                 + 2 * tile_m * tile_n * 2       # output, double-buffered
                 + tile_m * tile_n * 4)          # f32 accumulator
 
+    if os.environ.get("GABBY_QMM_KMAJOR") == "1" and tile_m <= 256:
+        # K-MAJOR tiles (experiment, `ab_decode kmajor`): tile_n = n makes
+        # every weight block a run of FULL consecutive rows of the
+        # row-major [kp, n] codes — one contiguous HBM stream per tile
+        # instead of n-strided 2 KB column-panel runs — with the existing
+        # k grid accumulating into the f32 scratch. Hypothesis from the
+        # r5 profile: the XLA int8 unembed (contiguous stream) runs at
+        # ~1.0x its DMA floor while every tiled kernel sits at 1.4-1.7x;
+        # if the residual is strided-read inefficiency this recovers it,
+        # if it is the VPU unpack this is neutral. c halves until the
+        # working set fits and the k grid keeps >= 2 steps (Mosaic
+        # double-buffers across grid steps; a 1-step grid cannot overlap
+        # DMA with compute).
+        c = min(TILE_BYTES // n, k) // 128 * 128
+        while c >= 128:
+            if (k % c == 0 and vmem(c, n) <= WS_CAP and k // c >= 2):
+                return c, n
+            c -= 128
+        # nothing fit with a >= 2-step k grid: fall through to the
+        # standard column-panel search
     if tile_m > 256:
         # Prefill-sized tiles take the WHOLE contraction per step (k-grid
         # of 1): with any k-grid > 1 the x slab's block index changes

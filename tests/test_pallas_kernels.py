@@ -400,6 +400,42 @@ def test_qmatmul_stacked_rawdot_matches_plain(monkeypatch):
                                rtol=4e-2, atol=4e-2)
 
 
+def test_qmatmul_stacked_kmajor_matches_plain(monkeypatch):
+    """GABBY_QMM_KMAJOR=1 (full-N weight tiles, k-grid accumulation —
+    contiguous HBM streaming per tile) must match the default column-panel
+    tiling and the dequantized reference; also pins that the k-major
+    search actually selects tile_n == n with >= 2 k-grid steps at the 1B
+    decode shapes."""
+    L, k, n, m = 3, 512, 256, 8
+    w = _rand(0, L * k, n).reshape(L, k, n) * 0.3
+    qts = [quant.quantize(w[i], 4) for i in range(L)]
+    codes = jnp.stack([t.q for t in qts])
+    scales = jnp.stack([t.scale for t in qts])
+    x = _rand(7, m, k).astype(jnp.bfloat16)
+    layer = jnp.int32(2)
+
+    plain = pqm.qmatmul_stacked(x, codes, scales, layer, 4)
+    ref = x.astype(jnp.float32) @ quant.dequantize(qts[2], jnp.float32)
+    monkeypatch.setenv("GABBY_QMM_KMAJOR", "1")
+    pqm._qmatmul_int4_stacked.clear_cache()
+    try:
+        # selection invariant at the 1B fused decode shapes
+        for kk, nn in [(2048, 3072), (2048, 16384), (8192, 2048)]:
+            tile_k, tile_n = pqm._pick_tiles(kk // 2, nn, 16, 4)
+            assert tile_n == nn, (kk, nn, tile_k, tile_n)
+            assert (kk // 2) % tile_k == 0 and (kk // 2) // tile_k >= 2
+        kmaj = pqm.qmatmul_stacked(x, codes, scales, layer, 4)
+    finally:
+        monkeypatch.delenv("GABBY_QMM_KMAJOR")
+        pqm._qmatmul_int4_stacked.clear_cache()
+    np.testing.assert_allclose(np.asarray(kmaj, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=4e-2, atol=4e-2)
+    np.testing.assert_allclose(np.asarray(kmaj, np.float32),
+                               np.asarray(plain, np.float32),
+                               rtol=4e-2, atol=4e-2)
+
+
 def test_w4a8_stacked_matches_integer_reference():
     """W4A8: int8-activation x int4-weight integer dot must match the exact
     integer-arithmetic reference (bit-exact accumulation in interpret

@@ -81,7 +81,7 @@ def main() -> int:
     p.add_argument("mode", choices=["fused", "window", "attn", "s8",
                                     "dsem", "longwin", "unembed",
                                     "rawdot", "chunk", "pair", "tiles",
-                                    "tiles2"])
+                                    "tiles2", "kmajor"])
     p.add_argument("--config", default="int4_1b")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--context", type=int, default=1024)
@@ -240,6 +240,21 @@ def main() -> int:
         big = make_runner("big-4MB", fusedp, None)
         big()
         variants = {"big-4MB": big, "huge-8MB": huge}
+    elif args.mode == "kmajor":
+        # full-N (k-major) weight tiles vs the default column panels:
+        # contiguous HBM streaming per tile (r5 profile hypothesis — the
+        # XLA unembed's contiguous stream runs ~1.0x its DMA floor, the
+        # tiled kernels 1.4-1.7x). Env read at TRACE time; distinct
+        # static windows keep the jit cache entries apart.
+        import os
+        fusedp = llama.fuse_projections(base)
+        os.environ["GABBY_QMM_KMAJOR"] = "1"
+        kmaj = make_runner("kmajor", fusedp, args.max_seq)
+        kmaj()  # trace now, under the k-major tiling
+        os.environ["GABBY_QMM_KMAJOR"] = "0"
+        panel = make_runner("panels", fusedp, None)
+        panel()
+        variants = {"panels": panel, "kmajor": kmaj}
     elif args.mode == "unembed":
         # int8 per-channel vs int4 group-scale unembed table (the [D, V]
         # stream is 29% of all decode bytes on the 1B; quality gated by
