@@ -226,6 +226,13 @@ def run_serving(args, spec, cfg, log, mesh=None) -> int:
             sys_text = ("system policy " * 200)[:args.prefill_len]
             return [{"role": "system", "content": sys_text},
                     {"role": "user", "content": filler(i, 48)}]
+        if args.workload == "long":
+            # BASELINE config-5-style serving shape on one chip: every
+            # prompt spans many 512-token prefill chunks, so admissions
+            # interleave with decode for whole waves and the attention
+            # window rides the live context (not max_seq)
+            ln = min(4096, max(64, args.max_seq - args.gen_tokens - 80))
+            return [{"role": "user", "content": filler(i, ln)}]
         buckets = (64, 128, 256, 512, 1024)
         ln = min(buckets[i % len(buckets)],
                  max(64, args.max_seq - args.gen_tokens - 80))
@@ -338,13 +345,16 @@ def main() -> int:
                         "(concurrent requests, p50 TTFT) instead of raw "
                         "decode")
     p.add_argument("--workload", default="mixed",
-                   choices=["mixed", "uniform", "shared-prefix"],
+                   choices=["mixed", "uniform", "shared-prefix", "long"],
                    help="serving mode request mix: 'mixed' = distinct "
                         "prompts across 64-1024 token buckets (the honest "
                         "production-like default), 'uniform' = identical "
                         "prompts (best case: full prefix reuse), "
                         "'shared-prefix' = shared system prompt + distinct "
-                        "user suffixes (isolates prefix-reuse value)")
+                        "user suffixes (isolates prefix-reuse value), "
+                        "'long' = distinct ~4k-token prompts (chunked "
+                        "prefill + live-context windows under serving; "
+                        "run with --max-seq 8192)")
     p.add_argument("--requests", type=int, default=0,
                    help="serving mode: request count (default 3x slots)")
     p.add_argument("--gen-tokens", type=int, default=128,
